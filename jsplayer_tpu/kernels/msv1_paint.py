@@ -1,0 +1,147 @@
+"""MSVideo1 block paint — TPU device kernel.
+
+TPU-native re-design of the reference's per-pixel paint loop
+(MSVideo1.hx:106-209, 293-393): the host parses the opcode stream into dense
+per-block command tensors (codecs/msvideo1.parse_commands) and the device
+paints *every* block of the frame in one fused gather —
+
+    colors[NB, 8]  --take_along_axis(sel[NB, 16])-->  painted[NB, 16]
+    painted.reshape(nby, nbx, 4, 4).transpose -> [Y, X]
+    out = where(block_type == PAINT, painted, prev)
+
+There is no scatter and no data-dependent control flow: XLA fuses the gather,
+reshape and select into a single VPU pass, and the sequential P-frame
+dependency (prev-frame reads, MSVideo1.hx:74-84) is expressed as `lax.scan`
+over the time axis.  Batching over independent streams is `vmap` over a
+leading axis — the DP axis of SURVEY.md §2.
+
+The significant-change verdict (MSVideo1.hx:187-204) is computed on-device as
+two reductions and returned per frame so skip-stills metadata never needs the
+pixels on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def paint_frame(
+    prev: jax.Array,  # [Y, X] uint32
+    btype: jax.Array,  # [NB] uint8 (0=copy, 1=paint)
+    sel: jax.Array,  # [NB, 16] uint8 (palette index per pixel)
+    colors: jax.Array,  # [NB, 8] uint32
+) -> jax.Array:
+    """Paint one frame's blocks over `prev`; returns [Y, X] uint32."""
+    Y, X = prev.shape
+    nby, nbx = Y // 4, X // 4
+    painted = jnp.take_along_axis(colors, sel.astype(jnp.int32), axis=1)  # [NB,16]
+    painted = (
+        painted.reshape(nby, nbx, 4, 4).transpose(0, 2, 1, 3).reshape(Y, X)
+    )
+    paint_mask = (btype > 0).reshape(nby, 1, nbx, 1)
+    paint_mask = jnp.broadcast_to(paint_mask, (nby, 4, nbx, 4)).reshape(Y, X)
+    return jnp.where(paint_mask, painted, prev)
+
+
+def significant_changes(
+    dst: jax.Array,  # [Y, X] uint32 (freshly painted)
+    prev: jax.Array,  # [Y, X] uint32
+    prev_valid: jax.Array,  # scalar bool
+    btype: jax.Array,  # [NB] uint8
+    insignificant_blocks: jax.Array,  # scalar int32: first significant block row
+    insign_lines: jax.Array,  # scalar int32: first significant pixel line
+    nbx: int,
+) -> jax.Array:
+    """Device-side verdict, parity with MSVideo1.hx:187-204: any painted block
+    in a significant block-row, confirmed by a pixel diff below insign_lines
+    when a previous frame exists."""
+    Y, X = dst.shape
+    nby = Y // 4
+    row_changed = (btype.reshape(nby, nbx) > 0).any(axis=1)  # block_changes[by]
+    rows = jnp.arange(nby)
+    signif = jnp.logical_and(row_changed, rows >= insignificant_blocks).any()
+    lines = jnp.arange(Y)
+    line_mask = (lines >= insign_lines)[:, None]
+    pixel_diff = jnp.logical_and(dst != prev, line_mask).any()
+    return jnp.where(prev_valid, jnp.logical_and(signif, pixel_diff), signif)
+
+
+@functools.partial(jax.jit, static_argnames=("nbx",))
+def decode_sequence(
+    init_frame: jax.Array,  # [Y, X] uint32 — frame state before this chunk
+    init_valid: jax.Array,  # scalar bool — does init_frame hold real pixels
+    btype: jax.Array,  # [T, NB] uint8
+    sel: jax.Array,  # [T, NB, 16] uint8
+    colors: jax.Array,  # [T, NB, 8] uint32
+    changes: jax.Array,  # [T] bool (host-parsed: any paint opcode in frame)
+    insignificant_blocks: jax.Array,  # scalar int32
+    insign_lines: jax.Array,  # scalar int32
+    nbx: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode T consecutive frames (one stream) via lax.scan.
+
+    Returns (frames [T, Y, X] uint32, signif [T] bool).  The carried state is
+    the previous frame + validity flag — the Manager's prevFrame pointer
+    (Manager.hx:470-476) collapsed into a functional scan carry.
+    """
+
+    def step(carry, inp):
+        prev, valid = carry
+        bt, s, col, chg = inp
+        dst = paint_frame(prev, bt, s, col)
+        sig = significant_changes(
+            dst, prev, valid, bt, insignificant_blocks, insign_lines, nbx
+        )
+        sig = jnp.logical_and(sig, chg)
+        new_valid = jnp.logical_or(valid, chg)
+        return (dst, new_valid), (dst, sig)
+
+    (_, _), (frames, signif) = jax.lax.scan(
+        step, (init_frame, init_valid), (btype, sel, colors, changes)
+    )
+    return frames, signif
+
+
+@functools.partial(jax.jit, static_argnames=("nbx",))
+def decode_batch(
+    init_frames: jax.Array,  # [B, Y, X] uint32
+    init_valid: jax.Array,  # [B] bool
+    btype: jax.Array,  # [B, T, NB] uint8
+    sel: jax.Array,  # [B, T, NB, 16] uint8
+    colors: jax.Array,  # [B, T, NB, 8] uint32
+    changes: jax.Array,  # [B, T] bool
+    insignificant_blocks: jax.Array,  # scalar int32
+    insign_lines: jax.Array,  # scalar int32
+    nbx: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched multi-stream decode: vmap over the stream (DP) axis."""
+    fn = functools.partial(
+        _decode_sequence_novmap, nbx=nbx
+    )
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))(
+        init_frames, init_valid, btype, sel, colors, changes,
+        insignificant_blocks, insign_lines,
+    )
+
+
+def _decode_sequence_novmap(
+    init_frame, init_valid, btype, sel, colors, changes,
+    insignificant_blocks, insign_lines, nbx,
+):
+    def step(carry, inp):
+        prev, valid = carry
+        bt, s, col, chg = inp
+        dst = paint_frame(prev, bt, s, col)
+        sig = significant_changes(
+            dst, prev, valid, bt, insignificant_blocks, insign_lines, nbx
+        )
+        sig = jnp.logical_and(sig, chg)
+        return (dst, jnp.logical_or(valid, chg)), (dst, sig)
+
+    (_, _), out = jax.lax.scan(
+        step, (init_frame, init_valid), (btype, sel, colors, changes)
+    )
+    return out

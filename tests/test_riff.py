@@ -1,0 +1,140 @@
+"""AVI demux tests: mux fixtures with encode/avi_mux, demux with core/riff,
+including incremental (chunk-at-a-time) delivery and mid-file restart."""
+
+import numpy as np
+
+from jsplayer_tpu.core.chunkbuffer import ChunkBuffer
+from jsplayer_tpu.core.riff import AviDemuxer, parse_idx1
+from jsplayer_tpu.core.types import CodecType
+from jsplayer_tpu.encode.avi_mux import mux_avi, mux_avi_opendml
+
+
+def _demux_all(data: bytes, chunk_size: int = 997):
+    buf = ChunkBuffer()
+    frames, sounds, infos, indxs, ixs = [], [], [], [], []
+    d = AviDemuxer(
+        buf,
+        on_frame=frames.append,
+        on_video_info=infos.append,
+        on_sound=sounds.append,
+        on_indx=indxs.append,
+        on_ix=lambda p, pos: ixs.append((p, pos)),
+    )
+    d.start()
+    for i in range(0, len(data), chunk_size):
+        buf.add_chunk(data[i : i + chunk_size])
+        d.pump()
+    d.signal_eof()
+    d.pump()
+    return frames, sounds, infos, indxs, ixs, d
+
+
+def test_simple_avi_roundtrip():
+    payloads = [bytes([i] * (10 + i)) for i in range(7)]
+    avi = mux_avi(payloads, 64, 48, 16, codec="CRAM", fps=10.0)
+    frames, sounds, infos, indxs, ixs, d = _demux_all(avi)
+    assert frames == payloads
+    assert len(infos) == 1
+    vi = infos[0]
+    assert (vi.width, vi.height, vi.bpp) == (64, 48, 16)
+    assert vi.codec == CodecType.MSVC16
+    assert vi.nframes == 7
+    assert abs(vi.fps - 10.0) < 0.01
+    assert d.finished
+
+
+def test_sound_chunks_and_odd_sizes():
+    payloads = [b"x" * 11, b"y" * 20]  # odd size exercises padding
+    snd = [(0, b"MP3FRAMEDATA!"), (1, b"MOREAUDIO")]
+    avi = mux_avi(payloads, 16, 16, 16, codec="CRAM", sound_chunks=snd)
+    frames, sounds, infos, *_ = _demux_all(avi, chunk_size=13)
+    assert frames == payloads
+    assert sounds == [b"MP3FRAMEDATA!", b"MOREAUDIO"]
+
+
+def test_screenpressor_fourcc():
+    avi = mux_avi([b"\x12345"], 32, 32, 24, codec="SPV3")
+    _, _, infos, *_ = _demux_all(avi)
+    assert infos[0].codec == CodecType.SCREENPRESSOR
+    assert infos[0].bpp == 24
+
+
+def test_palette_8bit():
+    pal = bytes(range(256)) * 4  # 1024 bytes of palette
+    avi = mux_avi([b"abc"], 16, 16, 8, codec="CRAM", palette=pal)
+    _, _, infos, *_ = _demux_all(avi)
+    assert infos[0].codec == CodecType.MSVC8
+    assert infos[0].palette == pal
+
+
+def test_idx1_parse():
+    payloads = [bytes([i]) * 8 for i in range(5)]
+    keys = [True, False, False, True, False]
+    avi = mux_avi(payloads, 16, 16, 16, codec="CRAM", keyflags=keys)
+    # locate idx1 chunk manually
+    pos = avi.find(b"idx1")
+    size = int.from_bytes(avi[pos + 4 : pos + 8], "little")
+    video, audio, first_off = parse_idx1(avi[pos + 8 : pos + 8 + size])
+    assert [e.key for e in video] == keys
+    assert audio == []
+    # offsets point at chunk headers relative to 'movi' fourcc
+    movi_fourcc_pos = avi.find(b"movi")
+    for e, payload in zip(video, payloads):
+        hdr = avi[movi_fourcc_pos + e.off : movi_fourcc_pos + e.off + 8]
+        assert hdr[:4] == b"00dc"
+        assert int.from_bytes(hdr[4:8], "little") == len(payload)
+        assert e.size == len(payload)
+
+
+def test_opendml_indx_and_ix():
+    payloads = [bytes([i % 251]) * (5 + i % 17) for i in range(23)]
+    keys = [i % 5 == 0 for i in range(23)]
+    avi = mux_avi_opendml(payloads, 16, 16, 16, codec="CRAM",
+                          keyflags=keys, frames_per_ix=7)
+    frames, _, infos, indxs, ixs, _ = _demux_all(avi, chunk_size=61)
+    assert frames == payloads
+    assert len(indxs) == 1
+    sup = indxs[0]
+    assert sup.super_entries is not None
+    assert sum(e.duration for e in sup.super_entries) == 23
+    # each super entry points at an ix00 chunk in the file
+    for e in sup.super_entries:
+        assert avi[e.off : e.off + 4] == b"ix00"
+    # inline ix chunks were also surfaced during demux
+    assert len(ixs) == len(sup.super_entries)
+    # ix payload parses into entries pointing at real frame chunks
+    from jsplayer_tpu.core.riff import parse_ix
+
+    covered = 0
+    for payload, chunk_pos in ixs:
+        ckid, base, entries = parse_ix(payload)
+        for ent in entries:
+            hdr_pos = base + ent.off
+            assert avi[hdr_pos : hdr_pos + 4] == b"00dc"
+            assert ent.size == int.from_bytes(avi[hdr_pos + 4 : hdr_pos + 8], "little")
+            assert keys[covered] == ent.key
+            covered += 1
+    assert covered == 23
+
+
+def test_start_from_middle():
+    """Mid-file restart: feed only the movi tail starting at a chunk header
+    (avi_part grammar, AVIParser.hx:178,202-207)."""
+    payloads = [bytes([i]) * 10 for i in range(6)]
+    avi = mux_avi(payloads, 16, 16, 16, codec="CRAM")
+    # find the 3rd frame chunk and restart there
+    pos = avi.find(b"00dc")
+    for _ in range(2):
+        pos = avi.find(b"00dc", pos + 1)
+    buf = ChunkBuffer()
+    frames = []
+    d = AviDemuxer(buf, on_frame=frames.append)
+    d.start_from_middle()
+    tail = avi[pos:]
+    for i in range(0, len(tail), 7):
+        buf.add_chunk(tail[i : i + 7])
+        d.pump()
+    d.signal_eof()
+    d.pump()
+    # gets frames 2..5, then runs into idx1 (skipped) and EOF
+    assert frames == payloads[2:]
