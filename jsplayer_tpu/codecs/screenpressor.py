@@ -50,6 +50,10 @@ class ScreenPressor(VideoCodec):
         self.insignificant_blocks = 0
         self.cx = 0
         self.cx1 = 0
+        # Optional command capture for the device recon kernel
+        # (kernels/sp_recon.py): when set to a dict by the caller before a
+        # decompress call, it is filled with bts/mv/rect command tensors.
+        self.capture: Optional[dict] = None
 
     # -- IVideoCodec surface -------------------------------------------------
 
@@ -113,6 +117,32 @@ class ScreenPressor(VideoCodec):
         self.cx = b >> sh
         return (b << 16) | (g << 8) | r
 
+    def _capture_nochange(self) -> None:
+        nb = self.nbx * self.nby
+        self.capture.update(
+            bts=np.zeros(nb, dtype=np.int32),
+            mv=np.zeros((nb, 2), dtype=np.int32),
+            rect=np.zeros((nb, 4), dtype=np.int32),
+            changed=False,
+        )
+
+    def _capture_full_data(self) -> None:
+        """I-frame (coded or flat) as device commands: every block is a
+        full-rect data block; payload (the decoded dst) covers the frame."""
+        nb = self.nbx * self.nby
+        X, Y = self.X, self.Y
+        bts = np.ones(nb, dtype=np.int32)
+        rect = np.zeros((nb, 4), dtype=np.int32)
+        for by in range(self.nby):
+            for bx in range(self.nbx):
+                bi = by * self.nbx + bx
+                rect[bi] = (bx * 16, by * 16,
+                            min(bx * 16 + 16, X), min(by * 16 + 16, Y))
+        self.capture.update(
+            bts=bts, mv=np.zeros((nb, 2), dtype=np.int32), rect=rect,
+            changed=True,
+        )
+
     def decompress_i(self, src: bytes, dst: np.ndarray) -> DecoderState:
         # ScreenPressor.hx:117-295
         X, Y = self.X, self.Y
@@ -135,6 +165,8 @@ class ScreenPressor(VideoCodec):
             self.prev = dst
             self.last_one_was_flat = clr
             self.decoded_i = True
+            if self.capture is not None:
+                self._capture_full_data()
             return DecoderState.ZERO
         self.last_one_was_flat = None
         if (head & 0xF) != 2:
@@ -208,14 +240,16 @@ class ScreenPressor(VideoCodec):
             self.cx = clr >> shiftcx
         self.prev = dst
         self.decoded_i = True
+        if self.capture is not None:
+            self._capture_full_data()
         return DecoderState.ZERO
 
     def decompress_p(self, src: bytes, dst: np.ndarray) -> PFrameResult:
         # ScreenPressor.hx:302-484
         self.last_one_was_flat = None
-        if len(src) == 0 or not self.decoded_i:
-            return PFrameResult(self.prev, False)
-        if src[0] == 0:
+        if len(src) == 0 or not self.decoded_i or src[0] == 0:
+            if self.capture is not None:
+                self._capture_nochange()
             return PFrameResult(self.prev, False)
 
         X, Y = self.X, self.Y
@@ -240,6 +274,14 @@ class ScreenPressor(VideoCodec):
 
         signif = bool((bts[self.insignificant_blocks:] > 0).any())
 
+        cap = self.capture
+        if cap is not None:
+            nb = self.nbx * self.nby
+            cap["bts"] = bts.copy()
+            cap["mv"] = np.zeros((nb, 2), dtype=np.int32)
+            cap["rect"] = np.zeros((nb, 4), dtype=np.int32)
+            cap["changed"] = True
+
         prev = self.prev
         np.copyto(dst, prev)  # bts==0 / subrect pre-copies collapse to this
         stride = X
@@ -262,6 +304,8 @@ class ScreenPressor(VideoCodec):
                     y1 = ec.decode_sxy(1) + y16
                     x2 = ec.decode_sxy(2) + x16 + 1
                     y2 = ec.decode_sxy(3) + y16 + 1
+                if cap is not None:
+                    cap["rect"][bi] = (x1, y1, x2, y2)
                 if (bts[bi] - 1) & 2:  # motion (:388-405)
                     if self.decoding_bools and ec.decode_bool():
                         mx, my = lastmx, lastmy
@@ -271,6 +315,8 @@ class ScreenPressor(VideoCodec):
                     lastmx, lastmy = mx, my
                     assert 0 <= y1 + my and y2 + my <= Y and 0 <= x1 + mx and x2 + mx <= X, \
                         "motion vector out of bounds (invalid stream)"
+                    if cap is not None:
+                        cap["mv"][bi] = (mx, my)
                     d2[y1:y2, x1:x2] = p2[y1 + my : y2 + my, x1 + mx : x2 + mx]
                 else:  # data (:406-467)
                     x = x1

@@ -1,0 +1,121 @@
+"""ScreenPressor frame reconstruction — TPU device kernels.
+
+TPU-native split of the reference's DecompressP (ScreenPressor.hx:302-484):
+the *serial* entropy + predictor stage runs on host (codecs/screenpressor.py
+or the native decoder) and emits per-frame command tensors; the *memory-heavy*
+frame composition runs on device:
+
+    out[y,x] = prev[y+my, x+mx]   if pixel in a motion block's rect
+             = payload[y,x]       if pixel in a data block's rect
+             = prev[y,x]          otherwise (copy / outside subrect)
+
+Two implementations share semantics:
+  * the XLA path here: per-block commands expand to per-pixel maps via
+    *structured broadcasts* (16×16 tiles — no arbitrary gather; measured 25×
+    faster than gather-by-block-id on TPU); the motion read is the single
+    remaining arbitrary gather;
+  * the Pallas path (kernels/sp_motion_pallas.py): the copy/data select runs
+    as a fused elementwise pass and motion rects are patched in-place with
+    per-block dynamic DMAs — see that module for the bandwidth story.
+
+The P-chain's true data dependency (prev-frame reads, ScreenPressor.hx:379,
+404,442,472) is a `lax.scan` carry; batching over streams is `vmap`.
+
+Frame height/width must be multiples of 16/128 on the fast paths; the batch
+layer pads (1080p → 1088 rows) and crops after decode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def block_broadcast(vals: jax.Array, nby: int, nbx: int, Y: int, X: int) -> jax.Array:
+    """Per-block values [NB, ...] → per-pixel [Y, X, ...] via structured
+    broadcast over 16×16 tiles (no gather)."""
+    tail = vals.shape[1:]
+    v = vals.reshape(nby, 1, nbx, 1, *tail)
+    v = jnp.broadcast_to(v, (nby, 16, nbx, 16, *tail))
+    v = v.reshape(nby * 16, nbx * 16, *tail)
+    return v[:Y, :X]
+
+
+def compose_frame(
+    prev: jax.Array,  # [Y, X] uint32
+    bts: jax.Array,  # [NB] int32
+    mv: jax.Array,  # [NB, 2] int32
+    rect: jax.Array,  # [NB, 4] int32
+    payload: jax.Array,  # [Y, X] uint32
+) -> jax.Array:
+    Y, X = prev.shape
+    nbx = (X + 15) // 16
+    nby = (Y + 15) // 16
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+
+    b = block_broadcast(bts, nby, nbx, Y, X)  # [Y, X]
+    r = block_broadcast(rect, nby, nbx, Y, X)  # [Y, X, 4]
+    in_rect = (
+        (xx >= r[..., 0]) & (xx < r[..., 2]) & (yy >= r[..., 1]) & (yy < r[..., 3])
+    )
+    active = (b > 0) & in_rect
+    is_motion = active & (((b - 1) & 2) > 0)
+    is_data = active & (((b - 1) & 2) == 0)
+
+    m = block_broadcast(mv, nby, nbx, Y, X)  # [Y, X, 2]
+    src_y = jnp.clip(yy + m[..., 1], 0, Y - 1)
+    src_x = jnp.clip(xx + m[..., 0], 0, X - 1)
+    moved = prev.reshape(-1)[(src_y * X + src_x).reshape(-1)].reshape(Y, X)
+
+    return jnp.where(is_motion, moved, jnp.where(is_data, payload, prev))
+
+
+def _scan_decode(init_frame, bts, mv, rect, payload, changed,
+                 insignificant_blocks):
+    def step(prev, inp):
+        b, m, r, pay, chg = inp
+        composed = compose_frame(prev, b, m, r, pay)
+        out = jnp.where(chg, composed, prev)
+        sig_mask = jnp.arange(b.shape[0]) >= insignificant_blocks
+        signif = jnp.logical_and(chg, ((b > 0) & sig_mask).any())
+        return out, (out, signif)
+
+    _, (frames, signif) = jax.lax.scan(
+        step, init_frame, (bts, mv, rect, payload, changed)
+    )
+    return frames, signif
+
+
+@jax.jit
+def decode_sequence(
+    init_frame: jax.Array,  # [Y, X] uint32
+    bts: jax.Array,  # [T, NB] int32
+    mv: jax.Array,  # [T, NB, 2] int32
+    rect: jax.Array,  # [T, NB, 4] int32
+    payload: jax.Array,  # [T, Y, X] uint32
+    changed: jax.Array,  # [T] bool
+    insignificant_blocks: jax.Array,  # scalar int32
+) -> tuple[jax.Array, jax.Array]:
+    """Decode T consecutive frames of one stream → (frames [T,Y,X], signif [T]).
+
+    The significant-change verdict mirrors ScreenPressor.hx:346-352
+    (block-map scan above the insignificant band)."""
+    return _scan_decode(init_frame, bts, mv, rect, payload, changed,
+                        insignificant_blocks)
+
+
+@jax.jit
+def decode_batch(
+    init_frames: jax.Array,  # [B, Y, X] uint32
+    bts: jax.Array,  # [B, T, NB]
+    mv: jax.Array,  # [B, T, NB, 2]
+    rect: jax.Array,  # [B, T, NB, 4]
+    payload: jax.Array,  # [B, T, Y, X]
+    changed: jax.Array,  # [B, T]
+    insignificant_blocks: jax.Array,  # scalar int32
+) -> tuple[jax.Array, jax.Array]:
+    """Batched multi-stream decode (DP axis via vmap)."""
+    return jax.vmap(_scan_decode, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        init_frames, bts, mv, rect, payload, changed, insignificant_blocks
+    )
