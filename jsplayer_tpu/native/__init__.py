@@ -1,0 +1,164 @@
+"""ctypes bindings for the native host decoder (spdec.cpp).
+
+The shared library is built on demand with the in-tree Makefile (g++ -O3);
+``available()`` gates callers so pure-Python fallbacks keep working when no
+toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libjsptpu.so")
+_SRC_PATH = os.path.join(_DIR, "spdec.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "libjsptpu.so"], check=True,
+                       capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+    lib.sp_create.restype = ctypes.c_void_p
+    lib.sp_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.sp_destroy.argtypes = [ctypes.c_void_p]
+    lib.sp_preinit.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sp_is_key_frame.restype = ctypes.c_int
+    lib.sp_is_key_frame.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.sp_decompress.restype = ctypes.c_int
+    lib.sp_decompress.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.sp_prev_frame.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.sp_prev_frame.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.msv1_parse_commands.restype = ctypes.c_int
+    lib.msv1_parse_commands.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+class NativeScreenPressor:
+    """Native twin of codecs.screenpressor.ScreenPressor (bit-exact)."""
+
+    def __init__(self, width: int, height: int, bpp: int = 24):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sp_create(width, height, bpp)
+        self.X, self.Y = width, height
+        self.nbx = (width + 15) // 16
+        self.nby = (height + 15) // 16
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sp_destroy(self._h)
+            self._h = None
+
+    def preinit(self, insignificant_lines: int) -> None:
+        self._lib.sp_preinit(self._h, insignificant_lines)
+
+    def is_key_frame(self, data: bytes) -> bool:
+        return bool(self._lib.sp_is_key_frame(data, len(data)))
+
+    def decompress(self, data: bytes, is_key: bool, capture: bool = False,
+                   copy: bool = True):
+        """→ (frame u32[X*Y] | None-if-nochange-uses-prev, signif, cap dict).
+
+        ``copy=False`` skips the output memcpy and returns a zero-copy view
+        of the decoder's internal ping-pong buffer — valid until the next
+        decompress() call (the buffer two calls later is reused)."""
+        dst = np.zeros(self.X * self.Y, dtype=np.uint32) if copy else None
+        dstp = dst.ctypes.data_as(ctypes.c_void_p) if copy else None
+        signif = ctypes.c_int(0)
+        nb = self.nbx * self.nby
+        if capture:
+            bts = np.zeros(nb, dtype=np.int32)
+            mv = np.zeros((nb, 2), dtype=np.int32)
+            rect = np.zeros((nb, 4), dtype=np.int32)
+            bp = bts.ctypes.data_as(ctypes.c_void_p)
+            mp = mv.ctypes.data_as(ctypes.c_void_p)
+            rp = rect.ctypes.data_as(ctypes.c_void_p)
+        else:
+            bts = mv = rect = None
+            bp = mp = rp = None
+        r = self._lib.sp_decompress(self._h, data, len(data),
+                                    1 if is_key else 0, dstp,
+                                    ctypes.byref(signif), bp, mp, rp)
+        cap = {"bts": bts, "mv": mv, "rect": rect,
+               "changed": r == 0} if capture else None
+        if r == -1:
+            raise ValueError("invalid stream")
+        if r != 0:
+            return None, bool(signif.value), cap
+        if copy:
+            return dst, bool(signif.value), cap
+        return self.latest_view(), bool(signif.value), cap
+
+    def latest_view(self) -> np.ndarray:
+        """Zero-copy view of the latest decoded frame."""
+        has = ctypes.c_int(0)
+        ptr = self._lib.sp_prev_frame(self._h, ctypes.byref(has))
+        return np.ctypeslib.as_array(ptr, shape=(self.X * self.Y,))
+
+
+def native_msv1_parse(src: bytes, X: int, Y: int,
+                      pal: Optional[np.ndarray] = None):
+    """Native twin of codecs.msvideo1.parse_commands."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nb = (X >> 2) * (Y >> 2)
+    btype = np.zeros(nb, dtype=np.uint8)
+    sel = np.zeros((nb, 16), dtype=np.uint8)
+    colors = np.zeros((nb, 8), dtype=np.uint32)
+    palp = (pal.astype(np.uint32).ctypes.data_as(ctypes.c_void_p)
+            if pal is not None else None)
+    changes = lib.msv1_parse_commands(
+        src, len(src), X, Y, palp,
+        btype.ctypes.data_as(ctypes.c_void_p),
+        sel.ctypes.data_as(ctypes.c_void_p),
+        colors.ctypes.data_as(ctypes.c_void_p),
+    )
+    return btype, sel, colors, bool(changes)

@@ -1,0 +1,1414 @@
+// Native ScreenPressor v2/v3/v4 decoder + MSVideo1 command parser.
+//
+// C++ implementation of the host hot path (SURVEY.md §3 "hot loops"):
+// entropy symbol decode (range coder / rANS with the Cx1..Cx7 adaptive
+// context escalation) fused with frame reconstruction.  Semantics are the
+// executable spec embodied by the Python oracle (jsplayer_tpu/codecs/
+// rangecoder.py, rans.py, entropy.py, screenpressor.py, msvideo1.py), which
+// in turn mirrors the reference decoder (ScreenPressor.hx, RangeCoder.hx,
+// ANS.hx, EntroCoders.hx, MSVideo1.hx) — see those files for file:line
+// parity cites.  The test suite asserts bit-exact native == oracle output.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+//
+// Build: make -C jsplayer_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Range decoder (ScreenPressor v2)
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t RC_TOP = 1u << 24;
+constexpr uint32_t RC_BOT = 1u << 16;
+
+struct RangeDecoder {
+  uint64_t range = 0, code = 0;
+  const uint8_t* data = nullptr;
+  size_t len = 0, pos = 0;
+
+  void begin(const uint8_t* src, size_t n, size_t pos0) {
+    data = src; len = n;
+    range = 0xFFFFFFFFull;
+    pos = pos0;
+    code = 0;
+    for (int k = 1; k <= 4; k++) code = (code << 8) | byte_at(pos + k);
+    pos += 5;
+  }
+  uint8_t byte_at(size_t p) const { return p < len ? data[p] : 0; }
+  void decode(uint64_t cum, uint64_t freq) {
+    code -= cum * range;
+    range *= freq;
+    while (range < RC_TOP) {
+      code = (code << 8) | byte_at(pos++);
+      range <<= 8;
+    }
+  }
+  uint64_t get_freq(uint64_t tot) {
+    range /= tot;
+    return code / range;
+  }
+
+  // linear-scan adaptive table decode; table[maxc] holds the total
+  int decode_val(uint32_t* cnt, int maxc, uint32_t step) {
+    uint64_t totfr = cnt[maxc];
+    uint64_t value = get_freq(totfr);
+    int c = 0;
+    uint64_t cumfr = 0, cnt_c = 0;
+    while (c < maxc) {
+      cnt_c = cnt[c];
+      if (value >= cumfr + cnt_c) cumfr += cnt_c; else break;
+      c++;
+    }
+    decode(cumfr, cnt_c);
+    adapt_val(cnt, maxc, c, step, (uint32_t)totfr);
+    return c;
+  }
+
+  static void adapt_val(uint32_t* cnt, int maxc, int c, uint32_t step,
+                        uint32_t totfr) {
+    cnt[c] += step;
+    totfr += step;
+    if (totfr > RC_BOT) {
+      totfr = 0;
+      for (int i = 0; i < maxc; i++) {
+        uint32_t nc = (cnt[i] >> 1) + 1;
+        cnt[i] = nc;
+        totfr += nc;
+      }
+    }
+    cnt[maxc] = totfr;
+  }
+
+  // two-level 16x16 bucket table: [0..15] buckets, [16] total, [17..272] syms
+  int decode_val_uni(uint32_t* cnt, uint32_t step) {
+    uint64_t totfr = cnt[16];
+    uint64_t value = get_freq(totfr);
+    int x = 0;
+    uint64_t cumfr = 0, cnt_x = 0;
+    while (x < 16) {
+      cnt_x = cnt[x];
+      if (value >= cumfr + cnt_x) cumfr += cnt_x; else break;
+      x++;
+    }
+    int c = x * 16;
+    uint64_t cnt_c = 0;
+    while (c < 256) {
+      cnt_c = cnt[c + 17];
+      if (value >= cumfr + cnt_c) cumfr += cnt_c; else break;
+      c++;
+    }
+    decode(cumfr, cnt_c);
+    cnt[c + 17] += step;
+    cnt[x] += step;
+    uint32_t tf = (uint32_t)totfr + step;
+    if (tf > RC_BOT) {
+      tf = 0;
+      for (int i = 17; i < 256 + 17; i++) {
+        uint32_t nc = (cnt[i] >> 1) + 1;
+        cnt[i] = nc;
+        tf += nc;
+      }
+      for (int i = 0; i < 16; i++) {
+        uint32_t s = 0;
+        for (int j = 0; j < 16; j++) s += cnt[(i << 4) + 17 + j];
+        cnt[i] = s;
+      }
+    }
+    cnt[16] = tf;
+    return c;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// rANS decoder state
+// ---------------------------------------------------------------------------
+
+constexpr int RANS_B = 131072;
+constexpr uint32_t PROB_SCALE = 4096;
+constexpr uint32_t RANS_BYTE_L = 1u << 23;
+
+struct Rans {
+  uint32_t r = 0;
+  const uint8_t* data = nullptr;
+  size_t len = 0, pos = 0;
+
+  uint8_t byte_at(size_t p) const { return p < len ? data[p] : 0; }
+  void init(const uint8_t* src, size_t n, size_t i) {
+    data = src; len = n;
+    r = (uint32_t)byte_at(i) | ((uint32_t)byte_at(i + 1) << 8)
+      | ((uint32_t)byte_at(i + 2) << 16) | ((uint32_t)byte_at(i + 3) << 24);
+    pos = i + 4;
+  }
+  void reinit() { init(data, len, pos); }
+  uint32_t dec_get() const { return r & 4095; }
+  void dec_advance(uint32_t start, uint32_t freq) {
+    uint32_t x = freq * (r >> 12) + (r & 4095) - start;
+    while (x < RANS_BYTE_L) x = (x << 8) | byte_at(pos++);
+    r = x;
+  }
+  uint8_t raw() { return byte_at(pos++); }
+};
+
+// ---------------------------------------------------------------------------
+// FixedSizeRansCtx
+// ---------------------------------------------------------------------------
+
+constexpr int STEP_FX = 16;
+constexpr int DSHIFT = 7;
+constexpr int DVAL = 1 << DSHIFT;
+
+struct FixedCtx {
+  int nsym = 0;
+  std::vector<uint16_t> freq, cumfreq, cnts;
+  uint32_t cntsum = 0;
+  uint8_t dec_table[PROB_SCALE / DVAL] = {0};
+
+  void init(int n) {
+    nsym = n;
+    freq.assign(n, 0);
+    cumfreq.assign(n, 0);
+    cnts.assign(n, 0);
+    cntsum = 0;
+  }
+  void fill_dec(uint32_t cf, uint32_t fr, int i) {
+    // out-of-range writes dropped (JS Uint8Array semantics)
+    int k0 = (int)((cf + DVAL - 1) >> DSHIFT);
+    int k1 = (int)(((cf + fr - 1) >> DSHIFT) + 1);
+    if (k1 > (int)(PROB_SCALE / DVAL)) k1 = PROB_SCALE / DVAL;
+    for (int k = k0; k < k1; k++) dec_table[k] = (uint8_t)i;
+  }
+  void renew() {
+    uint32_t fr = PROB_SCALE / nsym;
+    uint32_t c0 = fr - (fr >> 1);
+    cntsum = c0 * nsym;
+    uint32_t cf = 0;
+    for (int i = 0; i < nsym; i++) {
+      freq[i] = (uint16_t)fr;
+      cumfreq[i] = (uint16_t)cf;
+      cnts[i] = (uint16_t)c0;
+      fill_dec(cf, fr, i);
+      cf += fr;
+    }
+  }
+  void incr(int c) {
+    cnts[c] += STEP_FX;
+    cntsum += STEP_FX;
+    if (cntsum + STEP_FX > PROB_SCALE) {
+      cntsum = 0;
+      uint32_t cf = 0;
+      for (int j = 0; j < nsym; j++) {
+        uint32_t fr = cnts[j];
+        freq[j] = (uint16_t)fr;
+        cumfreq[j] = (uint16_t)cf;
+        fill_dec(cf, fr, j);
+        cf += fr;
+        cnts[j] -= fr >> 1;
+        cntsum += cnts[j];
+      }
+    }
+  }
+  int decode(uint32_t sf, uint32_t* ofreq, uint32_t* ocum) {
+    int c0 = dec_table[sf >> DSHIFT];
+    for (int j = c0; j < nsym - 1; j++) {
+      if (cumfreq[j + 1] > sf) {
+        *ofreq = freq[j]; *ocum = cumfreq[j];
+        incr(j);
+        return j;
+      }
+    }
+    *ofreq = freq[nsym - 1]; *ocum = cumfreq[nsym - 1];
+    incr(nsym - 1);
+    return nsym - 1;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Adaptive contexts Cx1..Cx7 (clr path)
+// ---------------------------------------------------------------------------
+
+constexpr int SC_F0 = 50;
+constexpr int CX6_STEP = 25;
+
+struct SmallCtx {  // Cx4 (S=4) / Cx5 (S=16)
+  int S = 0, d = 0, maxpos = 0;
+  int32_t totfr_tmp = 0;  // mirrors static SmallContext.totFr
+  uint8_t symbols[16];
+  uint16_t freqs[16];
+  uint32_t cntsum = 0;  // Cx5 only
+
+  void create(const uint8_t* syms, int n, int c) {
+    d = n;
+    uint8_t ss[16];
+    memcpy(ss, syms, n);
+    // insertion sort
+    for (int i = 1; i < n; i++) {
+      int j = i;
+      while (j > 0 && ss[j - 1] > ss[j]) { std::swap(ss[j - 1], ss[j]); j--; }
+    }
+    for (int i = 0; i < n; i++) {
+      symbols[i] = ss[i];
+      if (ss[i] == c) { freqs[i] = 2 * SC_F0; maxpos = i; }
+      else freqs[i] = SC_F0;
+    }
+  }
+  void rescale() {
+    int s = 256 - d;
+    for (int i = 0; i < d; i++) {
+      freqs[i] -= freqs[i] >> 1;
+      s += freqs[i];
+    }
+    totfr_tmp = s;
+  }
+  bool add_symb(int pos, int c) {
+    if (d == S) return false;
+    for (int i = d - 1; i >= pos; i--) {
+      symbols[i + 1] = symbols[i];
+      freqs[i + 1] = freqs[i];
+    }
+    symbols[pos] = (uint8_t)c;
+    freqs[pos] = SC_F0;
+    d++;
+    if (maxpos >= pos) maxpos++;
+    totfr_tmp += SC_F0;
+    if (totfr_tmp + SC_F0 > (int)PROB_SCALE) rescale();
+    return true;
+  }
+  void met_update(int pos) {
+    freqs[pos] += SC_F0;
+    totfr_tmp += SC_F0;
+    if (pos != maxpos && freqs[pos] > freqs[maxpos]) maxpos = pos;
+    if (totfr_tmp + SC_F0 > (int)PROB_SCALE) rescale();
+  }
+  // returns c; sets ofreq/ocum; *fit=false when table full (upgrade needed)
+  int decode_sc(uint32_t sf, int totfr0, uint32_t* ofreq, uint32_t* ocum,
+                bool* fit) {
+    totfr_tmp = totfr0;
+    int shift = 0;
+    int tot = totfr0;
+    while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
+    sf >>= shift;
+    int bonus = (int)(PROB_SCALE - tot) >> shift;
+    uint16_t max_freq = freqs[maxpos];
+    freqs[maxpos] += bonus;
+    int cum = 0, last_symb = 0, pos = 0;
+    while (pos < d) {
+      int s = symbols[pos];
+      int start_fr = cum + s - last_symb;
+      if ((int)sf < start_fr) {
+        int c = (int)sf - cum + last_symb;
+        cum = (int)sf;
+        *ofreq = 1u << shift; *ocum = (uint32_t)cum << shift;
+        freqs[maxpos] = max_freq;
+        *fit = add_symb(pos, c);
+        return c;
+      }
+      int fr = freqs[pos];
+      if (start_fr + fr > (int)sf) {
+        int c = s;
+        cum += c - last_symb;
+        *ofreq = (uint32_t)fr << shift; *ocum = (uint32_t)cum << shift;
+        freqs[maxpos] = max_freq;
+        met_update(pos);
+        *fit = true;
+        return c;
+      }
+      cum += s - last_symb + fr;
+      last_symb = s + 1;
+      pos++;
+    }
+    freqs[maxpos] = max_freq;
+    int c = last_symb + (int)sf - cum;
+    *ofreq = 1u << shift; *ocum = (uint32_t)sf << shift;
+    *fit = add_symb(pos, c);
+    return c;
+  }
+  int totfr0_cx4() const {
+    return freqs[0] + freqs[1] + freqs[2] + freqs[3] + 256 - d;
+  }
+  void calc_sum_cx5() {
+    int t = 256 - d;
+    for (int i = 0; i < d; i++) t += freqs[i];
+    cntsum = (uint32_t)t;
+  }
+};
+
+struct Cx6 {
+  int S = 0, d = 0, fshift = 0, f0 = 32;
+  std::vector<uint8_t> symbols;
+  std::vector<uint16_t> freq, cumfreq, cnts;
+  uint32_t cntsum = 0;
+
+  void init(int s) {
+    S = s;
+    symbols.assign(s, 0);
+    freq.assign(s, 0);
+    cumfreq.assign(s, 0);
+    cnts.assign(s, 0);
+    cntsum = 0;
+  }
+  void calc_sum() {
+    int shft = fshift > 0 ? fshift - 1 : 0;
+    uint32_t sum = (uint32_t)(256 - d) << shft;
+    for (int i = 0; i < S; i++) sum += cnts[i];
+    cntsum = sum;
+  }
+  void rescale_dec() {
+    int sh = fshift > 0 ? fshift - 1 : 0;
+    uint16_t c0 = (uint16_t)(1 << sh);
+    uint16_t tc[256];
+    for (int i = 0; i < 256; i++) tc[i] = c0;
+    for (int i = 0; i < d; i++) tc[symbols[i]] = cnts[i];
+    uint16_t tf[256], tcf[256];
+    uint32_t cum = 0;
+    for (int i = 0; i < 256; i++) {
+      tf[i] = tc[i];
+      tcf[i] = (uint16_t)cum;
+      cum += tc[i];
+    }
+    if (fshift > 0) fshift--;
+    int shft = fshift > 0 ? fshift - 1 : 0;
+    uint32_t s = (uint32_t)(256 - d) << shft;
+    for (int i = 0; i < d; i++) {
+      cnts[i] -= cnts[i] >> 1;
+      s += cnts[i];
+      int idx = symbols[i];
+      freq[i] = tf[idx];
+      cumfreq[i] = tcf[idx];
+    }
+    cntsum = s;
+  }
+  void incr(int pos) {
+    int step = CX6_STEP << fshift;
+    cnts[pos] += step;
+    cntsum += step;
+    if (pos > 0 && cnts[pos] > cnts[pos - 1]) {
+      std::swap(cnts[pos], cnts[pos - 1]);
+      std::swap(freq[pos], freq[pos - 1]);
+      std::swap(cumfreq[pos], cumfreq[pos - 1]);
+      std::swap(symbols[pos], symbols[pos - 1]);
+    }
+    if (cntsum + step > PROB_SCALE) rescale_dec();
+  }
+  int add_dec(int c, uint32_t fr, uint32_t cf) {
+    if (d >= 40 || d >= S) return -1;
+    int pos = d;
+    symbols[pos] = (uint8_t)c;
+    freq[pos] = (uint16_t)fr;
+    cumfreq[pos] = (uint16_t)cf;
+    cnts[pos] = (uint16_t)(fr - (fr >> 1));
+    d++;
+    return pos;
+  }
+  void grow() {
+    int S2 = S * 2;
+    symbols.resize(S2, 0);
+    freq.resize(S2, 0);
+    cumfreq.resize(S2, 0);
+    cnts.resize(S2, 0);
+    S = S2;
+  }
+  // returns c; *handled=false => upgrade to Cx7 with the set interval
+  int decode(uint32_t sf, uint32_t* ofreq, uint32_t* ocum, bool* handled) {
+    uint32_t lfreq = 0, lcum = 0;
+    int lower_sym = 0;
+    for (int i = 0; i < d; i++) {
+      uint32_t cf = cumfreq[i];
+      if (cf <= sf) {
+        uint32_t fr = freq[i];
+        if (cf + fr > sf) {
+          *ofreq = fr; *ocum = cf;
+          int c = symbols[i];
+          incr(i);
+          *handled = true;
+          return c;
+        }
+        if (cf >= lcum) { lfreq = fr; lcum = cf; lower_sym = symbols[i]; }
+      }
+    }
+    uint32_t fr_freq = 1u << fshift;
+    int c;
+    uint32_t fr_cum;
+    if (lfreq > 0) {
+      uint32_t cum = lcum + lfreq;
+      int x = (int)((sf - cum) >> fshift);
+      c = x + lower_sym + 1;
+      fr_cum = lcum + lfreq + ((uint32_t)x << fshift);
+    } else {
+      c = (int)(sf >> fshift);
+      fr_cum = (uint32_t)c << fshift;
+    }
+    *ofreq = fr_freq; *ocum = fr_cum;
+    int p = add_dec(c, fr_freq, fr_cum);
+    if (p < 0) {
+      if (S == 64) { *handled = false; return c; }
+      grow();
+      p = add_dec(c, fr_freq, fr_cum);
+    }
+    incr(p);
+    *handled = true;
+    return c;
+  }
+  void create_from5(const SmallCtx& c5, int c) {
+    init(32);
+    int oldd = c5.d;
+    int totfr = 256 - oldd;
+    for (int i = 0; i < oldd; i++) totfr += c5.freqs[i];
+    int shift = 0, tot = totfr;
+    while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
+    int cum = 0, last_symb = 0;
+    for (int pos = 0; pos < oldd; pos++) {
+      int s = c5.symbols[pos];
+      cum += s - last_symb;
+      int cfr = c5.freqs[pos];
+      uint32_t fr = (uint32_t)cfr << shift;
+      freq[pos] = (uint16_t)fr;
+      cumfreq[pos] = (uint16_t)((uint32_t)cum << shift);
+      cnts[pos] = (uint16_t)(fr - (fr >> 1));
+      symbols[pos] = (uint8_t)s;
+      cum += cfr;
+      last_symb = s + 1;
+    }
+    fshift = shift;
+    uint32_t fr_freq = 1u << shift;
+    uint32_t fr_cum = 0;
+    if (c > 0) {
+      int lower_sym = -1;
+      uint32_t lfreq = 0, lcum = 0;
+      for (int i = 0; i < oldd; i++) {
+        int s = symbols[i];
+        if (s > lower_sym && s < c) {
+          lower_sym = s;
+          lfreq = freq[i];
+          lcum = cumfreq[i];
+        }
+      }
+      if (lfreq > 0) fr_cum = lcum + lfreq + ((uint32_t)(c - lower_sym - 1) << shift);
+      else fr_cum = (uint32_t)c << shift;
+    }
+    freq[oldd] = (uint16_t)fr_freq;
+    cumfreq[oldd] = (uint16_t)fr_cum;
+    cnts[oldd] = (uint16_t)(fr_freq - (fr_freq >> 1));
+    symbols[oldd] = (uint8_t)c;
+    d = oldd + 1;
+    int step = CX6_STEP << fshift;
+    cnts[oldd] += step;
+    cntsum += step;
+    if (cntsum + step > PROB_SCALE) rescale_dec();
+    calc_sum();
+    for (int i = 0; i < d - 1; i++)
+      for (int j = i + 1; j < d; j++)
+        if (freq[j] > freq[i]) {
+          std::swap(freq[i], freq[j]);
+          std::swap(cumfreq[i], cumfreq[j]);
+          std::swap(cnts[i], cnts[j]);
+          std::swap(symbols[i], symbols[j]);
+        }
+  }
+  void create_from2(const uint8_t* syms, int n, int c) {
+    init(n <= 32 ? 32 : 64);
+    int oldd = n;
+    int totfr = 256 - oldd + oldd * f0 + f0;
+    int shift = 0, tot = totfr;
+    while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
+    uint8_t ss[256];
+    memcpy(ss, syms, n);
+    for (int i = 1; i < n; i++) {
+      int j = i;
+      while (j > 0 && ss[j - 1] > ss[j]) { std::swap(ss[j - 1], ss[j]); j--; }
+    }
+    int cum = 0, last_symb = 0, new_symb_pos = 0;
+    for (int pos = 0; pos < oldd; pos++) {
+      int s = ss[pos];
+      cum += s - last_symb;
+      int cfr;
+      if (s == c) { new_symb_pos = pos; cfr = f0 * 2; }
+      else cfr = f0;
+      uint32_t fr = (uint32_t)cfr << shift;
+      freq[pos] = (uint16_t)fr;
+      cumfreq[pos] = (uint16_t)((uint32_t)cum << shift);
+      symbols[pos] = (uint8_t)s;
+      cnts[pos] = (uint16_t)(fr - (fr >> 1));
+      cum += cfr;
+      last_symb = s + 1;
+    }
+    d = oldd;
+    fshift = shift;
+    calc_sum();
+    if (new_symb_pos > 0) {
+      std::swap(freq[0], freq[new_symb_pos]);
+      std::swap(cumfreq[0], cumfreq[new_symb_pos]);
+      std::swap(cnts[0], cnts[new_symb_pos]);
+      std::swap(symbols[0], symbols[new_symb_pos]);
+    }
+  }
+};
+
+struct Cx7 : FixedCtx {
+  void create_from3(const uint8_t* syms, int n, int c) {
+    init(256);
+    for (int i = 0; i < 256; i++) { freq[i] = 1; cnts[i] = 1; }
+    int f0 = (int)(PROB_SCALE - (256 - n)) / (n + 1);
+    int c0 = f0 - (f0 >> 1);
+    for (int i = 0; i < n; i++) {
+      int s = syms[i];
+      freq[s] = (uint16_t)f0;
+      cnts[s] = (uint16_t)c0;
+    }
+    freq[c] += f0;
+    cnts[c] += STEP_FX;
+    cntsum = 0;
+    uint32_t cf = 0;
+    for (int i = 0; i < 256; i++) {
+      cntsum += cnts[i];
+      cumfreq[i] = (uint16_t)cf;
+      uint32_t fr = freq[i];
+      fill_dec(cf, fr, i);
+      cf += fr;
+    }
+  }
+  void create_from6(const Cx6& c6) {
+    init(256);
+    cntsum = c6.cntsum;
+    for (int i = 0; i < c6.S; i++)
+      if (c6.cnts[i] > 0) {
+        int x = c6.symbols[i];
+        freq[x] = c6.freq[i];
+        cumfreq[x] = c6.cumfreq[i];
+        cnts[x] = c6.cnts[i];
+      }
+    uint32_t funmet = 1u << c6.fshift;
+    uint16_t cnt_unmet = (uint16_t)(funmet - (funmet >> 1));
+    uint32_t cum = 0;
+    for (int i = 0; i < 256; i++) {
+      uint32_t fr;
+      if (freq[i] > 0) fr = freq[i];
+      else {
+        freq[i] = (uint16_t)funmet;
+        cumfreq[i] = (uint16_t)cum;
+        cnts[i] = cnt_unmet;
+        fr = funmet;
+      }
+      fill_dec(cum, fr, i);
+      cum += fr;
+    }
+  }
+};
+
+enum CtxKind : uint8_t { K_NONE = 0, K1, K2, K3, K4, K5, K6, K7 };
+
+struct Context {
+  CtxKind kind = K_NONE;
+  uint8_t list_d = 0;
+  uint16_t list_cap = 0;
+  std::vector<uint8_t> list;  // Cx1/2/3 symbol list
+  SmallCtx* sc = nullptr;     // Cx4/5
+  Cx6* c6 = nullptr;
+  Cx7* c7 = nullptr;
+  int f0_cx6 = 32;
+
+  void renew() {
+    kind = K_NONE;
+    list_d = 0;
+    delete sc; sc = nullptr;
+    delete c6; c6 = nullptr;
+    delete c7; c7 = nullptr;
+  }
+  ~Context() { renew(); }
+
+  int find_or_add(int c) {  // 0 found, 1 added, 2 noroom
+    for (int i = 0; i < list_d; i++)
+      if (list[i] == c) return 0;
+    if (list_d < list_cap) {
+      list[list_d++] = (uint8_t)c;
+      return 1;
+    }
+    return 2;
+  }
+
+  // decode-or-escape: returns true + sets c/ofreq/ocum when a model handled
+  bool decode(uint32_t sf, int* c, uint32_t* ofreq, uint32_t* ocum) {
+    bool ok;
+    switch (kind) {
+      case K6: {
+        *c = c6->decode(sf, ofreq, ocum, &ok);
+        if (!ok) {
+          Cx7* n = new Cx7();
+          n->create_from6(*c6);
+          delete c6; c6 = nullptr;
+          c7 = n;
+          kind = K7;
+        }
+        return true;
+      }
+      case K7: {
+        uint32_t f, cf;
+        *c = c7->decode(sf, &f, &cf);
+        *ofreq = f; *ocum = cf;
+        return true;
+      }
+      case K4: {
+        *c = sc->decode_sc(sf, sc->totfr0_cx4(), ofreq, ocum, &ok);
+        if (!ok) upgrade4to5(*c);
+        return true;
+      }
+      case K5: {
+        *c = sc->decode_sc(sf, (int)sc->cntsum, ofreq, ocum, &ok);
+        sc->cntsum = (uint32_t)sc->totfr_tmp;
+        if (!ok) upgrade5to6(*c);
+        return true;
+      }
+      default:
+        return false;
+    }
+  }
+
+  void upgrade4to5(int c) {
+    // Cx5.fromCx4 (sorted merge insert)
+    SmallCtx* n = new SmallCtx();
+    n->S = 16;
+    int i = 0, dd = sc->d, j = 0, totfr = 0;
+    while (i < dd && sc->symbols[i] < c) {
+      n->symbols[i] = sc->symbols[i];
+      n->freqs[i] = sc->freqs[i];
+      totfr += n->freqs[i];
+      i++;
+    }
+    j = i;
+    n->symbols[j] = (uint8_t)c;
+    n->freqs[j] = SC_F0;
+    totfr += SC_F0;
+    j++;
+    while (i < dd) {
+      n->symbols[j] = sc->symbols[i];
+      n->freqs[j] = sc->freqs[i];
+      totfr += n->freqs[j];
+      i++; j++;
+    }
+    n->d = dd + 1;
+    n->maxpos = 0;
+    if (totfr > (int)PROB_SCALE) {
+      n->rescale();
+    }
+    n->calc_sum_cx5();
+    delete sc;
+    sc = n;
+    kind = K5;
+  }
+  void upgrade5to6(int c) {
+    Cx6* n = new Cx6();
+    n->f0 = f0_cx6;
+    n->create_from5(*sc, c);
+    delete sc; sc = nullptr;
+    c6 = n;
+    kind = K6;
+  }
+
+  void update(int c) {
+    switch (kind) {
+      case K_NONE:
+        list.assign(14, 0);
+        list_cap = 14;
+        list[0] = (uint8_t)c;
+        list_d = 1;
+        kind = K1;
+        break;
+      case K1: {
+        int r = find_or_add(c);
+        if (r == 0) {
+          if (list_d <= 4) {
+            sc = new SmallCtx();
+            sc->S = 4;
+            sc->create(list.data(), list_d, c);
+            kind = K4;
+          } else {
+            sc = new SmallCtx();
+            sc->S = 16;
+            sc->create(list.data(), list_d, c);
+            sc->calc_sum_cx5();
+            kind = K5;
+          }
+        } else if (r == 2) {
+          std::vector<uint8_t> nl(64, 0);
+          memcpy(nl.data(), list.data(), list_d);
+          nl[list_d] = (uint8_t)c;
+          list = std::move(nl);
+          list_cap = 64;
+          list_d++;
+          kind = K2;
+        }
+        break;
+      }
+      case K2: {
+        int r = find_or_add(c);
+        if (r == 0) {
+          c6 = new Cx6();
+          c6->f0 = f0_cx6;
+          c6->create_from2(list.data(), list_d, c);
+          kind = K6;
+        } else if (r == 2) {
+          std::vector<uint8_t> nl(256, 0);
+          memcpy(nl.data(), list.data(), list_d);
+          nl[list_d] = (uint8_t)c;
+          list = std::move(nl);
+          list_cap = 256;
+          list_d++;
+          kind = K3;
+        }
+        break;
+      }
+      case K3: {
+        int r = find_or_add(c);
+        if (r == 0) {
+          c7 = new Cx7();
+          c7->create_from3(list.data(), list_d, c);
+          kind = K7;
+        }
+        break;
+      }
+      default:
+        break;  // unexpected (mirrors trace in reference)
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Entropy coder facades
+// ---------------------------------------------------------------------------
+
+constexpr int MSR_X = 256, MSR_Y = 256;
+constexpr int CXMAX = 4096, NCXMAX = 6;
+constexpr int CNTABSZ = 273;
+
+struct EntroRC {
+  RangeDecoder rc;
+  std::vector<uint32_t> cntab;  // 3*4096*273
+  uint32_t ptypetab[NCXMAX][7] = {};
+  uint32_t ntab[NCXMAX][257] = {};
+  uint32_t xxtab[257] = {};
+  uint32_t ntab2[257] = {};
+  uint32_t bttab[6] = {};
+  uint32_t sxytab[4][17] = {};
+  std::vector<uint32_t> mvtab0, mvtab1;
+
+  EntroRC() : cntab(3 * CXMAX * CNTABSZ, 0),
+              mvtab0(MSR_X * 2 + 1, 0), mvtab1(MSR_Y * 2 + 1, 0) {}
+
+  void preinit() {
+    for (int chan = 0; chan < 3; chan++)
+      for (int ctx = 0; ctx < CXMAX; ctx++)
+        cntab[(size_t)((chan << 12) + ctx) * CNTABSZ + 16] = 0;
+  }
+  void renew_i() {
+    for (int chan = 0; chan < 3; chan++)
+      for (int ctx = 0; ctx < CXMAX; ctx++) {
+        uint32_t* p = &cntab[(size_t)(chan * CXMAX + ctx) * CNTABSZ];
+        if (p[16] != 256) {
+          for (int i = 0; i < 256; i++) p[i + 17] = 1;
+          for (int i = 0; i < 16; i++) p[i] = 16;
+          p[16] = 256;
+        }
+      }
+    for (int n = 0; n < NCXMAX; n++) {
+      for (int i = 0; i < 256; i++) ntab[n][i] = 1;
+      ntab[n][256] = 256;
+      for (int i = 0; i < 6; i++) ptypetab[n][i] = 1;
+      ptypetab[n][6] = 6;
+    }
+    for (int i = 0; i < 256; i++) { xxtab[i] = 1; ntab2[i] = 1; }
+    xxtab[256] = 256; ntab2[256] = 256;
+    for (int i = 0; i < 5; i++) bttab[i] = 1;
+    bttab[5] = 5;
+    for (int c = 0; c < 4; c++) {
+      for (int i = 0; i < 16; i++) sxytab[c][i] = 1;
+      sxytab[c][16] = 16;
+    }
+    for (int i = 0; i < MSR_X * 2; i++) mvtab0[i] = 1;
+    mvtab0[MSR_X * 2] = MSR_X * 2;
+    for (int i = 0; i < MSR_Y * 2; i++) mvtab1[i] = 1;
+    mvtab1[MSR_Y * 2] = MSR_Y * 2;
+  }
+
+  void begin(const uint8_t* src, size_t n, size_t pos0) { rc.begin(src, n, pos0); }
+  int clr(int cxi) { return rc.decode_val_uni(&cntab[(size_t)cxi * CNTABSZ], 400); }
+  int nrun(int pt) { return rc.decode_val(ntab[pt], 256, 400); }
+  int ptype(int pt) { return rc.decode_val(ptypetab[pt], 6, 1000); }
+  int xx() { return rc.decode_val(xxtab, 256, 1); }
+  int bt() { return rc.decode_val(bttab, 5, 10); }
+  int bn() { return rc.decode_val(ntab2, 256, 20); }
+  int sxy(int n) { return rc.decode_val(sxytab[n], 16, 100); }
+  int mx() { return rc.decode_val(mvtab0.data(), MSR_X * 2, 100); }
+  int my() { return rc.decode_val(mvtab1.data(), MSR_Y * 2, 100); }
+};
+
+struct EntroANS {
+  Rans rans;
+  int n_dec = 0;
+  std::vector<Context> cntab;  // 3*4096
+  FixedCtx ntab[NCXMAX], ptypetab[6], xxtab, ntab2, bttab, sxytab[4], mvtab[2];
+
+  explicit EntroANS(int f0) : cntab(3 * CXMAX) {
+    for (auto& c : cntab) c.f0_cx6 = f0;
+    for (int i = 0; i < NCXMAX; i++) ntab[i].init(256);
+    for (int i = 0; i < 6; i++) ptypetab[i].init(6);
+    xxtab.init(256);
+    ntab2.init(256);
+    bttab.init(5);
+    for (int i = 0; i < 4; i++) sxytab[i].init(16);
+    for (int i = 0; i < 2; i++) mvtab[i].init(512);
+  }
+  void renew_i() {
+    for (auto& c : cntab) c.renew();
+    for (int i = 0; i < NCXMAX; i++) ntab[i].renew();
+    for (int i = 0; i < 6; i++) ptypetab[i].renew();
+    xxtab.renew();
+    ntab2.renew();
+    bttab.renew();
+    for (int i = 0; i < 4; i++) sxytab[i].renew();
+    for (int i = 0; i < 2; i++) mvtab[i].renew();
+  }
+  void begin(const uint8_t* src, size_t n, size_t pos0) {
+    rans.init(src, n, pos0);
+    n_dec = 0;
+  }
+  void tick() {
+    if (++n_dec == RANS_B) {
+      rans.reinit();
+      n_dec = 0;
+    }
+  }
+  int clr(int cxi) {
+    Context& dcx = cntab[cxi];
+    int c;
+    uint32_t f, cf;
+    if (dcx.decode(rans.dec_get(), &c, &f, &cf)) {
+      rans.dec_advance(cf, f);
+    } else {
+      c = rans.raw();
+      dcx.update(c);
+    }
+    tick();
+    return c;
+  }
+  bool dbool() {
+    uint32_t f = rans.dec_get();
+    bool flag = f >= (PROB_SCALE >> 1);
+    rans.dec_advance(flag ? (PROB_SCALE >> 1) : 0, PROB_SCALE >> 1);
+    tick();
+    return flag;
+  }
+  int fdec(FixedCtx& t) {
+    uint32_t f, cf;
+    int c = t.decode(rans.dec_get(), &f, &cf);
+    rans.dec_advance(cf, f);
+    tick();
+    return c;
+  }
+  int nrun(int pt) { return fdec(ntab[pt]); }
+  int ptype(int pt) { return fdec(ptypetab[pt]); }
+  int xx() { return fdec(xxtab); }
+  int bt() { return fdec(bttab); }
+  int bn() { return fdec(ntab2); }
+  int sxy(int n) { return fdec(sxytab[n]); }
+  int mx() { return fdec(mvtab[0]); }
+  int my() { return fdec(mvtab[1]); }
+};
+
+// ---------------------------------------------------------------------------
+// ScreenPressor decoder
+// ---------------------------------------------------------------------------
+
+struct SpDecoder {
+  int X, Y, bpp, sc_cxshift;
+  int nbx, nby;
+  std::vector<int32_t> bts;
+  // ping-pong frame buffers: buf[cur] = latest decoded frame; the other one
+  // holds the frame before it.  touched[] marks blocks painted by the latest
+  // frame so only stale blocks need copying (sparse-copy optimization over
+  // the reference's per-block copy loops, ScreenPressor.hx:376-380,469-473).
+  std::vector<uint32_t> buf0, buf1;
+  std::vector<uint8_t> touched;
+  int cur = 0;
+  bool has_prev = false, decoded_i = false, has_flat = false;
+  uint32_t last_flat = 0;
+  EntroRC* rc = nullptr;
+  EntroANS* ans = nullptr;
+  int cx = 0, cx1 = 0;
+  int insignificant_blocks = 0;
+
+  SpDecoder(int w, int h, int bits) : X(w), Y(h), bpp(bits) {
+    sc_cxshift = bits == 16 ? 0 : 2;
+    nbx = (w + 15) / 16;
+    nby = (h + 15) / 16;
+    bts.assign((size_t)nbx * nby, 0);
+    buf0.assign((size_t)w * h, 0);
+    buf1.assign((size_t)w * h, 0);
+    touched.assign((size_t)nbx * nby, 1);
+  }
+  uint32_t* latest() { return cur == 0 ? buf0.data() : buf1.data(); }
+  uint32_t* older() { return cur == 0 ? buf1.data() : buf0.data(); }
+  ~SpDecoder() { delete rc; delete ans; }
+
+  void preinit(int insign_lines) {
+    insignificant_blocks = nbx * ((insign_lines + 15) / 16);
+  }
+
+  bool init_entro(int version) {
+    if (version == 2) rc = new EntroRC();
+    else if (version == 3) { ans = new EntroANS(64); sc_cxshift = 2; }
+    else if (version == 4) { ans = new EntroANS(32); sc_cxshift = 2; }
+    else return false;
+    if (rc) rc->preinit();
+    return true;
+  }
+  void renew_i_tables() {
+    has_prev = false;
+    if (has_flat) return;
+    if (rc) rc->renew_i();
+    if (ans) ans->renew_i();
+  }
+  bool diff16() const { return rc != nullptr; }
+  void cx_consts(int* mask, int* s1, int* s) const {
+    if (bpp == 16 && diff16()) { *mask = 0xFF00; *s1 = 2; *s = 16; }
+    else { *mask = 0xFC00; *s1 = 4; *s = 18; }
+  }
+
+  int dec_clr(int cxi) { return rc ? rc->clr(cxi) : ans->clr(cxi); }
+  int dec_n(int pt) { return rc ? rc->nrun(pt) : ans->nrun(pt); }
+  int dec_p(int pt) { return rc ? rc->ptype(pt) : ans->ptype(pt); }
+  int dec_x() { return rc ? rc->xx() : ans->xx(); }
+  int dec_bt() { return rc ? rc->bt() : ans->bt(); }
+  int dec_bn() { return rc ? rc->bn() : ans->bn(); }
+  int dec_sxy(int n) { return rc ? rc->sxy(n) : ans->sxy(n); }
+  int dec_mx() { return rc ? rc->mx() : ans->mx(); }
+  int dec_my() { return rc ? rc->my() : ans->my(); }
+
+  uint32_t decode_rgb() {
+    int r = dec_clr(cx + cx1);
+    cx1 = (cx << 6) & 0xFC0; cx = r >> sc_cxshift;
+    int g = dec_clr(4096 + cx + cx1);
+    cx1 = (cx << 6) & 0xFC0; cx = g >> sc_cxshift;
+    int b = dec_clr(2 * 4096 + cx + cx1);
+    cx1 = (cx << 6) & 0xFC0; cx = b >> sc_cxshift;
+    return ((uint32_t)b << 16) | ((uint32_t)g << 8) | (uint32_t)r;
+  }
+
+  static uint32_t grad(uint32_t L, uint32_t U1, uint32_t U0) {
+    uint32_t r = ((L & 0xFF) + (U1 & 0xFF) - (U0 & 0xFF)) & 0xFF;
+    uint32_t g = (((L >> 8) & 0xFF) + ((U1 >> 8) & 0xFF) - ((U0 >> 8) & 0xFF)) & 0xFF;
+    uint32_t b = (((L >> 16) & 0xFF) + ((U1 >> 16) & 0xFF) - ((U0 >> 16) & 0xFF)) & 0xFF;
+    return (b << 16) | (g << 8) | r;
+  }
+
+  // returns 0 ok, -1 error; dst size X*Y
+  int decompress_i(const uint8_t* src, size_t len, uint32_t* dst) {
+    if (len == 0) return -1;
+    int head = src[0];
+    int version = (head >> 4) + 1;
+    size_t end = (size_t)X * Y;
+    if ((head & 0xF) == 1) {  // flat
+      if (!rc && !ans && !init_entro(version)) return -1;
+      renew_i_tables();
+      uint32_t clr;
+      if (bpp == 16) {
+        uint32_t c16 = src[0] + (len > 1 ? src[1] : 0) * 256;
+        uint32_t b = (c16 & 0x1F) << 3, g = ((c16 >> 5) & 0x1F) << 3,
+                 r = ((c16 >> 10) & 0x1F) << 3;
+        clr = (r << 16) | (g << 8) | b;
+      } else {
+        uint32_t b = len > 1 ? src[1] : 0, g = len > 2 ? src[2] : 0,
+                 r = len > 3 ? src[3] : 0;
+        clr = (r << 16) | (g << 8) | b;
+      }
+      uint32_t* d = older();
+      for (size_t i = 0; i < end; i++) d[i] = clr;
+      cur ^= 1;
+      std::fill(touched.begin(), touched.end(), 1);
+      if (dst) memcpy(dst, d, end * 4);
+      has_prev = true;
+      has_flat = true;
+      last_flat = clr;
+      decoded_i = true;
+      return 0;
+    }
+    has_flat = false;
+    if ((head & 0xF) != 2) return -1;
+    if (!rc && !ans && !init_entro(version)) return -1;
+    renew_i_tables();
+    if (rc) rc->begin(src, len, 1);
+    else ans->begin(src, len, 1);
+
+    cx = cx1 = 0;
+    uint32_t* d = older();
+    size_t di = 0, lasti = 0;
+    uint32_t clr = 0;
+    int k = 0;
+    while (k < X + 1) {
+      clr = decode_rgb();
+      int n = dec_n(0);
+      k += n;
+      for (int i = 0; i < n && di < end; i++) d[di++] = clr;
+      lasti = di ? di - 1 : 0;
+    }
+    int maskcx1, shiftcx1, shiftcx;
+    cx_consts(&maskcx1, &shiftcx1, &shiftcx);
+    long off = -(long)X - 1;
+    int pt = 0;
+    while (di < end) {
+      pt = dec_p(pt);
+      if (pt == 0) clr = decode_rgb();
+      int n = dec_n(pt);
+      switch (pt) {
+        case 0:
+          for (int i = 0; i < n && di < end; i++) d[di++] = clr;
+          lasti = di - 1;
+          break;
+        case 1:
+          for (int i = 0; i < n && di < end; i++) {
+            d[di] = d[lasti];
+            lasti = di;
+            di++;
+          }
+          clr = d[lasti];
+          break;
+        case 2:
+          for (int i = 0; i < n && di < end; i++) {
+            clr = d[di + off + 1];
+            d[di++] = clr;
+          }
+          lasti = di - 1;
+          break;
+        case 4:
+          for (int i = 0; i < n && di < end; i++) {
+            clr = grad(d[lasti], d[di + off + 1], d[di + off]);
+            d[di] = clr;
+            lasti = di;
+            di++;
+          }
+          break;
+        case 5:
+          for (int i = 0; i < n && di < end; i++) {
+            clr = d[di + off];
+            d[di++] = clr;
+          }
+          lasti = di - 1;
+          break;
+        default:
+          break;  // ptype 3 in I-frame: no-op (reference switch has no case)
+      }
+      cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
+      cx = (int)(clr >> shiftcx);
+    }
+    cur ^= 1;
+    std::fill(touched.begin(), touched.end(), 1);
+    if (dst) memcpy(dst, d, end * 4);
+    has_prev = true;
+    decoded_i = true;
+    return 0;
+  }
+
+  // returns: 0 decoded-new, 1 no-change; signif out; optional capture arrays
+  int decompress_p(const uint8_t* src, size_t len, uint32_t* dst, int* signif,
+                   int32_t* cap_bts, int32_t* cap_mv, int32_t* cap_rect) {
+    has_flat = false;
+    *signif = 0;
+    size_t nb = (size_t)nbx * nby;
+    if (cap_bts) memset(cap_bts, 0, nb * 4);
+    if (cap_mv) memset(cap_mv, 0, nb * 8);
+    if (cap_rect) memset(cap_rect, 0, nb * 16);
+    if (len == 0 || !decoded_i || src[0] == 0) return 1;
+
+    int maskcx1, shiftcx1, shiftcx;
+    cx_consts(&maskcx1, &shiftcx1, &shiftcx);
+    if (rc) rc->begin(src, len, 1);
+    else ans->begin(src, len, 1);
+
+    int t = dec_x();
+    int xx1 = (dec_x() << 8) + t;
+    t = dec_x();
+    int xx2 = (dec_x() << 8) + t;
+
+    std::fill(bts.begin(), bts.end(), 0);
+    int x = xx1;
+    while (x <= xx2) {
+      int block_type = dec_bt();
+      int n = dec_bn();
+      for (int i = 0; i < n && x < (int)nb; i++) bts[x++] = block_type;
+      if (n == 0) break;  // malformed stream guard
+    }
+
+    for (size_t i = insignificant_blocks; i < nb; i++)
+      if (bts[i] > 0) { *signif = 1; break; }
+    if (cap_bts)
+      for (size_t i = 0; i < nb; i++) cap_bts[i] = bts[i];
+
+    size_t end = (size_t)X * Y;
+    uint32_t* d = older();       // becomes the new frame
+    uint32_t* pv = latest();     // previous frame
+    // Sparse pre-copy: a block needs prev content in d unless it is fully
+    // painted this frame (bts 1 data / 3 motion); and only if the previous
+    // frame actually changed it (touched), since d otherwise already holds
+    // identical t-2 content.
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        size_t bi = (size_t)by * nbx + bx;
+        int bt = bts[bi];
+        if ((bt == 1 || bt == 3) || !touched[bi]) continue;
+        int cx1b = bx * 16, cx2b = cx1b + 16 > X ? X : cx1b + 16;
+        int cy1b = by * 16, cy2b = cy1b + 16 > Y ? Y : cy1b + 16;
+        for (int y = cy1b; y < cy2b; y++)
+          memcpy(&d[(size_t)y * X + cx1b], &pv[(size_t)y * X + cx1b],
+                 (size_t)(cx2b - cx1b) * 4);
+      }
+    int stride = X;
+    long off = -(long)X - 1;
+    cx = cx1 = 0;
+    uint32_t clr = 0;
+    int lastmx = 0, lastmy = 0;
+    bool bools = (ans != nullptr);
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        size_t bi = (size_t)by * nbx + bx;
+        if (bts[bi] <= 0) continue;
+        int x16 = bx * 16, y16 = by * 16;
+        int x1 = x16, x2 = x16 + 16 > X ? X : x16 + 16;
+        int y1 = y16, y2 = y16 + 16 > Y ? Y : y16 + 16;
+        if ((bts[bi] - 1) & 1) {  // subrect
+          x1 = dec_sxy(0) + x16;
+          y1 = dec_sxy(1) + y16;
+          x2 = dec_sxy(2) + x16 + 1;
+          y2 = dec_sxy(3) + y16 + 1;
+        }
+        if (cap_rect) {
+          cap_rect[bi * 4 + 0] = x1;
+          cap_rect[bi * 4 + 1] = y1;
+          cap_rect[bi * 4 + 2] = x2;
+          cap_rect[bi * 4 + 3] = y2;
+        }
+        if ((bts[bi] - 1) & 2) {  // motion
+          int mx, my;
+          if (bools && ans->dbool()) {
+            mx = lastmx; my = lastmy;
+          } else {
+            mx = dec_mx() - MSR_X;
+            my = dec_my() - MSR_Y;
+          }
+          lastmx = mx; lastmy = my;
+          if (cap_mv) {
+            cap_mv[bi * 2] = mx;
+            cap_mv[bi * 2 + 1] = my;
+          }
+          if (y1 + my < 0 || y2 + my > Y || x1 + mx < 0 || x2 + mx > X)
+            return -1;  // invalid stream
+          for (int y = y1; y < y2; y++) {
+            size_t i = (size_t)y * stride + x1;
+            size_t j = (size_t)(y + my) * stride + (x1 + mx);
+            memcpy(&d[i], &pv[j], (size_t)(x2 - x1) * 4);
+          }
+        } else {  // data
+          int xx = x1, yy = y1;
+          int pt = 0;
+          while (yy < y2) {
+            size_t i = (size_t)yy * stride + xx;
+            size_t di = i;
+            pt = dec_p(pt);
+            if (pt == 0) clr = decode_rgb();
+            int n = dec_n(pt);
+            for (int c = 0; c < n; c++) {
+              switch (pt) {
+                case 1: clr = d[di - 1]; break;
+                case 2: clr = d[di + off + 1]; break;
+                case 3: clr = pv[i]; break;
+                case 4: clr = grad(d[di - 1], d[di + off + 1], d[di + off]); break;
+                case 5: clr = d[di + off]; break;
+                default: break;
+              }
+              d[di] = clr;
+              xx++;
+              if (xx >= x2) {
+                xx = x1;
+                yy++;
+                if (yy >= y2 && c < n - 1) {
+                  // run exceeds rect: keep consuming per reference semantics
+                }
+                i = (size_t)yy * stride + xx;
+                di = i;
+                if (yy >= y2) { c = n; break; }
+              } else {
+                i++; di++;
+              }
+            }
+            cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
+            cx = (int)(clr >> shiftcx);
+          }
+        }
+      }
+    for (size_t i = 0; i < nb; i++) touched[i] = bts[i] > 0 ? 1 : 0;
+    cur ^= 1;
+    if (dst) memcpy(dst, d, end * 4);
+    return 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// MSVideo1 command parser (block opcode stream → dense commands)
+// ---------------------------------------------------------------------------
+
+int msv1_parse(const uint8_t* src, size_t len, int X, int Y,
+               const uint32_t* pal /*null = 16-bit*/, uint8_t* btype,
+               uint8_t* sel, uint32_t* colors) {
+  int nbx = X >> 2, nby = Y >> 2;
+  size_t nb = (size_t)nbx * nby;
+  memset(btype, 0, nb);
+  memset(sel, 0, nb * 16);
+  memset(colors, 0, nb * 32);
+  int changes = 0;
+  if (len == 0) return 0;
+  size_t si = 0;
+  bool is8 = pal != nullptr;
+  size_t bi = 0;
+  int skip = 0;
+  auto rgb15 = [](uint32_t c) {
+    return ((c & 0x1F) << 3) | ((c & 0x3E0) << 6) | ((c & 0x7C00) << 9);
+  };
+  while (bi < nb) {
+    if (skip) {
+      size_t take = (size_t)skip < nb - bi ? (size_t)skip : nb - bi;
+      skip -= (int)take;
+      bi += take;
+      continue;
+    }
+    if (si + 2 > len) break;
+    int a = src[si], b = src[si + 1];
+    si += 2;
+    if (is8 && a + b == 0) break;
+    if ((b & 0xFC) == 0x84) {
+      skip = ((b - 0x84) << 8) + a;
+      continue;
+    }
+    if (b < 0x80) {
+      if (is8) {
+        if (si + 2 > len) break;
+        int flags = (b << 8) + a;
+        uint32_t c1 = pal[src[si]], c0 = pal[src[si + 1]];
+        si += 2;
+        colors[bi * 8 + 0] = c0;
+        colors[bi * 8 + 1] = c1;
+        for (int k = 0; k < 16; k++) sel[bi * 16 + k] = (flags >> k) & 1;
+      } else {
+        if (si + 4 > len) break;
+        int flags = ((b << 8) + a) ^ 0xFFFF;
+        uint32_t clr0 = src[si] | ((uint32_t)src[si + 1] << 8);
+        uint32_t c1v = src[si + 2] | ((uint32_t)src[si + 3] << 8);
+        si += 4;
+        if (clr0 & 0x8000) {
+          if (si + 12 > len) break;
+          colors[bi * 8 + 0] = rgb15(clr0);
+          colors[bi * 8 + 1] = rgb15(c1v);
+          for (int k = 2; k < 8; k++) {
+            colors[bi * 8 + k] = rgb15(src[si] | ((uint32_t)src[si + 1] << 8));
+            si += 2;
+          }
+          for (int k = 0; k < 16; k++) {
+            int y = k >> 2, xq = k & 3;
+            sel[bi * 16 + k] =
+                (uint8_t)((((y & 2) << 1) + (xq & 2)) + ((flags >> k) & 1));
+          }
+        } else {
+          colors[bi * 8 + 0] = rgb15(clr0);
+          colors[bi * 8 + 1] = rgb15(c1v);
+          for (int k = 0; k < 16; k++) sel[bi * 16 + k] = (flags >> k) & 1;
+        }
+      }
+      btype[bi] = 1;
+      changes = 1;
+    } else if (is8 && b >= 0x90) {
+      if (si + 8 > len) break;
+      int flags = ((b << 8) + a) ^ 0xFFFF;
+      for (int k = 0; k < 8; k++) colors[bi * 8 + k] = pal[src[si + k]];
+      si += 8;
+      for (int k = 0; k < 16; k++) {
+        int y = k >> 2, xq = k & 3;
+        sel[bi * 16 + k] =
+            (uint8_t)((((y & 2) << 1) + (xq & 2)) + ((flags >> k) & 1));
+      }
+      btype[bi] = 1;
+      changes = 1;
+    } else {
+      colors[bi * 8] = is8 ? pal[a] : rgb15((uint32_t)((b << 8) + a));
+      btype[bi] = 1;
+      changes = 1;
+    }
+    bi++;
+  }
+  return changes;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* sp_create(int width, int height, int bpp) {
+  return new SpDecoder(width, height, bpp);
+}
+void sp_destroy(void* p) { delete (SpDecoder*)p; }
+void sp_preinit(void* p, int insign_lines) {
+  ((SpDecoder*)p)->preinit(insign_lines);
+}
+int sp_is_key_frame(const uint8_t* src, long len) {
+  if (len == 0) return 0;
+  uint8_t b = src[0];
+  return (b == 0x12 || b == 0x11 || b == 0x22 || b == 0x21 || b == 0x32 ||
+          b == 0x31)
+             ? 1
+             : 0;
+}
+// returns 0 ok / 1 no-change / -1 error
+int sp_decompress(void* p, const uint8_t* src, long len, int is_key,
+                  uint32_t* dst, int* signif, int32_t* cap_bts,
+                  int32_t* cap_mv, int32_t* cap_rect) {
+  SpDecoder* d = (SpDecoder*)p;
+  if (is_key) {
+    int r = d->decompress_i(src, (size_t)len, dst);
+    *signif = 0;
+    if (cap_bts) {
+      size_t nb = (size_t)d->nbx * d->nby;
+      for (size_t i = 0; i < nb; i++) cap_bts[i] = 1;
+      if (cap_mv) memset(cap_mv, 0, nb * 8);
+      if (cap_rect)
+        for (int by = 0; by < d->nby; by++)
+          for (int bx = 0; bx < d->nbx; bx++) {
+            size_t bi = (size_t)by * d->nbx + bx;
+            cap_rect[bi * 4 + 0] = bx * 16;
+            cap_rect[bi * 4 + 1] = by * 16;
+            cap_rect[bi * 4 + 2] = bx * 16 + 16 > d->X ? d->X : bx * 16 + 16;
+            cap_rect[bi * 4 + 3] = by * 16 + 16 > d->Y ? d->Y : by * 16 + 16;
+          }
+    }
+    return r;
+  }
+  return d->decompress_p(src, (size_t)len, dst, signif, cap_bts, cap_mv,
+                         cap_rect);
+}
+const uint32_t* sp_prev_frame(void* p, int* has) {
+  SpDecoder* d = (SpDecoder*)p;
+  *has = d->has_prev ? 1 : 0;
+  return d->latest();
+}
+
+int msv1_parse_commands(const uint8_t* src, long len, int X, int Y,
+                        const uint32_t* pal, uint8_t* btype, uint8_t* sel,
+                        uint32_t* colors) {
+  return msv1_parse(src, (size_t)len, X, Y, pal, btype, sel, colors);
+}
+
+}  // extern "C"

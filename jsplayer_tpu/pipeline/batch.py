@@ -79,7 +79,25 @@ def stack_sp_commands(
     rect = np.zeros((B, T_total, nb, 4), dtype=np.int32)
     payload = np.zeros((B, T_total, Y, X), dtype=np.uint32)
     changed = np.zeros((B, T_total), dtype=bool)
+    from .. import native as _native
+
+    use_native = _native.available()
     for b, frames in enumerate(streams):
+        if use_native:
+            ndec = _native.NativeScreenPressor(X, Y, bpp)
+            ndec.preinit(insignificant_lines)
+            for t, src in enumerate(frames):
+                isk = ndec.is_key_frame(src)
+                view, _sig, cap = ndec.decompress(src, isk, capture=True,
+                                                  copy=False)
+                bts[b, t] = cap["bts"]
+                mv[b, t] = cap["mv"]
+                rect[b, t] = cap["rect"]
+                changed[b, t] = cap["changed"]
+                if view is None:
+                    view = ndec.latest_view()
+                payload[b, t] = np.asarray(view).reshape(Y, X)
+            continue
         dec = ScreenPressor(X, Y, bpp)
         dec.preinit(insignificant_lines)
         for t, src in enumerate(frames):

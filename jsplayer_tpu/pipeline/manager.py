@@ -59,9 +59,17 @@ class BufferState:
     last: int = -1
 
 
-def make_decoder(vi: VideoInfo) -> VideoCodec:
-    # Manager.video_info_cb codec select (Manager.hx:105-111)
+def make_decoder(vi: VideoInfo, prefer_native: bool = True) -> VideoCodec:
+    # Manager.video_info_cb codec select (Manager.hx:105-111); the native C++
+    # decoder is used when built (bit-exact twin, ~10x faster host decode)
     if vi.codec == CodecType.SCREENPRESSOR:
+        if prefer_native:
+            from .. import native as _native
+
+            if _native.available():
+                from ..codecs.native_sp import NativeScreenPressorCodec
+
+                return NativeScreenPressorCodec(vi.width, vi.height, vi.bpp)
         return ScreenPressor(vi.width, vi.height, vi.bpp)
     if vi.codec == CodecType.MSVC16:
         return MSVideo1_16bit(vi.width, vi.height)

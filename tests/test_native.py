@@ -1,0 +1,115 @@
+"""Native (C++) decoder vs Python oracle: bit-exact parity for ScreenPressor
+v2/v3/v4 decode, command capture, and the MSVideo1 command parser."""
+
+import numpy as np
+import pytest
+
+from jsplayer_tpu import native
+from jsplayer_tpu.codecs.msvideo1 import parse_commands
+from jsplayer_tpu.codecs.screenpressor import ScreenPressor
+from jsplayer_tpu.encode.msv1_enc import random_stream_8, random_stream_16
+from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+X, Y = 64, 48
+NPIX = X * Y
+
+
+def build_sp_streams(version, seed, nframes=10):
+    rng = np.random.default_rng(seed)
+    enc = ScreenPressorEncoder(version, X, Y)
+    f = np.full((Y, X), pack_rgb(7, 7, 7), dtype=np.uint32)
+    f[4:9, 4:9] = pack_rgb(1, 2, 3)
+    f = f.reshape(-1)
+    streams = [enc.encode_i(f)]
+    for t in range(nframes - 1):
+        nf = f.copy().reshape(Y, X)
+        mode = t % 5
+        if mode == 0:
+            nf[2:, :] = nf[:-2, :].copy()  # scroll → motion
+        elif mode == 1:
+            nf[10:14, 40:60] = pack_rgb(*rng.integers(0, 256, 3))  # subrect
+        elif mode == 2:
+            pass  # unchanged
+        elif mode == 3:
+            nf[:, :] = rng.integers(0, 1 << 24, (Y, X), dtype=np.uint32) \
+                if t == 3 else nf  # noise (raw escapes) once
+        else:
+            nf[20:36, 0:32] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        if t == 5:
+            streams.append(enc.encode_i(f))  # mid-sequence I (renew)
+        else:
+            streams.append(enc.encode_p(f))
+    return streams
+
+
+@pytest.mark.parametrize("version", [2, 3, 4])
+def test_sp_native_oracle_parity(version):
+    streams = build_sp_streams(version, 100 + version)
+    nat = native.NativeScreenPressor(X, Y, 24)
+    nat.preinit(8)
+    orc = ScreenPressor(X, Y, 24)
+    orc.preinit(8)
+    prev_native = None
+    for t, s in enumerate(streams):
+        isk = nat.is_key_frame(s)
+        assert isk == orc.is_key_frame(s)
+        cap_o: dict = {}
+        orc.capture = cap_o
+        dst = np.zeros(NPIX, dtype=np.uint32)
+        if isk:
+            orc.decompress_i(s, dst)
+            ofr, osig = dst, None
+        else:
+            res = orc.decompress_p(s, dst)
+            ofr, osig = res.data, res.significant_changes
+        fr, sig, cap_n = nat.decompress(s, isk, capture=True)
+        got = fr if fr is not None else prev_native
+        np.testing.assert_array_equal(got, ofr, err_msg=f"v{version} frame {t}")
+        if osig is not None:
+            assert sig == osig
+        # command capture parity
+        np.testing.assert_array_equal(cap_n["bts"], cap_o["bts"])
+        np.testing.assert_array_equal(cap_n["mv"], cap_o["mv"])
+        np.testing.assert_array_equal(cap_n["rect"], cap_o["rect"])
+        assert cap_n["changed"] == cap_o["changed"]
+        prev_native = np.array(got, copy=True)
+
+
+def test_sp_native_zero_copy_view():
+    streams = build_sp_streams(4, 7, nframes=4)
+    nat = native.NativeScreenPressor(X, Y, 24)
+    nat.preinit(0)
+    c = native.NativeScreenPressor(X, Y, 24)
+    c.preinit(0)
+    for s in streams:
+        isk = nat.is_key_frame(s)
+        v, _, _ = nat.decompress(s, isk, copy=False)
+        w, _, _ = c.decompress(s, isk, copy=True)
+        if v is None:
+            v = nat.latest_view()
+        if w is None:
+            w = c.latest_view()
+        np.testing.assert_array_equal(np.asarray(v), w)
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msv1_parse_native_parity(bits, seed):
+    rng = np.random.default_rng(seed)
+    pal = (rng.integers(0, 2 ** 32, 256, dtype=np.uint64).astype(np.uint32)
+           if bits == 8 else None)
+    for trial in range(4):
+        if bits == 16:
+            src = random_stream_16(rng, X, Y, allow_skip=trial > 0)
+        else:
+            src = random_stream_8(rng, X, Y, allow_skip=trial > 0)
+        bt_p, sel_p, col_p, chg_p = parse_commands(src, X, Y, pal=pal)
+        bt_n, sel_n, col_n, chg_n = native.native_msv1_parse(src, X, Y, pal=pal)
+        np.testing.assert_array_equal(bt_n, bt_p)
+        np.testing.assert_array_equal(sel_n, sel_p)
+        np.testing.assert_array_equal(col_n, col_p)
+        assert chg_n == chg_p
