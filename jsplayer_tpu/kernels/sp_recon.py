@@ -119,3 +119,101 @@ def decode_batch(
     return jax.vmap(_scan_decode, in_axes=(0, 0, 0, 0, 0, 0, None))(
         init_frames, bts, mv, rect, payload, changed, insignificant_blocks
     )
+
+
+# ---------------------------------------------------------------------------
+# K-distinct-motion-vector compose (gather-free XLA path)
+# ---------------------------------------------------------------------------
+#
+# Screen content typically reuses one or two motion vectors per frame (the
+# reference encodes a repeat-last-vector flag for exactly this reason,
+# ScreenPressor.hx:392-394).  The host groups full-block motion commands by
+# distinct vector into K slots (overflow blocks are demoted to data blocks —
+# the payload always carries the decoded pixels); the device then composes
+# with K structured rolls + selects, no arbitrary gather anywhere.
+
+def derive_kmv_commands(bts, mv, rect, K: int = 4):
+    """numpy host step: [T,...] commands → (mvk [T,K,2], group [T,NB] int32
+    in [-1, K), data_mask_extra: blocks demoted to data).  group == -1 means
+    not motion."""
+    import numpy as _np
+
+    T, NB = bts.shape
+    mvk = _np.zeros((T, K, 2), dtype=_np.int32)
+    group = _np.full((T, NB), -1, dtype=_np.int32)
+    demoted = _np.zeros((T, NB), dtype=bool)
+    for t in range(T):
+        motion = _np.nonzero(bts[t] == 3)[0]
+        if motion.size == 0:
+            continue
+        vecs, inv, counts = _np.unique(
+            mv[t, motion], axis=0, return_inverse=True, return_counts=True)
+        order = _np.argsort(-counts)[:K]
+        remap = _np.full(len(vecs), -1, dtype=_np.int32)
+        for slot, vi in enumerate(order):
+            remap[vi] = slot
+            mvk[t, slot] = vecs[vi]
+        g = remap[inv]
+        group[t, motion] = g
+        demoted[t, motion[g < 0]] = True
+    return mvk, group, demoted
+
+
+def compose_frame_kmv(prev, payload, data_mask, group_pix, mvk):
+    """Device compose: data_mask/group_pix are per-pixel maps (from
+    block_broadcast); mvk [K,2]."""
+    out = jnp.where(data_mask, payload, prev)
+    K = mvk.shape[0]
+    for k in range(K):
+        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
+        out = jnp.where(group_pix == k, shifted, out)
+    return out
+
+
+def _scan_decode_kmv(init_frame, paycode, group_pix, mvk, changed):
+    """paycode packs payload|data_mask<<24 (pixels are 24-bit); group_pix is
+    the per-pixel motion-slot map; signif computed by the host."""
+
+    def step(prev, inp):
+        pc, gp, mk, chg = inp
+        data_mask = (pc >> 24) > 0
+        payload = pc & jnp.uint32(0x00FFFFFF)
+        composed = compose_frame_kmv(prev, payload, data_mask, gp, mk)
+        out = jnp.where(chg, composed, prev)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init_frame,
+                             (paycode, group_pix, mvk, changed))
+    return frames
+
+
+def prepare_kmv(bts, mv, rect, payload, K: int = 4):
+    """Host prep (numpy): → (paycode [T,Y,X] u32, group_pix [T,Y,X] i32,
+    mvk [T,K,2]).  Demoted-motion and subrect/data blocks all read from
+    payload; rect masks applied here so the device step is select-only."""
+    import numpy as _np
+
+    T, NB = bts.shape
+    Y, X = payload.shape[-2:]
+    nby, nbx = Y // 16, X // 16
+    mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
+    yy, xx = _np.mgrid[0:Y, 0:X]
+    bi = (yy >> 4) * nbx + (xx >> 4)
+    out_pc = _np.empty((T, Y, X), dtype=_np.uint32)
+    out_gp = _np.empty((T, Y, X), dtype=_np.int32)
+    for t in range(T):
+        b = bts[t][bi]
+        r = rect[t][bi]
+        in_rect = ((xx >= r[..., 0]) & (xx < r[..., 2])
+                   & (yy >= r[..., 1]) & (yy < r[..., 3]))
+        is_data = (b > 0) & (b != 3) & in_rect
+        is_data |= demoted[t][bi]
+        gp = _np.where(demoted[t][bi], -1, group[t][bi])
+        out_pc[t] = (payload[t] & 0x00FFFFFF) | (is_data.astype(_np.uint32) << 24)
+        out_gp[t] = gp
+    return out_pc, out_gp, mvk
+
+
+@jax.jit
+def decode_sequence_kmv(init_frame, paycode, group_pix, mvk, changed):
+    return _scan_decode_kmv(init_frame, paycode, group_pix, mvk, changed)

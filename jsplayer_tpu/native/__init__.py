@@ -65,6 +65,16 @@ def load() -> Optional[ctypes.CDLL]:
     lib.sp_prev_frame.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.sp_prev_frame.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int)]
+    lib.sp_decode_streams.restype = ctypes.c_int
+    lib.sp_decode_streams.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     lib.msv1_parse_commands.restype = ctypes.c_int
     lib.msv1_parse_commands.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -162,3 +172,53 @@ def native_msv1_parse(src: bytes, X: int, Y: int,
         colors.ctypes.data_as(ctypes.c_void_p),
     )
     return btype, sel, colors, bool(changes)
+
+
+def native_sp_decode_streams(streams, width, height, bpp=24,
+                             insignificant_lines=0, nthreads=0):
+    """Parallel multi-stream SP decode → command stacks + payload planes.
+
+    streams: list of lists of frame bytes (equal frame counts).
+    → dict(bts [B,T,NB] i32, mv [B,T,NB,2], rect [B,T,NB,4],
+           payload [B,T,Y,X] u32, changed [B,T] bool, signif [B,T] bool).
+    """
+    import os as _os
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    B = len(streams)
+    T = len(streams[0])
+    assert all(len(s) == T for s in streams)
+    blob = bytearray()
+    offsets = np.zeros(B * T, dtype=np.int64)
+    lengths = np.zeros(B * T, dtype=np.int64)
+    for b, frames in enumerate(streams):
+        for t, fr in enumerate(frames):
+            offsets[b * T + t] = len(blob)
+            lengths[b * T + t] = len(fr)
+            blob += fr
+    nbx, nby = (width + 15) // 16, (height + 15) // 16
+    nb = nbx * nby
+    payload = np.zeros((B, T, height, width), dtype=np.uint32)
+    bts = np.zeros((B, T, nb), dtype=np.int32)
+    mv = np.zeros((B, T, nb, 2), dtype=np.int32)
+    rect = np.zeros((B, T, nb, 4), dtype=np.int32)
+    changed = np.zeros((B, T), dtype=np.uint8)
+    signif = np.zeros((B, T), dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(B, _os.cpu_count() or 1)
+    errors = lib.sp_decode_streams(
+        B, T, width, height, bpp, bytes(blob), offsets, lengths,
+        insignificant_lines,
+        payload.ctypes.data_as(ctypes.c_void_p),
+        bts.ctypes.data_as(ctypes.c_void_p),
+        mv.ctypes.data_as(ctypes.c_void_p),
+        rect.ctypes.data_as(ctypes.c_void_p),
+        changed.ctypes.data_as(ctypes.c_void_p),
+        signif.ctypes.data_as(ctypes.c_void_p),
+        nthreads,
+    )
+    return dict(bts=bts, mv=mv, rect=rect, payload=payload,
+                changed=changed.astype(bool), signif=signif.astype(bool),
+                errors=errors)

@@ -17,6 +17,8 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <thread>
+#include <atomic>
 
 namespace {
 
@@ -1409,6 +1411,83 @@ int msv1_parse_commands(const uint8_t* src, long len, int X, int Y,
                         const uint32_t* pal, uint8_t* btype, uint8_t* sel,
                         uint32_t* colors) {
   return msv1_parse(src, (size_t)len, X, Y, pal, btype, sel, colors);
+}
+
+// Parallel multi-stream batch decode: nstreams independent streams, each
+// frames_per_stream frames; frame f of stream b is blob[offsets[b*F+f] ..
+// +lengths[b*F+f]].  Outputs per frame: payload plane, commands (bts/mv/
+// rect), changed + signif flags.  Streams decode in parallel on a thread
+// pool — the host-side DP axis (SURVEY.md §2).
+int sp_decode_streams(int nstreams, int frames_per_stream, int width,
+                      int height, int bpp, const uint8_t* blob,
+                      const long* offsets, const long* lengths,
+                      int insign_lines, uint32_t* payloads, int32_t* bts,
+                      int32_t* mv, int32_t* rect, uint8_t* changed,
+                      uint8_t* signif, int nthreads) {
+  const size_t npix = (size_t)width * height;
+  const size_t nb =
+      (size_t)((width + 15) / 16) * (size_t)((height + 15) / 16);
+  std::atomic<int> next{0};
+  std::atomic<int> errors{0};
+  auto work = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= nstreams) return;
+      SpDecoder dec(width, height, bpp);
+      dec.preinit(insign_lines);
+      for (int f = 0; f < frames_per_stream; f++) {
+        size_t fi = (size_t)b * frames_per_stream + f;
+        const uint8_t* src = blob + offsets[fi];
+        long len = lengths[fi];
+        int is_key = sp_is_key_frame(src, len);
+        int sg = 0;
+        int r;
+        if (is_key) {
+          r = dec.decompress_i(src, (size_t)len, nullptr);
+          if (r == 0) {
+            for (size_t i = 0; i < nb; i++) bts[fi * nb + i] = 1;
+            memset(&mv[fi * nb * 2], 0, nb * 8);
+            for (int by = 0; by < dec.nby; by++)
+              for (int bx = 0; bx < dec.nbx; bx++) {
+                size_t bi = (size_t)by * dec.nbx + bx;
+                int32_t* rr = &rect[(fi * nb + bi) * 4];
+                rr[0] = bx * 16;
+                rr[1] = by * 16;
+                rr[2] = bx * 16 + 16 > width ? width : bx * 16 + 16;
+                rr[3] = by * 16 + 16 > height ? height : by * 16 + 16;
+              }
+          }
+        } else {
+          r = dec.decompress_p(src, (size_t)len, nullptr, &sg,
+                               &bts[fi * nb], &mv[fi * nb * 2],
+                               &rect[fi * nb * 4]);
+        }
+        if (r == -1) {
+          errors.fetch_add(1);
+          changed[fi] = 0;
+          signif[fi] = 0;
+          // quarantine: keep the last good frame for the rest of the stream
+          for (int g = f; g < frames_per_stream; g++) {
+            size_t gi = (size_t)b * frames_per_stream + g;
+            changed[gi] = 0;
+            signif[gi] = 0;
+            memcpy(&payloads[gi * npix], dec.latest(), npix * 4);
+          }
+          break;
+        }
+        changed[fi] = r == 0 ? 1 : 0;
+        signif[fi] = (uint8_t)sg;
+        memcpy(&payloads[fi * npix], dec.latest(), npix * 4);
+      }
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > nstreams) nt = nstreams;
+  std::vector<std::thread> pool;
+  for (int i = 1; i < nt; i++) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return errors.load();
 }
 
 }  // extern "C"

@@ -81,23 +81,16 @@ def stack_sp_commands(
     changed = np.zeros((B, T_total), dtype=bool)
     from .. import native as _native
 
-    use_native = _native.available()
+    if _native.available():
+        # one parallel native call decodes all streams (thread pool = the
+        # host-side DP axis)
+        got = _native.native_sp_decode_streams(
+            streams, X, Y, bpp=bpp, insignificant_lines=insignificant_lines)
+        rs = lambda a: a.reshape(B, gops, Tg, *a.shape[2:])
+        return dict(bts=rs(got["bts"]), mv=rs(got["mv"]), rect=rs(got["rect"]),
+                    payload=rs(got["payload"]), changed=rs(got["changed"]))
+
     for b, frames in enumerate(streams):
-        if use_native:
-            ndec = _native.NativeScreenPressor(X, Y, bpp)
-            ndec.preinit(insignificant_lines)
-            for t, src in enumerate(frames):
-                isk = ndec.is_key_frame(src)
-                view, _sig, cap = ndec.decompress(src, isk, capture=True,
-                                                  copy=False)
-                bts[b, t] = cap["bts"]
-                mv[b, t] = cap["mv"]
-                rect[b, t] = cap["rect"]
-                changed[b, t] = cap["changed"]
-                if view is None:
-                    view = ndec.latest_view()
-                payload[b, t] = np.asarray(view).reshape(Y, X)
-            continue
         dec = ScreenPressor(X, Y, bpp)
         dec.preinit(insignificant_lines)
         for t, src in enumerate(frames):
