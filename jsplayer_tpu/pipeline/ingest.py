@@ -1,0 +1,197 @@
+"""End-to-end batched video ingestion: AVI sources → model-input tensors.
+
+The flagship serving API (BASELINE.json config 5): N AVI streams are
+demuxed on host, entropy-decoded to command tensors (native thread pool),
+and reconstructed on device in GOP-aligned windows, fused straight into
+normalized model tensors — decoded pixels never round-trip to host.
+
+GOP alignment: windows start at keyframes (the only independent decode
+points, DataLoader.GetNearestKeyframe ≙ core/loader.py); short windows pad
+with empty frames, which both codecs define as "no change"
+(ScreenPressor.hx:308-309, MSVideo1.hx:109) — the device scan then carries
+the last frame forward, mirroring the reference's identical-frame buffer
+ranges (Manager.hx:568-578).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.loader import DataLoaderAVISeq
+from ..core.source import ByteSource
+from ..core.types import CodecType, VideoInfo
+from ..kernels import msv1_paint, sp_recon
+from ..codecs.msvideo1 import palette_to_u32, parse_commands
+from ..kernels.rgb_convert import to_model_input
+from .batch import stack_sp_commands
+
+
+@dataclass
+class IngestConfig:
+    window: int = 16  # frames per emitted window (device scan length)
+    emit_model_input: bool = True
+    model_dtype: str = "bfloat16"
+    insignificant_lines: int = 0
+
+
+class StreamReader:
+    """Demux one AVI source fully into frame bytes (host)."""
+
+    def __init__(self, source: ByteSource):
+        self.loader = DataLoaderAVISeq()
+        self.loader.open(source)
+        self.loader.pump_all()
+        self.info: VideoInfo = self.loader.video_info
+        self.frames: list[bytes] = [
+            (f.data if f is not None and f.data is not None else b"")
+            for f in self.loader.frames
+        ]
+
+
+class VideoIngestPipeline:
+    """Iterate model-tensor windows over a batch of same-geometry streams."""
+
+    def __init__(self, sources: Sequence[ByteSource],
+                 config: Optional[IngestConfig] = None):
+        self.cfg = config or IngestConfig()
+        self.readers = [StreamReader(s) for s in sources]
+        info0 = self.readers[0].info
+        for r in self.readers:
+            assert (r.info.width, r.info.height, r.info.codec) == (
+                info0.width, info0.height, info0.codec
+            ), "streams in a batch must share geometry and codec"
+        self.info = info0
+        self.nframes = max(len(r.frames) for r in self.readers)
+
+    def _window_starts(self) -> list[int]:
+        return list(range(0, self.nframes, self.cfg.window))
+
+    def __iter__(self) -> Iterator[dict]:
+        vi = self.info
+        W = self.cfg.window
+        for start in self._window_starts():
+            chunk = []
+            for r in self.readers:
+                frames = r.frames[start : start + W]
+                frames += [b""] * (W - len(frames))  # empty = no change
+                chunk.append(frames)
+            if vi.codec == CodecType.SCREENPRESSOR:
+                yield self._decode_sp_window(chunk, start)
+            else:
+                yield self._decode_msv1_window(chunk, start)
+
+    # -- ScreenPressor ---------------------------------------------------------
+
+    def _sp_decoders(self):
+        """Persistent per-stream host decoders: SP entropy/context state spans
+        windows (P-frames condition on everything since the last keyframe),
+        so window boundaries must not reset the host stage."""
+        if getattr(self, "_spdecs", None) is None:
+            vi = self.info
+            from .. import native as _native
+
+            self._spdecs = []
+            self._sp_native = _native.available()
+            for _ in self.readers:
+                if self._sp_native:
+                    d = _native.NativeScreenPressor(vi.width, vi.height, vi.bpp)
+                else:
+                    from ..codecs.screenpressor import ScreenPressor
+
+                    d = ScreenPressor(vi.width, vi.height, vi.bpp)
+                d.preinit(self.cfg.insignificant_lines)
+                self._spdecs.append(d)
+        return self._spdecs
+
+    def _decode_sp_window(self, chunk, start) -> dict:
+        vi = self.info
+        X, Y = vi.width, vi.height
+        B, T = len(chunk), self.cfg.window
+        nbx, nby = (X + 15) // 16, (Y + 15) // 16
+        nb = nbx * nby
+        bts = np.zeros((B, T, nb), dtype=np.int32)
+        mv = np.zeros((B, T, nb, 2), dtype=np.int32)
+        rect = np.zeros((B, T, nb, 4), dtype=np.int32)
+        payload = np.zeros((B, T, Y, X), dtype=np.uint32)
+        changed = np.zeros((B, T), dtype=bool)
+        decs = self._sp_decoders()
+        for b, frames in enumerate(chunk):
+            dec = decs[b]
+            for t, src in enumerate(frames):
+                if self._sp_native:
+                    isk = dec.is_key_frame(src)
+                    view, _sig, cap = dec.decompress(src, isk, capture=True,
+                                                     copy=False)
+                    if view is None:
+                        view = dec.latest_view()
+                    payload[b, t] = np.asarray(view).reshape(Y, X)
+                else:
+                    cap = {}
+                    dec.capture = cap
+                    dst = np.zeros(X * Y, dtype=np.uint32)
+                    if dec.is_key_frame(src):
+                        dec.decompress_i(src, dst)
+                    else:
+                        dec.decompress_p(src, dst)
+                    data = dec.previous_frame()
+                    if data is not None:
+                        payload[b, t] = data.reshape(Y, X)
+                bts[b, t] = cap["bts"]
+                mv[b, t] = cap["mv"]
+                rect[b, t] = cap["rect"]
+                changed[b, t] = cap["changed"]
+        init = self._carry_init(B)
+        frames, signif = sp_recon.decode_batch(
+            init, jnp.array(bts), jnp.array(mv), jnp.array(rect),
+            jnp.array(payload), jnp.array(changed), jnp.int32(0),
+        )
+        self._carry = np.asarray(frames[:, -1])
+        return self._emit(frames, signif, start)
+
+    # -- MSVideo1 --------------------------------------------------------------
+
+    def _decode_msv1_window(self, chunk, start) -> dict:
+        vi = self.info
+        X, Y = vi.width, vi.height
+        pal = palette_to_u32(vi.palette) if vi.codec == CodecType.MSVC8 else None
+        B, T = len(chunk), self.cfg.window
+        nb = (X >> 2) * (Y >> 2)
+        bt = np.zeros((B, T, nb), dtype=np.uint8)
+        sel = np.zeros((B, T, nb, 16), dtype=np.uint8)
+        col = np.zeros((B, T, nb, 8), dtype=np.uint32)
+        chg = np.zeros((B, T), dtype=bool)
+        for b, frames in enumerate(chunk):
+            for t, src in enumerate(frames):
+                bt[b, t], sel[b, t], col[b, t], chg[b, t] = parse_commands(
+                    src, X, Y, pal=pal)
+        init = self._carry_init(B)
+        valid = jnp.array([start > 0] * B)
+        frames, signif = msv1_paint.decode_batch(
+            init, valid, jnp.array(bt), jnp.array(sel), jnp.array(col),
+            jnp.array(chg),
+            jnp.int32((self.cfg.insignificant_lines + 3) >> 2),
+            jnp.int32(self.cfg.insignificant_lines), X // 4,
+        )
+        self._carry = np.asarray(frames[:, -1])
+        return self._emit(frames, signif, start)
+
+    # -- shared ----------------------------------------------------------------
+
+    def _carry_init(self, B) -> jax.Array:
+        vi = self.info
+        if getattr(self, "_carry", None) is None:
+            return jnp.zeros((B, vi.height, vi.width), dtype=jnp.uint32)
+        return jnp.array(self._carry)
+
+    def _emit(self, frames, signif, start) -> dict:
+        out = {"start_frame": start, "frames_u32": frames,
+               "significant": np.asarray(signif)}
+        if self.cfg.emit_model_input:
+            out["model_input"] = to_model_input(
+                frames, dtype=jnp.dtype(self.cfg.model_dtype))
+        return out

@@ -1,0 +1,69 @@
+"""End-to-end ingestion: batched AVI sources → windows of model tensors,
+bit-exact across window boundaries (carry) for both codecs."""
+
+import numpy as np
+import pytest
+
+from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+from jsplayer_tpu.core.source import MemorySource
+from jsplayer_tpu.encode.avi_mux import mux_avi
+from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+X, Y = 32, 32
+
+
+def sp_avi(seed, nframes=11):
+    rng = np.random.default_rng(seed)
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(seed, 5, 9), dtype=np.uint32)
+    frames_px, streams = [], []
+    for t in range(nframes):
+        f = f.copy()
+        if t % 4 != 3:
+            f[(t % 5) * 4 : (t % 5) * 4 + 4, 8:20] = pack_rgb(
+                *rng.integers(0, 256, 3))
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t % 5 == 0 else enc.encode_p(flat))
+        frames_px.append(flat)
+    keys = [t % 5 == 0 for t in range(nframes)]
+    return mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys), frames_px
+
+
+def msv1_avi(seed, nframes=11):
+    rng = np.random.default_rng(seed)
+    frames_px, streams = [], []
+    prev = None
+    f = np.full((Y, X), from_rgb15(0x2222), dtype=np.uint32)
+    for t in range(nframes):
+        f = f.copy()
+        x0 = ((t * 4) % (X - 4)) & ~3
+        f[8:12, x0 : x0 + 4] = from_rgb15(int(rng.integers(0, 0x8000)))
+        flat = f.reshape(-1)
+        streams.append(encode_frame_16(flat, prev, X, Y))
+        frames_px.append(flat)
+        prev = flat
+    keys = [t == 0 for t in range(nframes)]
+    return mux_avi(streams, X, Y, 16, codec="CRAM", keyflags=keys), frames_px
+
+
+@pytest.mark.parametrize("maker", [sp_avi, msv1_avi])
+def test_ingest_windows_bit_exact(maker):
+    avis, golds = zip(*(maker(s) for s in (1, 2, 3)))
+    pipe = VideoIngestPipeline([MemorySource(a) for a in avis],
+                               IngestConfig(window=4))
+    seen = 0
+    for batch in pipe:
+        frames = np.asarray(batch["frames_u32"])  # [B, T, Y, X]
+        start = batch["start_frame"]
+        for b in range(3):
+            for t in range(frames.shape[1]):
+                gi = min(start + t, len(golds[b]) - 1)  # padded tail repeats
+                np.testing.assert_array_equal(
+                    frames[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {start + t}")
+        mi = batch["model_input"]
+        assert mi.shape == (3, frames.shape[1], Y, X, 3)
+        seen += frames.shape[1]
+    assert seen >= 11
