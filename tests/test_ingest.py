@@ -67,3 +67,32 @@ def test_ingest_windows_bit_exact(maker):
         assert mi.shape == (3, frames.shape[1], Y, X, 3)
         seen += frames.shape[1]
     assert seen >= 11
+
+
+def test_gop_segmentation():
+    from jsplayer_tpu.pipeline.gop import pack_batch, segment_stream, split_gops
+
+    frames = [bytes([i]) for i in range(10)]
+    keys = [True, False, False, True, False, True, False, False, False, False]
+    gops = split_gops(frames, keys)
+    assert [g[0] for g in gops] == [0, 3, 5]
+    assert [len(g[1]) for g in gops] == [3, 2, 5]
+
+    segs = segment_stream(frames, keys, segment_len=3)
+    assert [(s.start_frame, s.n_real, s.independent) for s in segs] == [
+        (0, 3, True), (3, 2, True), (5, 3, True), (8, 2, False)]
+    assert all(len(s.frames) == 3 for s in segs)
+    assert segs[1].frames[2] == b""  # padded no-change tail
+
+    rows = pack_batch(segs, gops_per_stream=3)
+    assert len(rows) == 2 and len(rows[1]) == 3
+    assert rows[1][2].n_real == 0  # padding segment
+
+
+def test_gop_leading_nonkey():
+    from jsplayer_tpu.pipeline.gop import split_gops
+
+    frames = [b"a", b"b", b"c"]
+    keys = [False, True, False]
+    gops = split_gops(frames, keys)
+    assert [g[0] for g in gops] == [0, 1]

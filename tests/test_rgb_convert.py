@@ -1,0 +1,92 @@
+"""Display/ingestion conversions: parity with the Manager's per-pixel loops
+(fill_bitmap_data, Manager.hx:325-390) + model-tensor epilogue shapes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jsplayer_tpu.kernels.rgb_convert import (
+    resize_half,
+    rgb15_to_argb,
+    rgb15_to_argb_conv_buffer,
+    rgb_to_abgr,
+    rgb_to_opaque,
+    split_channels,
+    to_model_input,
+)
+
+
+def host_abgr(src):
+    # Manager.hx:379 reference loop
+    return (0xFF000000 | ((src & 0xFF) << 16) | (src & 0xFF00)
+            | ((src >> 16) & 0xFF)).astype(np.uint32)
+
+
+def test_abgr_parity_with_manager_loop():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 1 << 24, (16, 16), dtype=np.uint32)
+    got = np.asarray(rgb_to_abgr(jnp.array(src)))
+    np.testing.assert_array_equal(got, host_abgr(src))
+
+
+def test_rgb15_paths():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 1 << 15, (8, 8), dtype=np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(rgb15_to_argb(jnp.array(src))),
+        (0xFF000000 | (src << 3)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(rgb15_to_argb_conv_buffer(jnp.array(src))),
+        (src << 11).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(rgb_to_opaque(jnp.array(src))),
+        (0xFF000000 | src).astype(np.uint32))
+
+
+def test_split_channels_and_model_input():
+    # packed (b<<16)|(g<<8)|r  (SP decode-loop packing)
+    src = np.array([[(3 << 16) | (2 << 8) | 1, (255 << 16) | (128 << 8) | 0]],
+                   dtype=np.uint32)
+    ch = np.asarray(split_channels(jnp.array(src)))
+    np.testing.assert_array_equal(ch[0, 0], [1, 2, 3])
+    np.testing.assert_array_equal(ch[0, 1], [0, 128, 255])
+    # 16bpp scaling <<3
+    ch16 = np.asarray(split_channels(jnp.array(src), bpp16=True))
+    np.testing.assert_array_equal(ch16[0, 0], [8, 16, 24])
+
+    mi = to_model_input(jnp.array(np.tile(src, (4, 2))), dtype=jnp.float32,
+                        layout="NCHW", flip_vertical=False)
+    assert mi.shape == (3, 4, 4)
+    assert float(mi[0, 0, 0]) == pytest.approx(1 / 255.0)
+
+    # vertical flip maps stored bottom-up rows to top-down tensors
+    two = np.zeros((2, 1), dtype=np.uint32)
+    two[0, 0] = 10  # stored bottom row
+    mi = to_model_input(jnp.array(two), dtype=jnp.float32)
+    assert float(mi[1, 0, 0]) == pytest.approx(10 / 255.0)
+    assert float(mi[0, 0, 0]) == 0.0
+
+
+def test_resize_half():
+    x = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    y = np.asarray(resize_half(jnp.array(x)))
+    assert y.shape == (2, 2, 3)
+    assert int(y[0, 0, 0]) == (int(x[0, 0, 0]) + int(x[0, 1, 0])
+                               + int(x[1, 0, 0]) + int(x[1, 1, 0])) // 4
+
+
+def test_manager_get_rgba_parity():
+    """Manager.get_rgba (host) vs device rgb_to_abgr on the same buffer."""
+    from jsplayer_tpu.pipeline.manager import Manager
+    from jsplayer_tpu.core.loader import DataLoaderAVISeq
+
+    m = Manager(DataLoaderAVISeq(), num_buffers=2)
+    rng = np.random.default_rng(2)
+    buf = rng.integers(0, 1 << 24, 64, dtype=np.uint32)
+    m.buffers = [buf]
+    m._last_filled_buffer = 0
+    m.convert_from_rgb15 = False
+    np.testing.assert_array_equal(m.get_rgba(), host_abgr(buf))
+    m.convert_from_rgb15 = True
+    np.testing.assert_array_equal(
+        m.get_rgba(), (0xFF000000 | (buf << 3)).astype(np.uint32))

@@ -208,3 +208,59 @@ def test_significant_changes_insign_band():
     f2 = f2.reshape(-1)
     res = dec.decompress_p(enc.encode_p(f2), np.zeros(NPIX, dtype=np.uint32))
     assert res.significant_changes is True
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_v3v4_16bpp_roundtrip(version):
+    """16bpp with rANS coders: SC_CXSHIFT forced to 2 and the standard
+    0xFC00 context constants (initEntro, ScreenPressor.hx:70-73;
+    differentConstantsFor16bbp false, EntroCoders.hx:214)."""
+    rng = np.random.default_rng(60 + version)
+    enc = ScreenPressorEncoder(version, X, Y, bpp=16)
+    f = np.zeros((Y, X), dtype=np.uint32)
+    for _ in range(8):
+        x0, y0 = int(rng.integers(0, X - 4)), int(rng.integers(0, Y - 4))
+        f[y0 : y0 + 8, x0 : x0 + 10] = pack_rgb(*(int(v) for v in rng.integers(0, 32, 3)))
+    f = f.reshape(-1)
+    streams = [enc.encode_i(f)]
+    golds = [f]
+    for t in range(3):
+        f2 = f.copy().reshape(Y, X)
+        f2[10 + t : 14 + t, 10:20] = pack_rgb(*(int(v) for v in rng.integers(0, 32, 3)))
+        f = f2.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    dec = ScreenPressor(X, Y, 16)
+    dec.preinit(0)
+    for s, g in zip(streams, golds):
+        dst = np.zeros(NPIX, dtype=np.uint32)
+        if dec.is_key_frame(s):
+            dec.decompress_i(s, dst)
+            np.testing.assert_array_equal(dst, g)
+        else:
+            res = dec.decompress_p(s, dst)
+            np.testing.assert_array_equal(res.data, g)
+
+
+def test_flat_frame_sequences():
+    """Flat frames incl. consecutive flats (renew-skip path,
+    ScreenPressor.hx:108-115) followed by coded frames."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    dec = ScreenPressor(X, Y, 24)
+    dec.preinit(0)
+    s1 = enc.encode_flat(pack_rgb(1, 2, 3))
+    s2 = enc.encode_flat(pack_rgb(4, 5, 6))  # consecutive flat: no renew
+    f = np.asarray(enc.prev).copy().reshape(Y, X)
+    f[3:7, 3:7] = pack_rgb(9, 9, 9)
+    f = f.reshape(-1)
+    s3 = enc.encode_p(f)
+    for s, want in [(s1, np.full(NPIX, pack_rgb(1, 2, 3), np.uint32)),
+                    (s2, np.full(NPIX, pack_rgb(4, 5, 6), np.uint32)),
+                    (s3, f)]:
+        dst = np.zeros(NPIX, dtype=np.uint32)
+        if dec.is_key_frame(s):
+            dec.decompress_i(s, dst)
+            got = dst
+        else:
+            got = dec.decompress_p(s, dst).data
+        np.testing.assert_array_equal(got, want)
