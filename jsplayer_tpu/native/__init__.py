@@ -75,6 +75,15 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.spenc_create.restype = ctypes.c_void_p
+    lib.spenc_create.argtypes = [ctypes.c_int] * 4
+    lib.spenc_destroy.argtypes = [ctypes.c_void_p]
+    lib.spenc_encode.restype = ctypes.c_long
+    lib.spenc_encode.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), ctypes.c_int]
+    lib.spenc_data.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.spenc_data.argtypes = [ctypes.c_void_p]
     lib.msv1_parse_commands.restype = ctypes.c_int
     lib.msv1_parse_commands.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -222,3 +231,38 @@ def native_sp_decode_streams(streams, width, height, bpp=24,
     return dict(bts=bts, mv=mv, rect=rect, payload=payload,
                 changed=changed.astype(bool), signif=signif.astype(bool),
                 errors=errors)
+
+
+class NativeScreenPressorEncoder:
+    """Native twin of encode.sp_enc.ScreenPressorEncoder (byte-identical
+    output for identical inputs: same greedy predictor/run/motion choices)."""
+
+    KIND_AUTO, KIND_I, KIND_FLAT = 0, 1, 2
+
+    def __init__(self, version: int, width: int, height: int, bpp: int = 24):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.spenc_create(version, width, height, bpp)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.spenc_destroy(self._h)
+            self._h = None
+
+    def _encode(self, frame: np.ndarray, kind: int) -> bytes:
+        n = self._lib.spenc_encode(self._h, np.ascontiguousarray(frame, np.uint32), kind)
+        if n < 0:
+            raise ValueError("unencodable symbol (v3 Cx6 interval overshoot)")
+        ptr = self._lib.spenc_data(self._h)
+        return ctypes.string_at(ptr, n)
+
+    def encode_i(self, frame: np.ndarray) -> bytes:
+        return self._encode(frame, self.KIND_I)
+
+    def encode_p(self, frame: np.ndarray) -> bytes:
+        return self._encode(frame, self.KIND_AUTO)
+
+    def encode_flat(self, clr: int) -> bytes:
+        return self._encode(np.full(1, clr, np.uint32), self.KIND_FLAT)

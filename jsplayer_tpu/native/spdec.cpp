@@ -228,6 +228,12 @@ struct FixedCtx {
     incr(nsym - 1);
     return nsym - 1;
   }
+  // encode side: interval for a known symbol, identical adaptation
+  void encode(int c, uint32_t* ofreq, uint32_t* ocum) {
+    *ofreq = freq[c];
+    *ocum = cumfreq[c];
+    incr(c);
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -329,6 +335,44 @@ struct SmallCtx {  // Cx4 (S=4) / Cx5 (S=16)
     *ofreq = 1u << shift; *ocum = (uint32_t)sf << shift;
     *fit = add_symb(pos, c);
     return c;
+  }
+  // interval for known symbol c — same walk & mutations as decode_sc
+  void encode_sc(int c, int totfr0, uint32_t* ofreq, uint32_t* ocum,
+                 bool* fit) {
+    totfr_tmp = totfr0;
+    int shift = 0;
+    int tot = totfr0;
+    while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
+    int bonus = (int)(PROB_SCALE - tot) >> shift;
+    uint16_t max_freq = freqs[maxpos];
+    freqs[maxpos] += bonus;
+    int cum = 0, last_symb = 0, pos = 0;
+    while (pos < d) {
+      int s = symbols[pos];
+      if (c < s) {
+        int sf = cum + (c - last_symb);
+        *ofreq = 1u << shift; *ocum = (uint32_t)sf << shift;
+        freqs[maxpos] = max_freq;
+        *fit = add_symb(pos, c);
+        return;
+      }
+      int fr = freqs[pos];
+      if (c == s) {
+        cum += c - last_symb;
+        *ofreq = (uint32_t)fr << shift; *ocum = (uint32_t)cum << shift;
+        freqs[maxpos] = max_freq;
+        met_update(pos);
+        *fit = true;
+        return;
+      }
+      cum += s - last_symb + fr;
+      last_symb = s + 1;
+      pos++;
+    }
+    freqs[maxpos] = max_freq;
+    int sf = cum + (c - last_symb);
+    *ofreq = 1u << shift; *ocum = (uint32_t)sf << shift;
+    *fit = add_symb(pos, c);
   }
   int totfr0_cx4() const {
     return freqs[0] + freqs[1] + freqs[2] + freqs[3] + 256 - d;
@@ -445,6 +489,40 @@ struct Cx6 {
       c = (int)(sf >> fshift);
       fr_cum = (uint32_t)c << fshift;
     }
+    *ofreq = fr_freq; *ocum = fr_cum;
+    int p = add_dec(c, fr_freq, fr_cum);
+    if (p < 0) {
+      if (S == 64) { *handled = false; return c; }
+      grow();
+      p = add_dec(c, fr_freq, fr_cum);
+    }
+    incr(p);
+    *handled = true;
+    return c;
+  }
+  // interval for known symbol c — value-monotone cumfreq layout gives the
+  // same lower-neighbor choice as decode
+  int encode(int c, uint32_t* ofreq, uint32_t* ocum, bool* handled) {
+    uint32_t lfreq = 0, lcum = 0;
+    int lower_sym = 0;
+    for (int i = 0; i < d; i++) {
+      if (symbols[i] == c) {
+        *ofreq = freq[i]; *ocum = cumfreq[i];
+        incr(i);
+        *handled = true;
+        return c;
+      }
+      if (symbols[i] < c) {
+        uint32_t cf = cumfreq[i];
+        if (cf >= lcum) { lfreq = freq[i]; lcum = cf; lower_sym = symbols[i]; }
+      }
+    }
+    uint32_t fr_freq = 1u << fshift;
+    uint32_t fr_cum;
+    if (lfreq > 0)
+      fr_cum = lcum + lfreq + ((uint32_t)(c - lower_sym - 1) << fshift);
+    else
+      fr_cum = (uint32_t)c << fshift;
     *ofreq = fr_freq; *ocum = fr_cum;
     int p = add_dec(c, fr_freq, fr_cum);
     if (p < 0) {
@@ -709,6 +787,42 @@ struct Context {
     delete sc; sc = nullptr;
     c6 = n;
     kind = K6;
+  }
+
+  // encode-or-escape: true + interval when a model handled the symbol;
+  // false = caller emits a raw byte then calls update(c)
+  bool encode(int c, uint32_t* ofreq, uint32_t* ocum) {
+    bool ok;
+    switch (kind) {
+      case K6: {
+        c6->encode(c, ofreq, ocum, &ok);
+        if (!ok) {
+          Cx7* n = new Cx7();
+          n->create_from6(*c6);
+          delete c6; c6 = nullptr;
+          c7 = n;
+          kind = K7;
+        }
+        return true;
+      }
+      case K7: {
+        c7->encode(c, ofreq, ocum);
+        return true;
+      }
+      case K4: {
+        sc->encode_sc(c, sc->totfr0_cx4(), ofreq, ocum, &ok);
+        if (!ok) upgrade4to5(c);
+        return true;
+      }
+      case K5: {
+        sc->encode_sc(c, (int)sc->cntsum, ofreq, ocum, &ok);
+        sc->cntsum = (uint32_t)sc->totfr_tmp;
+        if (!ok) upgrade5to6(c);
+        return true;
+      }
+      default:
+        return false;
+    }
   }
 
   void update(int c) {
@@ -1351,6 +1465,582 @@ int msv1_parse(const uint8_t* src, size_t len, int X, int Y,
   return changes;
 }
 
+
+// ---------------------------------------------------------------------------
+// Encoders (paired with the decoders above; semantics = encode/*.py)
+// ---------------------------------------------------------------------------
+
+struct RangeEncoder {
+  uint64_t low = 0;
+  uint64_t range = 0xFFFFFFFFull;
+  std::vector<uint8_t> out;
+
+  void encode(uint64_t cum, uint64_t freq, uint64_t tot) {
+    uint64_t r = range / tot;
+    low += cum * r;
+    range = r * freq;
+    if (low >= (1ull << 32)) {
+      low -= 1ull << 32;
+      size_t i = out.size() - 1;
+      while (out[i] == 0xFF) { out[i] = 0; i--; }
+      out[i]++;
+    }
+    while (range < RC_TOP) {
+      out.push_back((uint8_t)((low >> 24) & 0xFF));
+      low = (low << 8) & 0xFFFFFFFFull;
+      range <<= 8;
+    }
+  }
+  void finish(std::vector<uint8_t>& dst) {
+    dst.push_back(0);  // the skipped pad byte (RangeCoder.hx:29)
+    dst.insert(dst.end(), out.begin(), out.end());
+    for (int s = 24; s >= 0; s -= 8)
+      dst.push_back((uint8_t)((low >> s) & 0xFF));
+    dst.push_back(0); dst.push_back(0); dst.push_back(0);
+  }
+  void encode_val(uint32_t* cnt, int maxc, uint32_t step, int c) {
+    uint64_t totfr = cnt[maxc];
+    uint64_t cum = 0;
+    for (int i = 0; i < c; i++) cum += cnt[i];
+    uint64_t fr = cnt[c];
+    encode(cum, fr, totfr);
+    RangeDecoder::adapt_val(cnt, maxc, c, step, (uint32_t)totfr);
+  }
+  void encode_val_uni(uint32_t* cnt, uint32_t step, int c) {
+    int x = c >> 4;
+    uint64_t totfr = cnt[16];
+    uint64_t cum = 0;
+    for (int i = 0; i < x; i++) cum += cnt[i];
+    for (int i = x * 16; i < c; i++) cum += cnt[i + 17];
+    uint64_t fr = cnt[c + 17];
+    encode(cum, fr, totfr);
+    // adaptation identical to decode_val_uni
+    cnt[c + 17] += step;
+    cnt[x] += step;
+    uint32_t tf = (uint32_t)totfr + step;
+    if (tf > RC_BOT) {
+      tf = 0;
+      for (int i = 17; i < 256 + 17; i++) {
+        uint32_t nc = (cnt[i] >> 1) + 1;
+        cnt[i] = nc;
+        tf += nc;
+      }
+      for (int i = 0; i < 16; i++) {
+        uint32_t ssum = 0;
+        for (int j = 0; j < 16; j++) ssum += cnt[(i << 4) + 17 + j];
+        cnt[i] = ssum;
+      }
+    }
+    cnt[16] = tf;
+  }
+};
+
+struct EntroEncRC {
+  std::vector<uint32_t> cntab;
+  uint32_t ptypetab[NCXMAX][7] = {};
+  uint32_t ntab[NCXMAX][257] = {};
+  uint32_t xxtab[257] = {};
+  uint32_t ntab2[257] = {};
+  uint32_t bttab[6] = {};
+  uint32_t sxytab[4][17] = {};
+  std::vector<uint32_t> mvtab0, mvtab1;
+  RangeEncoder* rc = nullptr;
+
+  EntroEncRC() : cntab(3 * CXMAX * CNTABSZ, 0),
+                 mvtab0(MSR_X * 2 + 1, 0), mvtab1(MSR_Y * 2 + 1, 0) {}
+  ~EntroEncRC() { delete rc; }
+  void renew_i() {
+    for (int chan = 0; chan < 3; chan++)
+      for (int ctx = 0; ctx < CXMAX; ctx++) {
+        uint32_t* p = &cntab[(size_t)(chan * CXMAX + ctx) * CNTABSZ];
+        if (p[16] != 256) {
+          for (int i = 0; i < 256; i++) p[i + 17] = 1;
+          for (int i = 0; i < 16; i++) p[i] = 16;
+          p[16] = 256;
+        }
+      }
+    for (int n = 0; n < NCXMAX; n++) {
+      for (int i = 0; i < 256; i++) ntab[n][i] = 1;
+      ntab[n][256] = 256;
+      for (int i = 0; i < 6; i++) ptypetab[n][i] = 1;
+      ptypetab[n][6] = 6;
+    }
+    for (int i = 0; i < 256; i++) { xxtab[i] = 1; ntab2[i] = 1; }
+    xxtab[256] = 256; ntab2[256] = 256;
+    for (int i = 0; i < 5; i++) bttab[i] = 1;
+    bttab[5] = 5;
+    for (int c = 0; c < 4; c++) {
+      for (int i = 0; i < 16; i++) sxytab[c][i] = 1;
+      sxytab[c][16] = 16;
+    }
+    for (int i = 0; i < MSR_X * 2; i++) mvtab0[i] = 1;
+    mvtab0[MSR_X * 2] = MSR_X * 2;
+    for (int i = 0; i < MSR_Y * 2; i++) mvtab1[i] = 1;
+    mvtab1[MSR_Y * 2] = MSR_Y * 2;
+  }
+  void begin() { delete rc; rc = new RangeEncoder(); }
+  void end(std::vector<uint8_t>& dst) { rc->finish(dst); delete rc; rc = nullptr; }
+  void clr(int cxi, int c) { rc->encode_val_uni(&cntab[(size_t)cxi * CNTABSZ], 400, c); }
+  void nrun(int pt, int c) { rc->encode_val(ntab[pt], 256, 400, c); }
+  void ptype(int pt, int c) { rc->encode_val(ptypetab[pt], 6, 1000, c); }
+  void xx(int c) { rc->encode_val(xxtab, 256, 1, c); }
+  void bt(int c) { rc->encode_val(bttab, 5, 10, c); }
+  void bn(int c) { rc->encode_val(ntab2, 256, 20, c); }
+  void sxy(int n, int c) { rc->encode_val(sxytab[n], 16, 100, c); }
+  void mx(int c) { rc->encode_val(mvtab0.data(), MSR_X * 2, 100, c); }
+  void my(int c) { rc->encode_val(mvtab1.data(), MSR_Y * 2, 100, c); }
+};
+
+struct RansChunkEnc {
+  struct Op { uint32_t start, freq; uint8_t raw; uint8_t is_raw; };
+  std::vector<std::vector<Op>> chunks;
+  int count = 0;
+
+  RansChunkEnc() { chunks.emplace_back(); }
+  void op(Op o) {
+    chunks.back().push_back(o);
+    if (++count == RANS_B) {
+      chunks.emplace_back();
+      count = 0;
+    }
+  }
+  void put(uint32_t start, uint32_t freq) { op({start, freq, 0, 0}); }
+  void put_raw(uint8_t b) { op({0, 0, b, 1}); }
+  void finalize(std::vector<uint8_t>& dst) {
+    for (auto& ops : chunks) {
+      std::vector<uint8_t> buf;  // back-to-front
+      uint64_t x = RANS_BYTE_L;
+      for (auto it = ops.rbegin(); it != ops.rend(); ++it) {
+        if (it->is_raw) {
+          buf.push_back(it->raw);
+        } else {
+          uint64_t x_max = ((uint64_t)(RANS_BYTE_L >> 12) << 8) * it->freq;
+          while (x >= x_max) {
+            buf.push_back((uint8_t)(x & 0xFF));
+            x >>= 8;
+          }
+          x = ((x / it->freq) << 12) + (x % it->freq) + it->start;
+        }
+      }
+      buf.push_back((uint8_t)((x >> 24) & 0xFF));
+      buf.push_back((uint8_t)((x >> 16) & 0xFF));
+      buf.push_back((uint8_t)((x >> 8) & 0xFF));
+      buf.push_back((uint8_t)(x & 0xFF));
+      dst.insert(dst.end(), buf.rbegin(), buf.rend());
+    }
+  }
+};
+
+struct EntroEncANS {
+  std::vector<Context> cntab;
+  FixedCtx ntab[NCXMAX], ptypetab[6], xxtab, ntab2, bttab, sxytab[4], mvtab[2];
+  RansChunkEnc* enc = nullptr;
+
+  explicit EntroEncANS(int f0) : cntab(3 * CXMAX) {
+    for (auto& c : cntab) c.f0_cx6 = f0;
+    for (int i = 0; i < NCXMAX; i++) ntab[i].init(256);
+    for (int i = 0; i < 6; i++) ptypetab[i].init(6);
+    xxtab.init(256);
+    ntab2.init(256);
+    bttab.init(5);
+    for (int i = 0; i < 4; i++) sxytab[i].init(16);
+    for (int i = 0; i < 2; i++) mvtab[i].init(512);
+  }
+  ~EntroEncANS() { delete enc; }
+  void renew_i() {
+    for (auto& c : cntab) c.renew();
+    for (int i = 0; i < NCXMAX; i++) ntab[i].renew();
+    for (int i = 0; i < 6; i++) ptypetab[i].renew();
+    xxtab.renew();
+    ntab2.renew();
+    bttab.renew();
+    for (int i = 0; i < 4; i++) sxytab[i].renew();
+    for (int i = 0; i < 2; i++) mvtab[i].renew();
+  }
+  void begin() { delete enc; enc = new RansChunkEnc(); }
+  void end(std::vector<uint8_t>& dst) { enc->finalize(dst); delete enc; enc = nullptr; }
+  bool clr(int cxi, int c) {  // false => unencodable interval (>PROB_SCALE)
+    Context& dcx = cntab[cxi];
+    uint32_t f, cf;
+    if (dcx.encode(c, &f, &cf)) {
+      if (cf + f > PROB_SCALE) return false;
+      enc->put(cf, f);
+    } else {
+      enc->put_raw((uint8_t)c);
+      dcx.update(c);
+    }
+    return true;
+  }
+  void dbool(bool flag) { enc->put(flag ? (PROB_SCALE >> 1) : 0, PROB_SCALE >> 1); }
+  void fenc(FixedCtx& t, int c) {
+    uint32_t f, cf;
+    t.encode(c, &f, &cf);
+    enc->put(cf, f);
+  }
+  void nrun(int pt, int c) { fenc(ntab[pt], c); }
+  void ptype(int pt, int c) { fenc(ptypetab[pt], c); }
+  void xx(int c) { fenc(xxtab, c); }
+  void bt(int c) { fenc(bttab, c); }
+  void bn(int c) { fenc(ntab2, c); }
+  void sxy(int n, int c) { fenc(sxytab[n], c); }
+  void mx(int c) { fenc(mvtab[0], c); }
+  void my(int c) { fenc(mvtab[1], c); }
+};
+
+// ---------------------------------------------------------------------------
+// ScreenPressor encoder (semantics = encode/sp_enc.py)
+// ---------------------------------------------------------------------------
+
+struct SpEncoder {
+  int version, X, Y, bpp, sc_cxshift;
+  int nbx, nby;
+  EntroEncRC* rc = nullptr;
+  EntroEncANS* ans = nullptr;
+  std::vector<uint32_t> prev;
+  bool has_prev = false, has_flat = false;
+  int cx = 0, cx1 = 0;
+  std::vector<uint8_t> out;
+
+  SpEncoder(int v, int w, int h, int bits)
+      : version(v), X(w), Y(h), bpp(bits) {
+    nbx = (w + 15) / 16;
+    nby = (h + 15) / 16;
+    if (v == 2) {
+      rc = new EntroEncRC();
+      sc_cxshift = bits == 16 ? 0 : 2;
+    } else {
+      ans = new EntroEncANS(v == 3 ? 64 : 32);
+      sc_cxshift = 2;
+    }
+    prev.assign((size_t)w * h, 0);
+  }
+  ~SpEncoder() { delete rc; delete ans; }
+
+  void cx_consts(int* mask, int* s1, int* s) const {
+    if (bpp == 16 && rc) { *mask = 0xFF00; *s1 = 2; *s = 16; }
+    else { *mask = 0xFC00; *s1 = 4; *s = 18; }
+  }
+  bool enc_clr(int cxi, int c) {
+    if (rc) { rc->clr(cxi, c); return true; }
+    return ans->clr(cxi, c);
+  }
+  void enc_n(int pt, int c) { rc ? rc->nrun(pt, c) : ans->nrun(pt, c); }
+  void enc_p(int pt, int c) { rc ? rc->ptype(pt, c) : ans->ptype(pt, c); }
+  void enc_x(int c) { rc ? rc->xx(c) : ans->xx(c); }
+  void enc_bt(int c) { rc ? rc->bt(c) : ans->bt(c); }
+  void enc_bn(int c) { rc ? rc->bn(c) : ans->bn(c); }
+  void enc_sxy(int n, int c) { rc ? rc->sxy(n, c) : ans->sxy(n, c); }
+  void enc_mx(int c) { rc ? rc->mx(c) : ans->mx(c); }
+  void enc_my(int c) { rc ? rc->my(c) : ans->my(c); }
+
+  bool enc_rgb(uint32_t clr) {
+    int r = clr & 0xFF, g = (clr >> 8) & 0xFF, b = (clr >> 16) & 0xFF;
+    if (!enc_clr(cx + cx1, r)) return false;
+    cx1 = (cx << 6) & 0xFC0; cx = r >> sc_cxshift;
+    if (!enc_clr(4096 + cx + cx1, g)) return false;
+    cx1 = (cx << 6) & 0xFC0; cx = g >> sc_cxshift;
+    if (!enc_clr(2 * 4096 + cx + cx1, b)) return false;
+    cx1 = (cx << 6) & 0xFC0; cx = b >> sc_cxshift;
+    return true;
+  }
+
+  int head(int kind) const { return ((version - 1) << 4) | kind; }
+
+  // flat I-frame; clr packed (b<<16)|(g<<8)|r
+  int encode_flat(uint32_t clr) {
+    out.clear();
+    if (bpp == 16) return -1;
+    if (!has_flat) { if (rc) rc->renew_i(); else ans->renew_i(); }
+    out.push_back((uint8_t)head(1));
+    out.push_back((uint8_t)(clr & 0xFF));          // r → decoder "b" slot
+    out.push_back((uint8_t)((clr >> 8) & 0xFF));   // g
+    out.push_back((uint8_t)((clr >> 16) & 0xFF));  // b
+    std::fill(prev.begin(), prev.end(), clr);
+    has_prev = true;
+    has_flat = true;
+    return 0;
+  }
+
+  static uint32_t grad(uint32_t L, uint32_t U1, uint32_t U0) {
+    return SpDecoder::grad(L, U1, U0);
+  }
+
+  int run_len_i(const uint32_t* f, size_t di, int p, size_t end) const {
+    int n = 0;
+    while (n < 255 && di + n < end) {
+      size_t pos = di + n;
+      uint32_t pred;
+      if (p == 1) pred = f[pos - 1];
+      else if (p == 2) pred = f[pos - X];
+      else if (p == 5) pred = f[pos - X - 1];
+      else pred = grad(f[pos - 1], f[pos - X], f[pos - X - 1]);
+      if (f[pos] != pred) break;
+      n++;
+    }
+    return n;
+  }
+
+  // => 0 ok, -2 unencodable symbol (v3 Cx6 overshoot)
+  int encode_i(const uint32_t* f) {
+    out.clear();
+    has_flat = false;
+    if (rc) rc->renew_i(); else ans->renew_i();
+    if (rc) rc->begin(); else ans->begin();
+    cx = cx1 = 0;
+    size_t end = (size_t)X * Y;
+    size_t di = 0;
+    int k = 0;
+    while (k < X + 1) {
+      uint32_t clr = f[di];
+      int n = 1;
+      while (n < 255 && di + n < end && f[di + n] == clr) n++;
+      if (!enc_rgb(clr)) return -2;
+      enc_n(0, n);
+      k += n;
+      di += n;
+    }
+    int maskcx1, shiftcx1, shiftcx;
+    cx_consts(&maskcx1, &shiftcx1, &shiftcx);
+    int pt = 0;
+    while (di < end) {
+      int best_p = 0, best_n = 0;
+      static const int cands[4] = {1, 2, 4, 5};
+      for (int pi = 0; pi < 4; pi++) {
+        int n = run_len_i(f, di, cands[pi], end);
+        if (n > best_n) { best_p = cands[pi]; best_n = n; }
+      }
+      if (best_n == 0) {
+        best_p = 0;
+        uint32_t clr = f[di];
+        best_n = 1;
+        while (best_n < 255 && di + best_n < end && f[di + best_n] == clr)
+          best_n++;
+      }
+      enc_p(pt, best_p);
+      pt = best_p;
+      if (best_p == 0) {
+        if (!enc_rgb(f[di])) return -2;
+      }
+      enc_n(best_p, best_n);
+      di += best_n;
+      uint32_t clr = f[di - 1];
+      cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
+      cx = (int)(clr >> shiftcx);
+    }
+    out.push_back((uint8_t)head(2));
+    if (rc) rc->end(out); else ans->end(out);
+    memcpy(prev.data(), f, end * 4);
+    has_prev = true;
+    return 0;
+  }
+
+  struct Plan { int x1, y1, x2, y2, mx, my; bool motion, sub; };
+
+  bool find_motion(const uint32_t* cur, int x1, int y1, int x2, int y2,
+                   int* omx, int* omy) const {
+    static const int cand[][2] = {
+        {0, -1}, {0, 1}, {-1, 0}, {1, 0}, {-1, -1}, {1, 1}, {1, -1}, {-1, 1},
+        {0, -2}, {0, 2}, {-2, 0}, {2, 0}, {0, -4}, {4, 0}, {-4, 0}, {0, 4},
+        {0, -8}, {8, 0}, {-8, 0}, {0, 8}};
+    for (auto& mvc : cand) {
+      int mx = mvc[0], my = mvc[1];
+      if (y1 + my < 0 || y2 + my > Y || x1 + mx < 0 || x2 + mx > X) continue;
+      bool ok = true;
+      for (int y = y1; y < y2 && ok; y++) {
+        const uint32_t* a = &cur[(size_t)y * X + x1];
+        const uint32_t* b = &prev[(size_t)(y + my) * X + (x1 + mx)];
+        if (memcmp(a, b, (size_t)(x2 - x1) * 4) != 0) ok = false;
+      }
+      if (ok) { *omx = mx; *omy = my; return true; }
+    }
+    return false;
+  }
+
+  int run_len_p(const uint32_t* cur, const uint32_t* sim, int x1, int y1,
+                int x2, int y2, int k, int p, int npos) const {
+    int w = x2 - x1;
+    long off = -(long)X - 1;
+    auto read = [&](long pos, int n) -> uint32_t {
+      long y = pos / X, x = pos % X;
+      if (y >= y1 && y < y2 && x >= x1 && x < x2) {
+        int o = (int)((y - y1) * w + (x - x1));
+        if (o >= k && o < k + n) return cur[pos];
+      }
+      return sim[pos];
+    };
+    int n = 0;
+    while (n < 255 && k + n < npos) {
+      int o = k + n;
+      long i = (long)(y1 + o / w) * X + (x1 + o % w);
+      uint32_t pred;
+      if (p == 1) {
+        if (i - 1 < 0) break;
+        pred = read(i - 1, n);
+      } else if (p == 2) {
+        if (i + off + 1 < 0) break;
+        pred = read(i + off + 1, n);
+      } else if (p == 3) {
+        pred = prev[i];
+      } else if (p == 4) {
+        if (i - 1 < 0 || i + off < 0) break;
+        pred = grad(read(i - 1, n), read(i + off + 1, n), read(i + off, n));
+      } else {
+        if (i + off < 0) break;
+        pred = read(i + off, n);
+      }
+      if (cur[i] != pred) break;
+      n++;
+    }
+    return n;
+  }
+
+  // => 0 encoded, 1 no-change, -2 unencodable
+  int encode_p(const uint32_t* cur) {
+    out.clear();
+    has_flat = false;
+    size_t nb = (size_t)nbx * nby;
+    std::vector<int> bts(nb, 0);
+    std::vector<Plan> plans(nb);
+    bool any = false;
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        size_t bi = (size_t)by * nbx + bx;
+        int x16 = bx * 16, y16 = by * 16;
+        int bx2 = x16 + 16 > X ? X : x16 + 16;
+        int by2 = y16 + 16 > Y ? Y : y16 + 16;
+        int rx1 = bx2, rx2 = x16, ry1 = by2, ry2 = y16;
+        for (int y = y16; y < by2; y++) {
+          const uint32_t* a = &cur[(size_t)y * X + x16];
+          const uint32_t* b = &prev[(size_t)y * X + x16];
+          for (int x = 0; x < bx2 - x16; x++)
+            if (a[x] != b[x]) {
+              if (y < ry1) ry1 = y;
+              if (y + 1 > ry2) ry2 = y + 1;
+              if (x16 + x < rx1) rx1 = x16 + x;
+              if (x16 + x + 1 > rx2) rx2 = x16 + x + 1;
+            }
+        }
+        if (ry2 <= ry1) continue;  // unchanged block
+        bool use_sub =
+            (ry2 - ry1) * (rx2 - rx1) < (by2 - y16) * (bx2 - x16);
+        Plan pl;
+        if (use_sub) { pl.x1 = rx1; pl.y1 = ry1; pl.x2 = rx2; pl.y2 = ry2; }
+        else { pl.x1 = x16; pl.y1 = y16; pl.x2 = bx2; pl.y2 = by2; }
+        pl.sub = use_sub;
+        pl.motion = find_motion(cur, pl.x1, pl.y1, pl.x2, pl.y2, &pl.mx, &pl.my);
+        bts[bi] = 1 + (use_sub ? 1 : 0) + (pl.motion ? 2 : 0);
+        plans[bi] = pl;
+        any = true;
+      }
+    if (!any) {
+      out.push_back(0);
+      return 1;
+    }
+    if (rc) rc->begin(); else ans->begin();
+    size_t xx1 = nb, xx2 = 0;
+    for (size_t i = 0; i < nb; i++)
+      if (bts[i]) { if (i < xx1) xx1 = i; xx2 = i; }
+    enc_x((int)(xx1 & 0xFF));
+    enc_x((int)(xx1 >> 8));
+    enc_x((int)(xx2 & 0xFF));
+    enc_x((int)(xx2 >> 8));
+    size_t x = xx1;
+    while (x <= xx2) {
+      int b = bts[x];
+      int n = 1;
+      while (x + n <= xx2 && bts[x + n] == b && n < 255) n++;
+      enc_bt(b);
+      enc_bn(n);
+      x += n;
+    }
+    std::vector<uint32_t> sim(prev);
+    int maskcx1, shiftcx1, shiftcx;
+    cx_consts(&maskcx1, &shiftcx1, &shiftcx);
+    cx = cx1 = 0;
+    int lastmx = 0, lastmy = 0;
+    bool can_bool = ans != nullptr;
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        size_t bi = (size_t)by * nbx + bx;
+        if (!bts[bi]) continue;
+        Plan& pl = plans[bi];
+        if ((bts[bi] - 1) & 1) {
+          enc_sxy(0, pl.x1 - bx * 16);
+          enc_sxy(1, pl.y1 - by * 16);
+          enc_sxy(2, pl.x2 - bx * 16 - 1);
+          enc_sxy(3, pl.y2 - by * 16 - 1);
+        }
+        if ((bts[bi] - 1) & 2) {
+          if (can_bool) {
+            bool same = pl.mx == lastmx && pl.my == lastmy;
+            ans->dbool(same);
+            if (!same) { enc_mx(pl.mx + MSR_X); enc_my(pl.my + MSR_Y); }
+          } else {
+            enc_mx(pl.mx + MSR_X);
+            enc_my(pl.my + MSR_Y);
+          }
+          lastmx = pl.mx; lastmy = pl.my;
+          for (int y = pl.y1; y < pl.y2; y++)
+            memcpy(&sim[(size_t)y * X + pl.x1],
+                   &prev[(size_t)(y + pl.my) * X + (pl.x1 + pl.mx)],
+                   (size_t)(pl.x2 - pl.x1) * 4);
+        } else {
+          int w = pl.x2 - pl.x1;
+          int npos = w * (pl.y2 - pl.y1);
+          int k = 0;
+          int pt = 0;
+          while (k < npos) {
+            int best_p = 0, best_n = 0;
+            static const int cands[5] = {1, 2, 3, 4, 5};
+            for (int pi = 0; pi < 5; pi++) {
+              int n = run_len_p(cur, sim.data(), pl.x1, pl.y1, pl.x2, pl.y2,
+                                k, cands[pi], npos);
+              if (n > best_n) { best_p = cands[pi]; best_n = n; }
+            }
+            long i0 = (long)(pl.y1 + k / w) * X + (pl.x1 + k % w);
+            if (best_n == 0) {
+              best_p = 0;
+              uint32_t clr = cur[i0];
+              best_n = 1;
+              while (best_n < 255 && k + best_n < npos) {
+                int o = k + best_n;
+                long i = (long)(pl.y1 + o / w) * X + (pl.x1 + o % w);
+                if (cur[i] != clr) break;
+                best_n++;
+              }
+            }
+            enc_p(pt, best_p);
+            pt = best_p;
+            if (best_p == 0) {
+              if (!enc_rgb(cur[i0])) return -2;
+            }
+            enc_n(best_p, best_n);
+            for (int j = k; j < k + best_n; j++) {
+              long i = (long)(pl.y1 + j / w) * X + (pl.x1 + j % w);
+              sim[i] = cur[i];
+            }
+            k += best_n;
+            long ilast = (long)(pl.y1 + (k - 1) / w) * X + (pl.x1 + (k - 1) % w);
+            uint32_t clr = cur[ilast];
+            cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
+            cx = (int)(clr >> shiftcx);
+          }
+        }
+      }
+    out.push_back(1);  // placed below; reorder at the end
+    // move the head byte to the front: entropy payload was appended by end()
+    // afterwards, so build: [1][payload]
+    std::vector<uint8_t> payload;
+    if (rc) rc->end(payload); else ans->end(payload);
+    out.clear();
+    out.push_back(1);
+    out.insert(out.end(), payload.begin(), payload.end());
+    memcpy(prev.data(), cur, (size_t)X * Y * 4);
+    has_prev = true;
+    return 0;
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1489,5 +2179,22 @@ int sp_decode_streams(int nstreams, int frames_per_stream, int width,
   for (auto& t : pool) t.join();
   return errors.load();
 }
+
+void* spenc_create(int version, int width, int height, int bpp) {
+  return new SpEncoder(version, width, height, bpp);
+}
+void spenc_destroy(void* p) { delete (SpEncoder*)p; }
+// kind: 0 = auto P, 1 = force I, 2 = flat (clr = first pixel)
+// returns length or negative error; bytes retrieved via spenc_data
+long spenc_encode(void* p, const uint32_t* frame, int kind) {
+  SpEncoder* e = (SpEncoder*)p;
+  int r;
+  if (kind == 2) r = e->encode_flat(frame[0]);
+  else if (kind == 1 || !e->has_prev) r = e->encode_i(frame);
+  else r = e->encode_p(frame);
+  if (r == -2 || r == -1) return -2;
+  return (long)e->out.size();
+}
+const uint8_t* spenc_data(void* p) { return ((SpEncoder*)p)->out.data(); }
 
 }  // extern "C"
