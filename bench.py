@@ -1,17 +1,19 @@
-"""Benchmark: 1080p ScreenPressor device decode throughput (frames/sec/chip).
+"""Benchmark: 1080p ScreenPressor decode throughput on the device pipeline.
 
 North-star metric (BASELINE.json): ≥10,000 1080p ScreenPressor frames/sec/chip
 with bit-exact frame parity.  Parity is enforced by the test suite (oracle ↔
-device, encode → decode identity); this harness measures the steady-state
-device pipeline: P-frame recon (copy/motion/data compose over the
-scan-carried previous frame).
+native ↔ device, encoder→decoder round trips); this harness measures decode
+throughput on REAL encoded streams:
 
-Command tensors model realistic screen content: ~70% untouched blocks, ~15%
-motion, ~15% data — the block mix the reference's skip-stills machinery
-exploits (SURVEY.md §3.5).  All inputs are generated ON DEVICE (iota/PRNG)
-so the measurement isn't polluted by host→device transfer of synthetic data;
-timing loops run inside a single dispatched program to exclude tunnel RTT.
+  1. encode 1080p screen content with the native C++ encoder (scrolls, window
+     paints, stills — the motion/data/copy mix the codec targets);
+  2. host stage: native C++ entropy decode + command capture (measured
+     separately; ~3,750 fps/core, runs in parallel with device work);
+  3. device stage (the reported metric): P-chain reconstruction via lax.scan
+     over command tensors, timed with an in-program fori_loop so tunnel RTT
+     and dispatch overhead are excluded; completion forced by scalar readback.
 
+Falls back to synthetic command tensors when the native library is absent.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -20,6 +22,45 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
+
+Y, X = 1080, 1920
+T = 16
+REPS = 8
+BASELINE = 10_000.0  # north-star target (BASELINE.md)
+
+
+def real_stream_commands():
+    """Native-encoded 1080p screen content → host-decoded command stacks."""
+    from jsplayer_tpu import native
+
+    if not native.available():
+        return None
+    from jsplayer_tpu.encode.sp_enc import pack_rgb
+
+    rng = np.random.default_rng(0)
+    enc = native.NativeScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(30, 30, 34), dtype=np.uint32)
+    for _ in range(12):
+        x0, y0 = int(rng.integers(0, X - 200)), int(rng.integers(0, Y - 150))
+        f[y0 : y0 + 140, x0 : x0 + 190] = pack_rgb(*rng.integers(0, 256, 3))
+    f = f.reshape(-1)
+    streams = [enc.encode_i(f)]
+    for t in range(T - 1):
+        nf = f.copy().reshape(Y, X)
+        if t % 3 == 0:
+            nf[8:, :] = nf[:-8, :].copy()  # scroll → motion blocks
+        if t % 3 != 2:  # every third frame is a still
+            x0, y0 = int(rng.integers(0, X - 120)), int(rng.integers(0, Y - 80))
+            nf[y0 : y0 + 60, x0 : x0 + 100] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+
+    t0 = time.perf_counter()
+    got = native.native_sp_decode_streams([streams], X, Y)
+    host_fps = T / (time.perf_counter() - t0)
+    return got, host_fps
+
 
 def main() -> None:
     import jax
@@ -27,55 +68,59 @@ def main() -> None:
 
     from jsplayer_tpu.kernels import sp_recon
 
-    Y, X = 1088, 1920  # 1080p padded to the 16-row block grid
-    T = 16
-    nby, nbx = Y // 16, X // 16
-    NB = nby * nbx
-    REPS = 8
-
-    def make_inputs(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        r = jax.random.uniform(k1, (T, NB))
-        bts = jnp.where(r < 0.70, 0, jnp.where(r < 0.85, 3, 1)).astype(jnp.int32)
-        by = (jnp.arange(NB) // nbx) * 16
-        bx = (jnp.arange(NB) % nbx) * 16
-        mvx = jax.random.randint(k2, (T, NB), -8, 9)
-        mvy = jax.random.randint(k3, (T, NB), -8, 9)
-        mvx = jnp.clip(mvx, -bx[None, :], X - 16 - bx[None, :])
-        mvy = jnp.clip(mvy, -by[None, :], Y - 16 - by[None, :])
-        mv = jnp.stack([mvx, mvy], axis=-1).astype(jnp.int32)
-        rect = jnp.stack([bx, by, bx + 16, by + 16], axis=-1).astype(jnp.int32)
-        rect = jnp.broadcast_to(rect[None], (T, NB, 4))
-        payload = jax.random.randint(
-            k4, (T, Y, X), 0, 1 << 24, dtype=jnp.uint32
-        )
+    real = real_stream_commands()
+    if real is not None:
+        got, host_fps = real
+        bts = jnp.array(got["bts"][0])
+        mv = jnp.array(got["mv"][0])
+        rect = jnp.array(got["rect"][0])
+        payload = jnp.array(got["payload"][0])
+        changed = jnp.array(got["changed"][0])
+        source = "real-encoded-1080p-screen-content"
+    else:
+        rng = np.random.default_rng(0)
+        nbx, nby = (X + 15) // 16, (Y + 15) // 16
+        nb = nbx * nby
+        kinds = rng.choice([0, 3, 1], size=(T, nb), p=[0.70, 0.15, 0.15])
+        bts = jnp.array(kinds.astype(np.int32))
+        by = (np.arange(nb) // nbx) * 16
+        bx = (np.arange(nb) % nbx) * 16
+        mvx = np.clip(rng.integers(-8, 9, (T, nb)), -bx, X - 16 - bx)
+        mvy = np.clip(rng.integers(-8, 9, (T, nb)), -by, Y - 16 - by)
+        mv = jnp.array(np.stack([mvx, mvy], -1).astype(np.int32))
+        rect = jnp.array(np.broadcast_to(
+            np.stack([bx, by, np.minimum(bx + 16, X), np.minimum(by + 16, Y)],
+                     -1).astype(np.int32)[None], (T, nb, 4)))
+        payload = jnp.array(
+            rng.integers(0, 1 << 24, (T, Y, X)).astype(np.uint32))
         changed = jnp.ones(T, bool)
-        init = jnp.zeros((Y, X), jnp.uint32)
-        return init, bts, mv, rect, payload, changed
+        host_fps = None
+        source = "synthetic-commands"
+
+    init = jnp.zeros((Y, X), jnp.uint32)
+    dev = jax.device_put((init, bts, mv, rect, payload, changed))
 
     @jax.jit
-    def bench_once(key):
-        args = make_inputs(key)
-
+    def bench_loop():
         def body(i, carry):
-            frames, signif = sp_recon.decode_sequence(*args, jnp.int32(0))
+            frames, _ = sp_recon.decode_sequence(*dev, jnp.int32(0))
             return carry ^ frames[-1, 0, 0] ^ jnp.uint32(i)
 
         return jax.lax.fori_loop(0, REPS, body, jnp.uint32(0))
 
-    key = jax.random.PRNGKey(0)
-    int(bench_once(key))  # compile + warm up (forces completion via readback)
+    int(bench_loop())  # compile + warm (readback forces completion)
     t0 = time.perf_counter()
-    int(bench_once(key))
+    int(bench_loop())
     dt = time.perf_counter() - t0
 
     frames_per_sec = T * REPS / dt
-    baseline = 10_000.0  # north-star target (BASELINE.md)
     print(json.dumps({
         "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / baseline, 3),
+        "vs_baseline": round(frames_per_sec / BASELINE, 3),
+        "source": source,
+        "host_stage_fps_per_core": None if host_fps is None else round(host_fps, 1),
     }))
 
 

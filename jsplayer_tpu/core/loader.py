@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable, Iterator, Optional
 
 from ..av.audio_track import AudioTrack
+from ..utils.logging import LOG
 from ..av.mp3 import Mp3Parser
 from .chunkbuffer import ChunkBuffer
 from .riff import AviDemuxer, IndxData, parse_idx1, parse_ix
@@ -172,6 +173,8 @@ class DataLoader:
                 self._on_stream_end()
             else:
                 self.buffer.add_chunk(chunk)
+                LOG.count("bytes_fetched", len(chunk))
+                LOG.count("chunks_fetched")
                 progressed = True
         if self.demuxer is not None and self.demuxer.active:
             self.demuxer.pump()
@@ -314,6 +317,7 @@ class DataLoader:
             self.frames[self.avi_parsing_pos] = CompressedFrame(
                 key=key, data=data, ix=-1
             )
+        LOG.count("frames_demuxed")
         self._frame_arrived(self.avi_parsing_pos)
         self.avi_parsing_pos += 1
 

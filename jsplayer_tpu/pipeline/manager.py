@@ -38,6 +38,7 @@ from ..codecs.msvideo1 import MSVideo1_8bit, MSVideo1_16bit
 from ..codecs.screenpressor import ScreenPressor
 from ..core.loader import DataLoader
 from ..core.types import CodecType, FrameStatus, VideoInfo
+from ..utils.logging import LOG
 
 INSIGNIFICANT_LINES = 36  # Manager.hx:61 (bottom 36 on screen; frames are
                           # stored bottom-up, Main.hx:318)
@@ -342,6 +343,7 @@ class Manager:
             return
 
         frm = info.frame
+        LOG.count("frames_decoded")
         new_frame = self.buffers[free_idx]
         if frm.key:
             state = self.decoder.decompress_i(frm.data, new_frame)
