@@ -28,7 +28,6 @@ from ..core.types import CodecType, VideoInfo
 from ..kernels import msv1_paint, sp_recon
 from ..codecs.msvideo1 import palette_to_u32, parse_commands
 from ..kernels.rgb_convert import to_model_input
-from .batch import stack_sp_commands
 
 
 @dataclass

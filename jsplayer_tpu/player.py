@@ -216,6 +216,18 @@ class Player:
         elif self._auto_paused and t <= m.loaded_audio_time():
             self._auto_paused = False
             self.play()
+
+        # autoskip: jump over stills while playing (auto_skip, Main.hx:1083-1091)
+        if (self.config.autoskip and self.playing
+                and res == FrameResult.DECOMPRESSED
+                and m.loader.get_frame_changes(m.last_frame_drawn) is False):
+            nt = m.skip_stills(first_call=not self._pending_skip)
+            if nt is None:
+                self._pending_skip = True
+            else:
+                self._pending_skip = False
+                if nt > t:
+                    self.seek_time(nt)
         return res
 
     # -- status surfaces (UI bars, Main.hx:1110-1125) ----------------------------

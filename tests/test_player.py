@@ -247,3 +247,39 @@ def test_opendml_indexed_load():
     got_keys = [loader.frames[i] is not None and loader.frames[i].key
                 for i in range(len(frames))]
     assert got_keys == keys
+
+
+def test_autoskip_jumps_over_stills():
+    """autoskip mode: playback jumps past known-unchanged frames
+    (auto_skip, Main.hx:1083-1091)."""
+    Y2 = 64
+    rng = np.random.default_rng(8)
+    streams, prev = [], None
+    changed_at = {5}
+    for t in range(10):
+        if prev is None:
+            f = np.full((Y2, X), from_rgb15(0x0421), dtype=np.uint32)
+        else:
+            f = prev.reshape(Y2, X).copy()
+            if t in changed_at:
+                f[44:48, 8:16] = from_rgb15(int(rng.integers(0, 0x8000)))
+        flat = f.reshape(-1)
+        streams.append(encode_frame_16(flat, prev, X, Y2))
+        prev = flat
+    avi = mux_avi(streams, X, Y2, 16, codec="CRAM", fps=10.0,
+                  keyflags=[i == 0 for i in range(10)])
+    p = Player(PlayerConfig(indexed=False, autoskip=True))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    for _ in range(400):
+        p.manager.worker()
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    p.play()
+    fps = p.manager.fps
+    fake_t[0] = 1 / fps + 0.001  # frame 1: unchanged → autoskip fires
+    for _ in range(50):
+        p.tick()
+        if p.manager.last_frame_drawn >= 5:
+            break
+    assert p.manager.last_frame_drawn >= 5
