@@ -219,10 +219,13 @@ class Manager:
                     b.trash = True
             self.delayed_fill = self._delayed_fill
             return FrameResult.SOON
-        # LOADING (Manager.hx:252-257)
+        # LOADING (Manager.hx:252-257): on completion the reference RE-CALLS
+        # GetDecompressedFrame — that re-entry is what resets the decode
+        # cursor to the seek target's keyframe once the data is in
         self.loading_pause = True
 
         def resume() -> None:
+            self.get_decompressed_frame(t, playing)
             self.loading_pause = False
 
         self.loader.set_on_load_complete(resume)

@@ -40,6 +40,7 @@ class PlayerConfig:
     fname: str = ""
     indexed: bool = True  # ≙ -Dindexed build flag (Manager.hx:14-18)
     buffer_mb: int = 50  # 'buffer' flashvar → storage_limit (Main.hx:257-264)
+    storage_limit_bytes: Optional[int] = None  # byte-granular override
     num_buffers: int = 8  # Main.hx:148
     autoskip: bool = False  # skip-stills auto mode (Main.hx:1083-1091)
     worker_steps_per_tick: int = 16
@@ -73,8 +74,10 @@ class Player:
             source = open_source(self.config.fname)
         loader: DataLoader
         if self.config.indexed:
-            loader = DataLoaderAVIIndexed(
-                storage_limit=self.config.buffer_mb * 1_000_000)
+            limit = (self.config.storage_limit_bytes
+                     if self.config.storage_limit_bytes is not None
+                     else self.config.buffer_mb * 1_000_000)
+            loader = DataLoaderAVIIndexed(storage_limit=limit)
         else:
             loader = DataLoaderAVISeq()
         self.manager = Manager(loader, num_buffers=self.config.num_buffers)
