@@ -71,8 +71,15 @@ class VideoIngestPipeline:
         return list(range(0, self.nframes, self.cfg.window))
 
     def __iter__(self) -> Iterator[dict]:
+        """Host→device pipeline parallelism (SURVEY.md §2 PP row): the device
+        step for window t is dispatched asynchronously (jax dispatch), then
+        the host stage for window t+1 runs while the device is busy; the
+        consumer's read of window t's tensors is the synchronization point.
+        The scan carry stays a device array — decoded pixels never round-trip
+        to host between windows."""
         vi = self.info
         W = self.cfg.window
+        pending = None
         for start in self._window_starts():
             chunk = []
             for r in self.readers:
@@ -80,9 +87,14 @@ class VideoIngestPipeline:
                 frames += [b""] * (W - len(frames))  # empty = no change
                 chunk.append(frames)
             if vi.codec == CodecType.SCREENPRESSOR:
-                yield self._decode_sp_window(chunk, start)
+                out = self._decode_sp_window(chunk, start)
             else:
-                yield self._decode_msv1_window(chunk, start)
+                out = self._decode_msv1_window(chunk, start)
+            if pending is not None:
+                yield pending
+            pending = out
+        if pending is not None:
+            yield pending
 
     # -- ScreenPressor ---------------------------------------------------------
 
@@ -149,7 +161,7 @@ class VideoIngestPipeline:
             init, jnp.array(bts), jnp.array(mv), jnp.array(rect),
             jnp.array(payload), jnp.array(changed), jnp.int32(0),
         )
-        self._carry = np.asarray(frames[:, -1])
+        self._carry = frames[:, -1]  # device-resident carry
         return self._emit(frames, signif, start)
 
     # -- MSVideo1 --------------------------------------------------------------
@@ -176,7 +188,7 @@ class VideoIngestPipeline:
             jnp.int32((self.cfg.insignificant_lines + 3) >> 2),
             jnp.int32(self.cfg.insignificant_lines), X // 4,
         )
-        self._carry = np.asarray(frames[:, -1])
+        self._carry = frames[:, -1]  # device-resident carry
         return self._emit(frames, signif, start)
 
     # -- shared ----------------------------------------------------------------
@@ -185,11 +197,11 @@ class VideoIngestPipeline:
         vi = self.info
         if getattr(self, "_carry", None) is None:
             return jnp.zeros((B, vi.height, vi.width), dtype=jnp.uint32)
-        return jnp.array(self._carry)
+        return self._carry
 
     def _emit(self, frames, signif, start) -> dict:
         out = {"start_frame": start, "frames_u32": frames,
-               "significant": np.asarray(signif)}
+               "significant": signif}
         if self.cfg.emit_model_input:
             out["model_input"] = to_model_input(
                 frames, dtype=jnp.dtype(self.cfg.model_dtype))

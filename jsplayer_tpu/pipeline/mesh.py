@@ -24,7 +24,12 @@ def make_mesh(
     gop: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (dp, gop) mesh over the available devices."""
+    """Build a (dp, gop) mesh over the available devices.
+
+    Multi-host: `jax.devices()` already spans all processes after
+    `jax.distributed.initialize()`; keep `gop` within one host's device count
+    so GOP-chain collectives ride ICI while the dp axis may cross hosts over
+    DCN (streams are independent — no cross-host traffic on dp)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
@@ -32,6 +37,25 @@ def make_mesh(
     assert dp * gop == n, f"dp({dp})*gop({gop}) != ndevices({n})"
     arr = np.array(devices).reshape(dp, gop)
     return Mesh(arr, ("dp", "gop"))
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialization wrapper — the framework's equivalent
+    of the reference's single transport (SURVEY.md §5.8: XHR only; here
+    jax.distributed handles cross-host coordination and XLA places
+    collectives on ICI within a slice / DCN across)."""
+    import jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def stream_sharding(mesh: Mesh) -> NamedSharding:
