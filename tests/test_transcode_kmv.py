@@ -1,0 +1,134 @@
+"""Transcoder (v2→v4 re-encode) and the K-distinct-mv device compose path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jsplayer_tpu.core.chunkbuffer import ChunkBuffer
+from jsplayer_tpu.core.riff import AviDemuxer
+from jsplayer_tpu.core.source import MemorySource
+from jsplayer_tpu.encode.avi_mux import mux_avi
+from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+from jsplayer_tpu.kernels.sp_recon import decode_sequence_kmv, prepare_kmv
+from jsplayer_tpu.pipeline.batch import stack_sp_commands
+from jsplayer_tpu.transcode import transcode_sp
+
+X, Y = 64, 32
+NPIX = X * Y
+
+
+def build_v2_avi(n=6):
+    enc = ScreenPressorEncoder(2, X, Y)
+    rng = np.random.default_rng(77)
+    f = np.full((Y, X), pack_rgb(4, 5, 6), dtype=np.uint32)
+    f = f.reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(n - 1):
+        nf = f.copy().reshape(Y, X)
+        if t % 2 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        else:
+            nf[8:12, 20:40] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    keys = [i == 0 for i in range(n)]
+    return mux_avi(streams, X, Y, 24, codec="SPV2", keyflags=keys), golds
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_transcode_v2_to_v4_pixel_parity(use_native):
+    from jsplayer_tpu import native
+
+    if use_native and not native.available():
+        pytest.skip("native unavailable")
+    avi, golds = build_v2_avi()
+    out = transcode_sp(avi, target_version=4, use_native=use_native)
+    # decode the transcoded file and compare pixels
+    from jsplayer_tpu.player import Player, PlayerConfig
+    from jsplayer_tpu.pipeline.manager import FrameResult
+
+    p = Player(PlayerConfig(indexed=False))
+    vi = p.load(MemorySource(out))
+    assert vi.nframes == len(golds)
+    for _ in range(500):
+        if p.tick() == FrameResult.DECOMPRESSED and p.first_shown:
+            break
+    fps = p.manager.fps
+    for t in (0, 2, len(golds) - 1):
+        p.seek_time(t / fps + 0.001)
+        for _ in range(300):
+            p.tick()
+            if p.manager.last_frame_drawn == t:
+                break
+        np.testing.assert_array_equal(
+            p.manager.buffers[p.manager._last_filled_buffer], golds[t],
+            err_msg=f"frame {t}")
+    # transcoded head bytes are v4 ((head>>4)+1 == 4)
+    buf = ChunkBuffer()
+    frames = []
+    d = AviDemuxer(buf, on_frame=frames.append)
+    d.start()
+    buf.add_chunk(out)
+    d.pump()
+    assert frames[0][0] in (0x32, 0x31)
+
+
+def test_kmv_device_path_bit_exact():
+    """prepare_kmv + decode_sequence_kmv vs golden frames (scrolls produce a
+    shared motion vector; paints produce data/subrect blocks)."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(5)
+    f = np.full((Y, X), pack_rgb(9, 9, 9), dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(5):
+        nf = f.copy().reshape(Y, X)
+        if t % 2 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        else:
+            nf[10:14, 20:44] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], X, Y)
+    pc, gp, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                              cmds["rect"][0, 0], cmds["payload"][0, 0])
+    frames = decode_sequence_kmv(
+        jnp.zeros((Y, X), jnp.uint32), jnp.array(pc), jnp.array(gp),
+        jnp.array(mvk), jnp.array(cmds["changed"][0, 0]))
+    frames = np.asarray(frames)
+    for t, g in enumerate(golds):
+        np.testing.assert_array_equal(frames[t].reshape(-1), g,
+                                      err_msg=f"frame {t}")
+
+
+def test_kmv_overflow_demotes_to_payload():
+    """More distinct vectors than K slots: overflow blocks must decode via
+    payload, still bit-exact."""
+    nbx, nby = X // 16, Y // 16
+    NB = nbx * nby
+    rng = np.random.default_rng(6)
+    prev = rng.integers(0, 1 << 24, (Y, X)).astype(np.uint32)
+    bts = np.full((1, NB), 3, dtype=np.int32)  # every block full motion
+    mv = np.zeros((1, NB, 2), dtype=np.int32)
+    # give each block its own vector → way more than K=2
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        mv[0, bi] = (min(bi % 3, X - 16 - bx * 16), min(bi % 2, Y - 16 - by * 16))
+    rect = np.zeros((1, NB, 4), dtype=np.int32)
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        rect[0, bi] = (bx * 16, by * 16, bx * 16 + 16, by * 16 + 16)
+    # payload = the true motion result (what the host decoder would emit)
+    want = np.zeros((Y, X), np.uint32)
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        mx, my = mv[0, bi]
+        want[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16] = \
+            prev[by * 16 + my : by * 16 + my + 16, bx * 16 + mx : bx * 16 + mx + 16]
+    payload = want[None].astype(np.uint32)
+    pc, gp, mvk = prepare_kmv(bts, mv, rect, payload, K=2)
+    frames = decode_sequence_kmv(
+        jnp.array(prev), jnp.array(pc), jnp.array(gp), jnp.array(mvk),
+        jnp.array([True]))
+    np.testing.assert_array_equal(np.asarray(frames)[0], want)
