@@ -58,3 +58,52 @@ class NativeScreenPressorCodec(VideoCodec):
         np.copyto(dst, view)
         self._prev = dst
         return PFrameResult(dst, sig)
+
+
+class NativeMsv1Codec(VideoCodec):
+    """VideoCodec adapter over the native MSVideo1 decoder (8/16-bit)."""
+
+    def __init__(self, width: int, height: int,
+                 palette: Optional[bytes] = None):
+        pal = None
+        if palette is not None:
+            pal = np.zeros(256, dtype=np.uint32)
+            n = min(256, len(palette) // 4)
+            if n:
+                pal[:n] = np.frombuffer(palette[: n * 4], dtype="<u4")
+        self._n = native.NativeMsv1(width, height, palette=pal)
+        self._prev: Optional[np.ndarray] = None
+
+    def preinit(self, insignificant_lines: int) -> None:
+        self._n.preinit(insignificant_lines)
+
+    def previous_frame(self) -> Optional[np.ndarray]:
+        return self._prev
+
+    def is_key_frame(self, data: bytes) -> bool:
+        # keyframe probing stays with the (cheap) oracle scan — the native
+        # decoder only paints; reuse the python implementation
+        from .msvideo1 import MSVideo1_8bit, MSVideo1_16bit
+
+        if getattr(self, "_probe", None) is None:
+            if self._n._pal is not None:
+                self._probe = MSVideo1_8bit(self._n.X, self._n.Y,
+                                            self._n._pal.astype("<u4").tobytes())
+            else:
+                self._probe = MSVideo1_16bit(self._n.X, self._n.Y)
+        return self._probe.is_key_frame(data)
+
+    def needs_index(self) -> bool:
+        return True
+
+    def decompress_i(self, src: bytes, dst: np.ndarray) -> DecoderState:
+        self.decompress_p(src, dst)
+        return DecoderState.ZERO
+
+    def decompress_p(self, src: bytes, dst: np.ndarray) -> PFrameResult:
+        view, sig = self._n.decompress(src, copy=False)
+        if view is None:
+            return PFrameResult(self._prev, sig)
+        np.copyto(dst, view)
+        self._prev = dst
+        return PFrameResult(dst, sig)

@@ -266,3 +266,53 @@ class NativeScreenPressorEncoder:
 
     def encode_flat(self, clr: int) -> bytes:
         return self._encode(np.full(1, clr, np.uint32), self.KIND_FLAT)
+
+
+class NativeMsv1:
+    """Native twin of codecs.msvideo1 MSVideo1_16bit/_8bit decode."""
+
+    def __init__(self, width: int, height: int,
+                 palette: Optional[np.ndarray] = None):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        lib.msv1_create.restype = ctypes.c_void_p
+        lib.msv1_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.msv1_destroy.argtypes = [ctypes.c_void_p]
+        lib.msv1_preinit.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.msv1_decompress.restype = ctypes.c_int
+        lib.msv1_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.msv1_latest.restype = ctypes.POINTER(ctypes.c_uint32)
+        lib.msv1_latest.argtypes = [ctypes.c_void_p]
+        self._pal = (np.ascontiguousarray(palette, np.uint32)
+                     if palette is not None else None)
+        palp = (self._pal.ctypes.data_as(ctypes.c_void_p)
+                if self._pal is not None else None)
+        self._h = lib.msv1_create(width, height, palp)
+        self.X, self.Y = width, height
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.msv1_destroy(self._h)
+            self._h = None
+
+    def preinit(self, insignificant_lines: int) -> None:
+        self._lib.msv1_preinit(self._h, insignificant_lines)
+
+    def decompress(self, data: bytes, copy: bool = True):
+        """→ (frame u32[X*Y] | None-if-no-change, signif)."""
+        dst = np.zeros(self.X * self.Y, dtype=np.uint32) if copy else None
+        dstp = dst.ctypes.data_as(ctypes.c_void_p) if copy else None
+        signif = ctypes.c_int(0)
+        r = self._lib.msv1_decompress(self._h, data, len(data), dstp,
+                                      ctypes.byref(signif))
+        if r != 0:
+            return None, bool(signif.value)
+        if copy:
+            return dst, bool(signif.value)
+        ptr = self._lib.msv1_latest(self._h)
+        return np.ctypeslib.as_array(ptr, shape=(self.X * self.Y,)), \
+            bool(signif.value)

@@ -2041,6 +2041,160 @@ struct SpEncoder {
   }
 };
 
+
+// ---------------------------------------------------------------------------
+// MSVideo1 frame decoder (paint; semantics = codecs/msvideo1.py)
+// ---------------------------------------------------------------------------
+
+struct Msv1Decoder {
+  int X, Y, nbx, nby;
+  bool is8 = false;
+  uint32_t pal[256] = {0};
+  std::vector<uint32_t> buf0, buf1;
+  std::vector<uint8_t> block_changes;  // per block row
+  int cur = 0;
+  bool has_prev = false;
+  int insignificant_blocks = 0, insign_lines = 0;
+
+  Msv1Decoder(int w, int h, const uint32_t* palette /*null=16bit*/)
+      : X(w), Y(h), nbx(w >> 2), nby(h >> 2) {
+    if (palette) {
+      is8 = true;
+      memcpy(pal, palette, 256 * 4);
+    }
+    buf0.assign((size_t)w * h, 0);
+    buf1.assign((size_t)w * h, 0);
+    block_changes.assign(nby, 0);
+  }
+  uint32_t* latest() { return cur == 0 ? buf0.data() : buf1.data(); }
+  uint32_t* older() { return cur == 0 ? buf1.data() : buf0.data(); }
+
+  void preinit(int lines) {
+    insignificant_blocks = (lines + 3) >> 2;
+    insign_lines = is8 ? 0 : lines;  // 8-bit quirk preserved
+  }
+  static uint32_t rgb15(uint32_t c) {
+    return ((c & 0x1F) << 3) | ((c & 0x3E0) << 6) | ((c & 0x7C00) << 9);
+  }
+
+  // => 0 decoded-new, 1 no-change; *signif out
+  int decompress(const uint8_t* src, size_t len, int* signif) {
+    *signif = 0;
+    uint32_t* d = older();
+    uint32_t* pv = latest();
+    size_t npix = (size_t)X * Y;
+    if (len == 0) return 1;
+    if (!is8) {  // 16-bit fast path: just-skips check (MSVideo1.hx:109)
+      size_t nblocks = (size_t)nbx * nby;
+      size_t sjs = (nblocks / 1023) * 2 + 10;
+      if (len < sjs) {
+        size_t si = 0, n = 0;
+        bool all_skip = true;
+        while (si + 1 < len) {
+          int a = src[si], b = src[si + 1];
+          if ((b & 0xFC) == 0x84) {
+            n += ((b - 0x84) << 8) + a;
+            if (n >= nblocks) break;
+          } else { all_skip = false; break; }
+          si += 2;
+        }
+        if (all_skip) return 1;
+      }
+    }
+    if (has_prev) memcpy(d, pv, npix * 4);
+    std::fill(block_changes.begin(), block_changes.end(), 0);
+    bool changes = false;
+    size_t si = 0;
+    int skip = 0;
+    bool ended = false;
+    for (int by = 0; by < nby && !ended; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        if (skip) { skip--; continue; }
+        if (si + 2 > len) { ended = true; break; }
+        int a = src[si], b = src[si + 1];
+        if (is8 && a + b == 0) { ended = true; break; }
+        si += 2;
+        size_t base = (size_t)by * 4 * X + bx * 4;
+        if ((b & 0xFC) == 0x84) {
+          skip = ((b - 0x84) << 8) + a - 1;
+          continue;
+        }
+        uint32_t cols[8];
+        uint8_t sel[16];
+        bool painted = true;
+        if (b < 0x80) {
+          if (is8) {
+            if (si + 2 > len) { ended = true; break; }
+            int flags = (b << 8) + a;
+            cols[1] = pal[src[si]];
+            cols[0] = pal[src[si + 1]];
+            si += 2;
+            for (int k = 0; k < 16; k++) sel[k] = (flags >> k) & 1;
+          } else {
+            if (si + 4 > len) { ended = true; break; }
+            int flags = ((b << 8) + a) ^ 0xFFFF;
+            uint32_t c0 = src[si] | ((uint32_t)src[si + 1] << 8);
+            uint32_t c1 = src[si + 2] | ((uint32_t)src[si + 3] << 8);
+            si += 4;
+            if (c0 & 0x8000) {
+              if (si + 12 > len) { ended = true; break; }
+              cols[0] = rgb15(c0);
+              cols[1] = rgb15(c1);
+              for (int k = 2; k < 8; k++) {
+                cols[k] = rgb15(src[si] | ((uint32_t)src[si + 1] << 8));
+                si += 2;
+              }
+              for (int k = 0; k < 16; k++) {
+                int y = k >> 2, x = k & 3;
+                sel[k] = (uint8_t)((((y & 2) << 1) + (x & 2)) + ((flags >> k) & 1));
+              }
+            } else {
+              cols[0] = rgb15(c0);
+              cols[1] = rgb15(c1);
+              for (int k = 0; k < 16; k++) sel[k] = (flags >> k) & 1;
+            }
+          }
+        } else if (is8 && b >= 0x90) {
+          if (si + 8 > len) { ended = true; break; }
+          int flags = ((b << 8) + a) ^ 0xFFFF;
+          for (int k = 0; k < 8; k++) cols[k] = pal[src[si + k]];
+          si += 8;
+          for (int k = 0; k < 16; k++) {
+            int y = k >> 2, x = k & 3;
+            sel[k] = (uint8_t)((((y & 2) << 1) + (x & 2)) + ((flags >> k) & 1));
+          }
+        } else {
+          uint32_t c = is8 ? pal[a] : rgb15((uint32_t)((b << 8) + a));
+          cols[0] = c;
+          for (int k = 0; k < 16; k++) sel[k] = 0;
+        }
+        if (painted) {
+          for (int k = 0; k < 16; k++)
+            d[base + (size_t)(k >> 2) * X + (k & 3)] = cols[sel[k]];
+          changes = true;
+          block_changes[by] = 1;
+        }
+      }
+    bool sg = false;
+    if (changes) {
+      for (int i = insignificant_blocks; i < nby; i++)
+        if (block_changes[i]) { sg = true; break; }
+    }
+    if (sg && has_prev) {
+      sg = false;
+      for (size_t i = (size_t)insign_lines * X; i < npix; i++)
+        if (d[i] != pv[i]) { sg = true; break; }
+    }
+    *signif = sg ? 1 : 0;
+    if (changes) {
+      cur ^= 1;
+      has_prev = true;
+      return 0;
+    }
+    return 1;
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -2196,5 +2350,22 @@ long spenc_encode(void* p, const uint32_t* frame, int kind) {
   return (long)e->out.size();
 }
 const uint8_t* spenc_data(void* p) { return ((SpEncoder*)p)->out.data(); }
+
+void* msv1_create(int width, int height, const uint32_t* palette) {
+  return new Msv1Decoder(width, height, palette);
+}
+void msv1_destroy(void* p) { delete (Msv1Decoder*)p; }
+void msv1_preinit(void* p, int insign_lines) {
+  ((Msv1Decoder*)p)->preinit(insign_lines);
+}
+// => 0 decoded-new / 1 no-change
+int msv1_decompress(void* p, const uint8_t* src, long len, uint32_t* dst,
+                    int* signif) {
+  Msv1Decoder* d = (Msv1Decoder*)p;
+  int r = d->decompress(src, (size_t)len, signif);
+  if (dst) memcpy(dst, d->latest(), (size_t)d->X * d->Y * 4);
+  return r;
+}
+const uint32_t* msv1_latest(void* p) { return ((Msv1Decoder*)p)->latest(); }
 
 }  // extern "C"

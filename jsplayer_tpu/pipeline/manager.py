@@ -72,9 +72,18 @@ def make_decoder(vi: VideoInfo, prefer_native: bool = True) -> VideoCodec:
 
                 return NativeScreenPressorCodec(vi.width, vi.height, vi.bpp)
         return ScreenPressor(vi.width, vi.height, vi.bpp)
-    if vi.codec == CodecType.MSVC16:
-        return MSVideo1_16bit(vi.width, vi.height)
-    if vi.codec == CodecType.MSVC8:
+    if vi.codec in (CodecType.MSVC16, CodecType.MSVC8):
+        if prefer_native:
+            from .. import native as _native
+
+            if _native.available():
+                from ..codecs.native_sp import NativeMsv1Codec
+
+                return NativeMsv1Codec(
+                    vi.width, vi.height,
+                    vi.palette if vi.codec == CodecType.MSVC8 else None)
+        if vi.codec == CodecType.MSVC16:
+            return MSVideo1_16bit(vi.width, vi.height)
         return MSVideo1_8bit(vi.width, vi.height, vi.palette or b"")
     raise ValueError(vi.codec)
 

@@ -113,3 +113,32 @@ def test_msv1_parse_native_parity(bits, seed):
         np.testing.assert_array_equal(sel_n, sel_p)
         np.testing.assert_array_equal(col_n, col_p)
         assert chg_n == chg_p
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+def test_msv1_native_decode_parity(bits):
+    from jsplayer_tpu.codecs.msvideo1 import MSVideo1_8bit, MSVideo1_16bit
+    from jsplayer_tpu.encode.msv1_enc import random_stream_8, random_stream_16
+
+    rng = np.random.default_rng(500 + bits)
+    pal = (rng.integers(0, 2 ** 32, 256, dtype=np.uint64).astype(np.uint32)
+           if bits == 8 else None)
+    orc = (MSVideo1_8bit(X, Y, pal.astype("<u4").tobytes()) if bits == 8
+           else MSVideo1_16bit(X, Y))
+    orc.preinit(8)
+    nat = native.NativeMsv1(X, Y, palette=pal)
+    nat.preinit(8)
+    prev = None
+    for t in range(10):
+        s = (random_stream_16(rng, X, Y, t > 0) if bits == 16
+             else random_stream_8(rng, X, Y, t > 0))
+        dst = np.zeros(NPIX, dtype=np.uint32)
+        res = orc.decompress_p(s, dst)
+        fr, sig = nat.decompress(s)
+        if res.data is None:
+            assert fr is None
+            continue
+        got = fr if fr is not None else prev
+        np.testing.assert_array_equal(got, res.data, err_msg=f"frame {t}")
+        assert sig == res.significant_changes
+        prev = None if got is None else got.copy()
