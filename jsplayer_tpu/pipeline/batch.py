@@ -52,9 +52,13 @@ def stack_msv1_commands(
     sel = np.zeros((B, T_total, nb, 16), dtype=np.uint8)
     col = np.zeros((B, T_total, nb, 8), dtype=np.uint32)
     chg = np.zeros((B, T_total), dtype=bool)
+    from .. import native as _native
+
+    nat_parse = _native.native_msv1_parse if _native.available() else None
     for b, frames in enumerate(streams):
         for t, src in enumerate(frames):
-            bt[b, t], sel[b, t], col[b, t], chg[b, t] = msv1.parse_commands(
+            parse = nat_parse or msv1.parse_commands
+            bt[b, t], sel[b, t], col[b, t], chg[b, t] = parse(
                 src, X, Y, pal=pal
             )
     rs = lambda a: a.reshape(B, gops, Tg, *a.shape[2:])

@@ -176,9 +176,13 @@ class VideoIngestPipeline:
         sel = np.zeros((B, T, nb, 16), dtype=np.uint8)
         col = np.zeros((B, T, nb, 8), dtype=np.uint32)
         chg = np.zeros((B, T), dtype=bool)
+        from .. import native as _native
+
+        parse = (_native.native_msv1_parse if _native.available()
+                 else parse_commands)
         for b, frames in enumerate(chunk):
             for t, src in enumerate(frames):
-                bt[b, t], sel[b, t], col[b, t], chg[b, t] = parse_commands(
+                bt[b, t], sel[b, t], col[b, t], chg[b, t] = parse(
                     src, X, Y, pal=pal)
         init = self._carry_init(B)
         valid = jnp.array([start > 0] * B)

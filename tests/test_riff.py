@@ -138,3 +138,67 @@ def test_start_from_middle():
     d.pump()
     # gets frames 2..5, then runs into idx1 (skipped) and EOF
     assert frames == payloads[2:]
+
+
+def test_zero_length_frames_and_truncation():
+    """Zero-length 00dc chunks (no-change placeholders) demux as empty
+    payloads; a truncated tail finishes quietly with the frames parsed so far
+    (the reference's resumable-parser behavior on EOF)."""
+    payloads = [b"abc", b"", b"defgh", b"", b"xy"]
+    avi = mux_avi(payloads, 16, 16, 16, codec="CRAM")
+    frames, _, infos, *_ = _demux_all(avi, chunk_size=7)
+    assert frames == payloads
+    # truncate mid-movi: demuxer must surface only complete chunks
+    cut = avi.find(b"defgh") + 2
+    buf = ChunkBuffer()
+    got = []
+    d = AviDemuxer(buf, on_frame=got.append)
+    d.start()
+    buf.add_chunk(avi[:cut])
+    d.pump()
+    d.signal_eof()
+    d.pump()
+    assert got == payloads[:2]
+    assert d.finished
+
+
+def test_player_skips_zero_length_frames():
+    """Zero-length frames decode as 'no change' end-to-end (the loader's
+    placeholder-skip path, DataLoaderAVISeq.add_frame:34-39)."""
+    import numpy as np
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+    from jsplayer_tpu.pipeline.manager import FrameResult
+    from jsplayer_tpu.player import Player, PlayerConfig
+
+    X2 = Y2 = 32
+    f0 = np.full(X2 * Y2, from_rgb15(0x1234), dtype=np.uint32)
+    f1 = f0.copy()
+    f1[100:110] = from_rgb15(0x4321)
+    streams = [encode_frame_16(f0, None, X2, Y2), b"",
+               encode_frame_16(f1, f0, X2, Y2)]
+    avi = mux_avi(streams, X2, Y2, 16, codec="CRAM",
+                  keyflags=[True, False, False])
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    for _ in range(300):
+        if p.tick() == FrameResult.DECOMPRESSED and p.first_shown:
+            break
+    for _ in range(100):
+        p.manager.worker()
+    fps = p.manager.fps
+    # frame 1 (empty) must show frame 0's pixels
+    p.seek_time(1 / fps + 0.001)
+    for _ in range(200):
+        p.tick()
+        if p.manager.last_frame_drawn >= 1:
+            break
+    m = p.manager
+    np.testing.assert_array_equal(m.buffers[m._last_filled_buffer], f0)
+    p.seek_time(2 / fps + 0.001)
+    for _ in range(200):
+        p.tick()
+        if p.manager.last_frame_drawn == 2:
+            break
+    np.testing.assert_array_equal(m.buffers[m._last_filled_buffer], f1)
