@@ -46,10 +46,6 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-
     lib.sp_create.restype = ctypes.c_void_p
     lib.sp_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sp_destroy.argtypes = [ctypes.c_void_p]
