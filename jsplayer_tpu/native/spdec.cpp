@@ -962,6 +962,9 @@ struct EntroRC {
   int my() { return rc.decode_val(mvtab1.data(), MSR_Y * 2, 100); }
 };
 
+static uint32_t* g_oplog = nullptr;
+static long g_oplog_cap = 0, g_oplog_n = 0;
+
 struct EntroANS {
   Rans rans;
   int n_dec = 0;
@@ -1002,37 +1005,51 @@ struct EntroANS {
     Context& dcx = cntab[cxi];
     int c;
     uint32_t f, cf;
+    int raw = 0;
     if (dcx.decode(rans.dec_get(), &c, &f, &cf)) {
       rans.dec_advance(cf, f);
     } else {
       c = rans.raw();
       dcx.update(c);
+      raw = 1;
     }
+    if (g_oplog && g_oplog_n < g_oplog_cap)
+      g_oplog[g_oplog_n++] = ((uint32_t)cxi << 9) | ((uint32_t)raw << 8) | (uint32_t)c;
     tick();
     return c;
   }
   bool dbool() {
     uint32_t f = rans.dec_get();
     bool flag = f >= (PROB_SCALE >> 1);
+    if (g_oplog && g_oplog_n < g_oplog_cap - 1) {
+      g_oplog[g_oplog_n++] = 0x80000000u | (60u << 21) | (f << 9) | (flag ? 1 : 0);
+      g_oplog[g_oplog_n++] = 0xC0000000u | ((flag ? 2048u : 0u) << 13) | 2048u;
+    }
     rans.dec_advance(flag ? (PROB_SCALE >> 1) : 0, PROB_SCALE >> 1);
     tick();
     return flag;
   }
-  int fdec(FixedCtx& t) {
+  int fdec(FixedCtx& t, int tag) {
     uint32_t f, cf;
-    int c = t.decode(rans.dec_get(), &f, &cf);
+    uint32_t sf = rans.dec_get();
+    int c = t.decode(sf, &f, &cf);
     rans.dec_advance(cf, f);
+    if (g_oplog && g_oplog_n < g_oplog_cap - 1) {
+      g_oplog[g_oplog_n++] = 0x80000000u | ((uint32_t)tag << 21)
+                             | (sf << 9) | (uint32_t)c;
+      g_oplog[g_oplog_n++] = 0xC0000000u | (cf << 13) | f;
+    }
     tick();
     return c;
   }
-  int nrun(int pt) { return fdec(ntab[pt]); }
-  int ptype(int pt) { return fdec(ptypetab[pt]); }
-  int xx() { return fdec(xxtab); }
-  int bt() { return fdec(bttab); }
-  int bn() { return fdec(ntab2); }
-  int sxy(int n) { return fdec(sxytab[n]); }
-  int mx() { return fdec(mvtab[0]); }
-  int my() { return fdec(mvtab[1]); }
+  int nrun(int pt) { return fdec(ntab[pt], 10 + pt); }
+  int ptype(int pt) { return fdec(ptypetab[pt], 20 + pt); }
+  int xx() { return fdec(xxtab, 30); }
+  int bt() { return fdec(bttab, 31); }
+  int bn() { return fdec(ntab2, 32); }
+  int sxy(int n) { return fdec(sxytab[n], 40 + n); }
+  int mx() { return fdec(mvtab[0], 50); }
+  int my() { return fdec(mvtab[1], 51); }
 };
 
 // ---------------------------------------------------------------------------
@@ -1266,15 +1283,17 @@ struct SpDecoder {
     size_t end = (size_t)X * Y;
     uint32_t* d = older();       // becomes the new frame
     uint32_t* pv = latest();     // previous frame
-    // Sparse pre-copy: a block needs prev content in d unless it is fully
-    // painted this frame (bts 1 data / 3 motion); and only if the previous
-    // frame actually changed it (touched), since d otherwise already holds
-    // identical t-2 content.
+    // Sparse pre-copy: d holds t-2 content; blocks the previous frame did
+    // not touch already equal t-1 there, so only touched blocks need the
+    // copy.  Fully-painted blocks (bts 1/3) must ALSO be copied when
+    // touched: data-block predictor runs that wrap at x==0 read the
+    // rightmost pixel of the previous row — a block processed later this
+    // frame — and must see t-1 content there (the oracle's wholesale
+    // pre-copy semantics, codecs/screenpressor.py).
     for (int by = 0; by < nby; by++)
       for (int bx = 0; bx < nbx; bx++) {
         size_t bi = (size_t)by * nbx + bx;
-        int bt = bts[bi];
-        if ((bt == 1 || bt == 3) || !touched[bi]) continue;
+        if (!touched[bi]) continue;
         int cx1b = bx * 16, cx2b = cx1b + 16 > X ? X : cx1b + 16;
         int cy1b = by * 16, cy2b = cy1b + 16 > Y ? Y : cy1b + 16;
         for (int y = cy1b; y < cy2b; y++)
@@ -2244,6 +2263,61 @@ int sp_decompress(void* p, const uint8_t* src, long len, int is_key,
   }
   return d->decompress_p(src, (size_t)len, dst, signif, cap_bts, cap_mv,
                          cap_rect);
+}
+// debug: export clr-context kinds (0..7) and coarse state fingerprints
+void sp_debug_oplog(uint32_t* buf, long cap) {
+  g_oplog = buf;
+  g_oplog_cap = cap;
+  g_oplog_n = 0;
+}
+long sp_debug_oplog_count() { return g_oplog_n; }
+
+static uint32_t fixed_fp(const FixedCtx& t) {
+  uint32_t h = t.cntsum;
+  for (int j = 0; j < t.nsym; j++)
+    h = h * 131 + t.freq[j] * 3 + t.cumfreq[j] * 5 + t.cnts[j];
+  return h;
+}
+// ftabs: 6 ntab + 6 ptype + xx + ntab2 + bt + 4 sxy + 2 mv = 21 entries
+void sp_debug_ftabs(void* p, uint32_t* out) {
+  SpDecoder* d = (SpDecoder*)p;
+  if (!d->ans) return;
+  int k = 0;
+  for (int i = 0; i < NCXMAX; i++) out[k++] = fixed_fp(d->ans->ntab[i]);
+  for (int i = 0; i < 6; i++) out[k++] = fixed_fp(d->ans->ptypetab[i]);
+  out[k++] = fixed_fp(d->ans->xxtab);
+  out[k++] = fixed_fp(d->ans->ntab2);
+  out[k++] = fixed_fp(d->ans->bttab);
+  for (int i = 0; i < 4; i++) out[k++] = fixed_fp(d->ans->sxytab[i]);
+  for (int i = 0; i < 2; i++) out[k++] = fixed_fp(d->ans->mvtab[i]);
+}
+void sp_debug_ctx(void* p, uint8_t* kinds, uint32_t* fp) {
+  SpDecoder* d = (SpDecoder*)p;
+  if (!d->ans) return;
+  for (size_t i = 0; i < d->ans->cntab.size(); i++) {
+    Context& c = d->ans->cntab[i];
+    kinds[i] = (uint8_t)c.kind;
+    uint32_t h = 0;
+    if (c.kind >= K1 && c.kind <= K3) {
+      h = c.list_d;
+      for (int j = 0; j < c.list_d; j++) h = h * 131 + c.list[j];
+    } else if (c.kind == K4 || c.kind == K5) {
+      h = c.sc->d * 1000003u + c.sc->maxpos;
+      for (int j = 0; j < c.sc->d; j++)
+        h = h * 131 + c.sc->symbols[j] * 7 + c.sc->freqs[j];
+      if (c.kind == K5) h = h * 131 + c.sc->cntsum;
+    } else if (c.kind == K6) {
+      h = c.c6->d * 1000003u + c.c6->fshift * 31 + c.c6->cntsum;
+      for (int j = 0; j < c.c6->d; j++)
+        h = h * 131 + c.c6->symbols[j] * 7 + c.c6->freq[j] * 3
+            + c.c6->cumfreq[j] * 5 + c.c6->cnts[j];
+    } else if (c.kind == K7) {
+      h = c.c7->cntsum;
+      for (int j = 0; j < 256; j++)
+        h = h * 131 + c.c7->freq[j] * 3 + c.c7->cumfreq[j] * 5 + c.c7->cnts[j];
+    }
+    fp[i] = h;
+  }
 }
 const uint32_t* sp_prev_frame(void* p, int* has) {
   SpDecoder* d = (SpDecoder*)p;

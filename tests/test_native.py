@@ -142,3 +142,34 @@ def test_msv1_native_decode_parity(bits):
         np.testing.assert_array_equal(got, res.data, err_msg=f"frame {t}")
         assert sig == res.significant_changes
         prev = None if got is None else got.copy()
+
+
+def test_sparse_copy_forward_read_regression():
+    """Regression (caught by soak): a data-rect row-start at x==0 reads the
+    rightmost pixel of the previous row — a block processed LATER this frame.
+    The native decoder's sparse pre-copy must therefore also copy blocks that
+    are fully painted this frame when the previous frame touched them,
+    matching the oracle's wholesale prev pre-copy semantics."""
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
+
+    X2 = Y2 = 32  # 2x2 block grid
+    A, B, C = pack_rgb(10, 10, 10), pack_rgb(99, 50, 25), pack_rgb(1, 2, 3)
+    enc = ScreenPressorEncoder(4, X2, Y2)
+    f0 = np.full((Y2, X2), A, dtype=np.uint32)
+    f1 = f0.copy()
+    f1[16:32, 16:32] = B  # touch block (1,1)
+    f2 = f1.copy()
+    f2[17:32, 0:16] = B  # block (1,0): ptype-1 runs whose row starts read
+    f2[16:32, 16:32] = C  # block (1,1): fully repainted this frame
+    streams = [enc.encode_i(f0.reshape(-1)), enc.encode_p(f1.reshape(-1)),
+               enc.encode_p(f2.reshape(-1))]
+    golds = [f0, f1, f2]
+    nat = native.NativeScreenPressor(X2, Y2, 24)
+    nat.preinit(0)
+    prev = None
+    for t, s in enumerate(streams):
+        fr, _, _ = nat.decompress(s, nat.is_key_frame(s))
+        got = fr if fr is not None else prev
+        np.testing.assert_array_equal(got.reshape(Y2, X2), golds[t],
+                                      err_msg=f"frame {t}")
+        prev = np.array(got, copy=True)
