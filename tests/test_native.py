@@ -173,3 +173,41 @@ def test_sparse_copy_forward_read_regression():
         np.testing.assert_array_equal(got.reshape(Y2, X2), golds[t],
                                       err_msg=f"frame {t}")
         prev = np.array(got, copy=True)
+
+
+@pytest.mark.parametrize("version", [2, 3, 4])
+def test_soak_random_chain(version):
+    """Scaled-down soak: 40-frame random evolution (scrolls both axes, noise,
+    paints, row fills, stills) — native encode → native decode must be
+    pixel-exact throughout (this pattern caught the sparse-copy bug)."""
+    rng = np.random.default_rng(9000 + version)
+    enc = native.NativeScreenPressorEncoder(version, X, Y)
+    nat = native.NativeScreenPressor(X, Y, 24)
+    nat.preinit(16)
+    f = np.full((Y, X), pack_rgb(8, 8, 8), dtype=np.uint32).reshape(-1)
+    prev = None
+    for t in range(40):
+        nf = f.copy().reshape(Y, X)
+        op = rng.integers(0, 6)
+        if op == 0:
+            sh = int(rng.integers(1, 9))
+            nf[sh:, :] = nf[:-sh, :].copy()
+        elif op == 1:
+            x0, y0 = int(rng.integers(0, X - 8)), int(rng.integers(0, Y - 8))
+            nf[y0 : y0 + 6, x0 : x0 + 6] = rng.integers(
+                0, 1 << 24, (6, 6), dtype=np.uint32)
+        elif op == 2:
+            pass
+        elif op == 3:
+            x0, y0 = int(rng.integers(0, X - 20)), int(rng.integers(0, Y - 12))
+            nf[y0 : y0 + 10, x0 : x0 + 18] = pack_rgb(*rng.integers(0, 256, 3))
+        elif op == 4:
+            nf[:, 2:] = nf[:, :-2].copy()
+        else:
+            nf[int(rng.integers(0, Y - 2)), :] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        data = enc.encode_i(f) if t % 17 == 0 else enc.encode_p(f)
+        fr, _, _ = nat.decompress(data, nat.is_key_frame(data))
+        got = fr if fr is not None else prev
+        np.testing.assert_array_equal(got, f, err_msg=f"v{version} t={t}")
+        prev = np.array(got, copy=True)
