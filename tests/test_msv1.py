@@ -280,3 +280,29 @@ def test_device_parity_encoded_chain():
         np.testing.assert_array_equal(dev_frames[t], frames_px[t])
         np.testing.assert_array_equal(dev_frames[t], oracle_frames[t])
         assert bool(dev_sigs[t]) == bool(oracle_sigs[t])
+
+
+def test_msv1_content_soak_native():
+    """Content-driven 30-frame chain through encoder → native decoder →
+    device command parity (sel/colors paths under realistic skip mixes)."""
+    from jsplayer_tpu import native as _native
+
+    if not _native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(42)
+    f = rand_frame_rgb15(rng)
+    frames = [f]
+    for _ in range(29):
+        frames.append(mutate_some_blocks(rng, frames[-1], rand_frame_rgb15(rng)))
+    nat = _native.NativeMsv1(X, Y)
+    nat.preinit(8)
+    dec = MSVideo1_16bit(X, Y)
+    dec.preinit(8)
+    prev = None
+    for t, fpx in enumerate(frames):
+        s = encode_frame_16(fpx, prev, X, Y)
+        fr, _ = nat.decompress(s)
+        got = fr if fr is not None else prev_px
+        np.testing.assert_array_equal(got, fpx, err_msg=f"frame {t}")
+        prev_px = np.array(got, copy=True)
+        prev = fpx

@@ -211,3 +211,24 @@ def test_soak_random_chain(version):
         got = fr if fr is not None else prev
         np.testing.assert_array_equal(got, f, err_msg=f"v{version} t={t}")
         prev = np.array(got, copy=True)
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_rans_B_boundary_reinit(version):
+    """Noise I-frame with >131072 counted symbols crosses the rANS B-reinit
+    several times (ANS.hx:10; chunked reverse encoder framing) — native and
+    oracle must both round-trip it."""
+    Xb, Yb = 512, 256
+    rng = np.random.default_rng(version)
+    f = rng.integers(0, 1 << 24, (Yb, Xb), dtype=np.uint32).reshape(-1)
+    enc = native.NativeScreenPressorEncoder(version, Xb, Yb)
+    data = enc.encode_i(f)
+    nat = native.NativeScreenPressor(Xb, Yb, 24)
+    nat.preinit(0)
+    fr, _, _ = nat.decompress(data, True)
+    np.testing.assert_array_equal(fr, f)
+    orc = ScreenPressor(Xb, Yb, 24)
+    orc.preinit(0)
+    dst = np.zeros(Xb * Yb, dtype=np.uint32)
+    orc.decompress_i(data, dst)
+    np.testing.assert_array_equal(dst, f)
