@@ -114,3 +114,46 @@ def test_mp3_to_audio_track_integration():
     # watermark reaches at least through the first short section
     assert at.time_loaded >= (FRAMES_IN_SECTION - 4) * 1152 / rate - 1e-6
     assert at.time_loaded <= total + 1e-6
+
+
+@pytest.mark.parametrize("bitrate_idx,sampling_idx", [(9, 0), (14, 1), (1, 2)])
+def test_frame_size_variants(bitrate_idx, sampling_idx):
+    """Bitrate/sampling table coverage (MP3Parser.hx:124-142)."""
+    from jsplayer_tpu.encode.mp3_synth import make_frames
+
+    stream, n, rate = make_frames(8, bitrate_idx=bitrate_idx,
+                                  sampling_idx=sampling_idx)
+    buf = ChunkBuffer()
+    p = Mp3Parser(buf)
+    buf.add_chunk(stream)
+    p.parse()
+    p.on_data_end()
+    p.parse()
+    lasts = [s for s in p.sections if s.last]
+    assert lasts and lasts[0].nframes == 8
+    assert lasts[0].sample_rate == rate
+
+
+def test_padding_bit_changes_size():
+    from jsplayer_tpu.av.mp3 import frame_size
+    from jsplayer_tpu.encode.mp3_synth import make_header
+
+    s0, r0 = frame_size(make_header(padding=0))
+    s1, r1 = frame_size(make_header(padding=1))
+    assert s1 == s0 + 1 and r0 == r1
+
+
+def test_mixed_frame_sizes_stream():
+    """Frames with different bitrates in one stream parse individually."""
+    from jsplayer_tpu.encode.mp3_synth import make_frames
+
+    a, na, ra = make_frames(3, bitrate_idx=9)
+    b, nb_, rb = make_frames(3, bitrate_idx=12)
+    buf = ChunkBuffer()
+    p = Mp3Parser(buf)
+    buf.add_chunk(a + b)
+    p.parse()
+    p.on_data_end()
+    p.parse()
+    lasts = [s for s in p.sections if s.last]
+    assert lasts and lasts[0].nframes == 6
