@@ -1,0 +1,102 @@
+"""On-chip validation + benchmarking, run when the TPU is reachable.
+
+Usage: python scripts/tpu_validate.py
+Runs: (1) kernel compile checks (pallas patch, MXU shuffle), (2) on-chip
+parity vs host-decoded golds, (3) the multi-strategy bench, (4) fused
+epilogue bench.  Appends results to TPU_RESULTS.md.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:", jax.devices())
+    results = {}
+
+    # 1. small on-chip parity of all SP motion strategies vs golds
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.pipeline.batch import stack_sp_commands
+    from jsplayer_tpu.kernels import sp_recon
+
+    X, Y = 256, 128
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(0)
+    f = np.full((Y, X), pack_rgb(7, 7, 7), dtype=np.uint32)
+    f = f.reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(6):
+        nf = f.copy().reshape(Y, X)
+        if t % 2 == 0:
+            nf[4:, :] = nf[:-4, :].copy()
+        else:
+            nf[10:30, 40:200] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], X, Y)
+    args = (jnp.zeros((Y, X), jnp.uint32),
+            jnp.array(cmds["bts"][0, 0]), jnp.array(cmds["mv"][0, 0]),
+            jnp.array(cmds["rect"][0, 0]), jnp.array(cmds["payload"][0, 0]),
+            jnp.array(cmds["changed"][0, 0]), jnp.int32(0))
+
+    frames, _ = sp_recon.decode_sequence(*args)
+    ok = all(np.array_equal(np.asarray(frames[t]).reshape(-1), golds[t])
+             for t in range(len(golds)))
+    results["xla_parity"] = ok
+    print("xla parity:", ok)
+
+    try:
+        from jsplayer_tpu.kernels.sp_motion_pallas import decode_sequence_fused
+        frames, _ = decode_sequence_fused(*args)
+        ok = all(np.array_equal(np.asarray(frames[t]).reshape(-1), golds[t])
+                 for t in range(len(golds)))
+        results["pallas_patch_parity"] = ok
+    except Exception as e:
+        results["pallas_patch_parity"] = f"compile-fail: {str(e)[:160]}"
+    print("pallas patch:", results["pallas_patch_parity"])
+
+    try:
+        from jsplayer_tpu.kernels.sp_motion_mxu import compose_frame_mxu_safe
+        from jsplayer_tpu.kernels.sp_recon import block_broadcast
+        prev = jnp.array(golds[0].reshape(Y, X))
+        bts = jnp.array(cmds["bts"][0, 0, 1])
+        mv = jnp.array(cmds["mv"][0, 0, 1])
+        rect = jnp.array(cmds["rect"][0, 0, 1])
+        payload = jnp.array(cmds["payload"][0, 0, 1])
+        nbx = X // 16
+        NB = bts.shape[0]
+        yy = np.mgrid[0:Y, 0:X][0]; xx = np.mgrid[0:Y, 0:X][1]
+        bi = (yy >> 4) * nbx + (xx >> 4)
+        b = np.asarray(bts)[bi]; r = np.asarray(rect)[bi]
+        in_rect = ((xx >= r[..., 0]) & (xx < r[..., 2])
+                   & (yy >= r[..., 1]) & (yy < r[..., 3]))
+        is_data = (b > 0) & (b != 3) & in_rect
+        paycode = (np.asarray(payload) & 0xFFFFFF) | (is_data.astype(np.uint32) << 24)
+        by = (np.arange(NB) // nbx) * 16; bx = (np.arange(NB) % nbx) * 16
+        src_yx = np.stack([by + np.asarray(mv)[:, 1], bx + np.asarray(mv)[:, 0]], -1)
+        out = compose_frame_mxu_safe(prev, jnp.array(paycode),
+                                     jnp.array(src_yx.astype(np.int32)),
+                                     jnp.array((np.asarray(bts) == 3).astype(np.int32)))
+        want = np.asarray(sp_recon.compose_frame(prev, bts, mv, rect, payload))
+        results["mxu_parity"] = bool(np.array_equal(np.asarray(out), want))
+    except Exception as e:
+        results["mxu_parity"] = f"compile-fail: {str(e)[:160]}"
+    print("mxu shuffle:", results["mxu_parity"])
+
+    # 2. bench
+    import bench
+    print("running bench...")
+    bench.main()
+
+    with open("TPU_RESULTS.md", "a") as fh:
+        fh.write(f"\n## tpu_validate @ {time.ctime()}\n{json.dumps(results, indent=2)}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -232,3 +232,23 @@ def test_rans_B_boundary_reinit(version):
     dst = np.zeros(Xb * Yb, dtype=np.uint32)
     orc.decompress_i(data, dst)
     np.testing.assert_array_equal(dst, f)
+
+
+def test_rc_renorm_heavy_v2_big_noise():
+    """v2 range coder under heavy adaptation: a noise I-frame large enough to
+    drive many BOT-boundary halvings (RangeCoder.hx:70-77, 113-127) and table
+    rescans — native and oracle must both round-trip it."""
+    Xb, Yb = 256, 128
+    rng = np.random.default_rng(2)
+    f = rng.integers(0, 1 << 24, (Yb, Xb), dtype=np.uint32).reshape(-1)
+    enc = native.NativeScreenPressorEncoder(2, Xb, Yb)
+    data = enc.encode_i(f)
+    nat = native.NativeScreenPressor(Xb, Yb, 24)
+    nat.preinit(0)
+    fr, _, _ = nat.decompress(data, True)
+    np.testing.assert_array_equal(fr, f)
+    orc = ScreenPressor(Xb, Yb, 24)
+    orc.preinit(0)
+    dst = np.zeros(Xb * Yb, dtype=np.uint32)
+    orc.decompress_i(data, dst)
+    np.testing.assert_array_equal(dst, f)
