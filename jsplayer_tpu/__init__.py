@@ -1,0 +1,34 @@
+"""jsplayer_tpu — TPU-native batched video-decode framework.
+
+From-scratch re-build of thedeemon/jsplayer's capabilities (ScreenPressor
+v2/v3/v4 + MSVideo1 AVI streaming playback) as a jax/XLA/Pallas + C++
+pipeline for ML ingestion and headless serving.  See README.md for the
+architecture and SURVEY.md for the behavior contract.
+
+Public surface:
+  Player / PlayerConfig          — interactive playback API (Main.hx parity)
+  VideoIngestPipeline            — batched AVI → model-tensor windows
+  transcode_sp                   — re-encode SP streams between versions
+  open_source                    — byte-range sources (file / memory)
+"""
+
+__version__ = "0.1.0"
+
+from .core.source import ByteSource, FileSource, MemorySource, open_source  # noqa: F401
+from .core.types import CodecType, VideoInfo  # noqa: F401
+
+
+def __getattr__(name):  # lazy imports: keep `import jsplayer_tpu` light
+    if name in ("Player", "PlayerConfig"):
+        from . import player
+
+        return getattr(player, name)
+    if name in ("VideoIngestPipeline", "IngestConfig"):
+        from .pipeline import ingest
+
+        return getattr(ingest, name)
+    if name == "transcode_sp":
+        from .transcode import transcode_sp
+
+        return transcode_sp
+    raise AttributeError(name)

@@ -202,3 +202,32 @@ def test_player_skips_zero_length_frames():
         if p.manager.last_frame_drawn == 2:
             break
     np.testing.assert_array_equal(m.buffers[m._last_filled_buffer], f1)
+
+
+def test_demux_garbage_robustness():
+    """Random garbage and hostile chunk sizes must neither hang nor crash the
+    demuxer (it may simply find nothing)."""
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        junk = rng.integers(0, 256, int(rng.integers(10, 4000))).astype("u1").tobytes()
+        buf = ChunkBuffer()
+        frames = []
+        d = AviDemuxer(buf, on_frame=frames.append)
+        d.start()
+        for i in range(0, len(junk), 113):
+            buf.add_chunk(junk[i : i + 113])
+            d.pump()
+        d.signal_eof()
+        d.pump()
+        assert d.finished or not d.active
+    # a RIFF header with an absurd size field
+    evil = b"RIFF" + (0xFFFFFFF0).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+    buf = ChunkBuffer()
+    d = AviDemuxer(buf, on_frame=lambda b: None)
+    d.start()
+    buf.add_chunk(evil)
+    for _ in range(10):
+        d.pump()
+    d.signal_eof()
+    d.pump()
+    assert d.finished
