@@ -159,6 +159,17 @@ class Player:
             self.on_next_change(t)
         return t
 
+    def thumbnail(self):
+        """Decode and return the first frame's RGBA (u32 [H*W]) without
+        starting playback — the ≙ of the -Dwait thumbnail/deferred-load mode
+        (Main.hx:266-276, 406-426)."""
+        from .pipeline.manager import FrameResult
+
+        for _ in range(100000):
+            if self.tick() == FrameResult.DECOMPRESSED and self.first_shown:
+                break
+        return self.manager.get_rgba()
+
     def resize(self, width: int, height: int) -> tuple[int, int]:
         """≙ spresize (Main.resizePlayer, Main.hx:1327-1338): aspect-fit."""
         vi = self.video_info
