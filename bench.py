@@ -109,9 +109,12 @@ def main() -> None:
             return jax.lax.fori_loop(0, REPS, body, jnp.uint32(0))
 
         int(loop())  # compile + warm (readback forces completion)
-        t0 = time.perf_counter()
-        int(loop())
-        return T * REPS / (time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: tunnel/dispatch variance is large
+            t0 = time.perf_counter()
+            int(loop())
+            best = min(best, time.perf_counter() - t0)
+        return T * REPS / best
 
     results = {}
     # strategy 1: general XLA compose (arbitrary-gather motion)
@@ -122,11 +125,10 @@ def main() -> None:
         results["xla"] = None
     # strategy 2: K-distinct-motion-vector compose (gather-free)
     try:
-        pc, gp, mvk = sp_recon.prepare_kmv(
+        pc, mvk = sp_recon.prepare_kmv(
             np.asarray(bts), np.asarray(mv), np.asarray(rect),
-            np.asarray(payload))
-        kdev = jax.device_put((init, jnp.array(pc), jnp.array(gp),
-                               jnp.array(mvk), changed))
+            np.asarray(payload), K=2)
+        kdev = jax.device_put((init, jnp.array(pc), jnp.array(mvk), changed))
         results["kmv"] = timed(
             lambda: sp_recon.decode_sequence_kmv(*kdev))
     except Exception:  # noqa: BLE001

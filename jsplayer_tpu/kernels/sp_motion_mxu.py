@@ -74,7 +74,9 @@ def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
             ).wait()
             ry = sy - ay  # 0..7
             rx = sx - ax  # 0..127
-            win = scratch[bx].astype(jnp.float32)  # [24, 256]
+            # Mosaic lacks a direct u32→f32 cast: bitcast to i32 first
+            # (values are 24-bit pixels, so i32 is lossless and positive)
+            win = pltpu.bitcast(scratch[bx], jnp.int32).astype(jnp.float32)
             rows24 = jax.lax.broadcasted_iota(jnp.int32, (16, WIN_R), 1)
             rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, WIN_R), 0)
             A = (rows24 == rows16 + ry).astype(jnp.float32)  # [16, 24]
@@ -83,7 +85,8 @@ def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
             Bm = (cols256 == cols16 + rx).astype(jnp.float32)  # [256, 16]
             tile = jnp.dot(jnp.dot(A, win, preferred_element_type=jnp.float32),
                            Bm, preferred_element_type=jnp.float32)
-            out_ref[:, bx * 16 : (bx + 1) * 16] = tile.astype(jnp.uint32)
+            out_ref[:, bx * 16 : (bx + 1) * 16] = pltpu.bitcast(
+                tile.astype(jnp.int32), jnp.uint32)
 
 
 def _pad_prev_for_overfetch(prev: jax.Array) -> jax.Array:

@@ -159,48 +159,53 @@ def derive_kmv_commands(bts, mv, rect, K: int = 4):
     return mvk, group, demoted
 
 
-def compose_frame_kmv(prev, payload, data_mask, group_pix, mvk):
-    """Device compose: data_mask/group_pix are per-pixel maps (from
-    block_broadcast); mvk [K,2]."""
-    out = jnp.where(data_mask, payload, prev)
+def compose_frame_kmv(prev, paycode, mvk):
+    """Single-input compose: paycode packs pixel (24b) | type (2b: 0 copy,
+    1 data, 2 motion) | k-slot (3b) into one u32 — one streamed read per
+    source instead of separate mask/group planes (the select masks are
+    register-resident bit tests, so per-frame HBM traffic is paycode + prev
+    + out ≈ 3 planes)."""
+    ptype = (paycode >> 24) & 3
+    payload = paycode & jnp.uint32(0x00FFFFFF)
+    out = jnp.where(ptype == 1, payload, prev)
     K = mvk.shape[0]
+    kslot = (paycode >> 26) & 7
+    is_motion = ptype == 2
     for k in range(K):
         shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
-        out = jnp.where(group_pix == k, shifted, out)
+        out = jnp.where(is_motion & (kslot == k), shifted, out)
     return out
 
 
-def _scan_decode_kmv(init_frame, paycode, group_pix, mvk, changed):
-    """paycode packs payload|data_mask<<24 (pixels are 24-bit); group_pix is
-    the per-pixel motion-slot map; signif computed by the host."""
+def _scan_decode_kmv(init_frame, paycode, mvk, changed):
+    """signif computed by the host."""
 
     def step(prev, inp):
-        pc, gp, mk, chg = inp
-        data_mask = (pc >> 24) > 0
-        payload = pc & jnp.uint32(0x00FFFFFF)
-        composed = compose_frame_kmv(prev, payload, data_mask, gp, mk)
-        out = jnp.where(chg, composed, prev)
+        pc, mk, chg = inp
+        # NOTE: a lax.cond skip-stills branch measured SLOWER than the
+        # unconditional compose+where on TPU (cond-in-scan overhead exceeds
+        # the saved traffic), so the still-reuse stays a select
+        out = jnp.where(chg, compose_frame_kmv(prev, pc, mk), prev)
         return out, out
 
-    _, frames = jax.lax.scan(step, init_frame,
-                             (paycode, group_pix, mvk, changed))
+    _, frames = jax.lax.scan(step, init_frame, (paycode, mvk, changed))
     return frames
 
 
 def prepare_kmv(bts, mv, rect, payload, K: int = 4):
-    """Host prep (numpy): → (paycode [T,Y,X] u32, group_pix [T,Y,X] i32,
-    mvk [T,K,2]).  Demoted-motion and subrect/data blocks all read from
-    payload; rect masks applied here so the device step is select-only."""
+    """Host prep (numpy): → (paycode [T,Y,X] u32, mvk [T,K,2]).  Demoted-
+    motion and subrect/data blocks all read from payload; rect masks and the
+    motion k-slot are packed into paycode's top byte."""
     import numpy as _np
 
     T, NB = bts.shape
     Y, X = payload.shape[-2:]
     nby, nbx = Y // 16, X // 16
+    assert K <= 8, "k-slot field is 3 bits"
     mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
     yy, xx = _np.mgrid[0:Y, 0:X]
     bi = (yy >> 4) * nbx + (xx >> 4)
     out_pc = _np.empty((T, Y, X), dtype=_np.uint32)
-    out_gp = _np.empty((T, Y, X), dtype=_np.int32)
     for t in range(T):
         b = bts[t][bi]
         r = rect[t][bi]
@@ -209,11 +214,13 @@ def prepare_kmv(bts, mv, rect, payload, K: int = 4):
         is_data = (b > 0) & (b != 3) & in_rect
         is_data |= demoted[t][bi]
         gp = _np.where(demoted[t][bi], -1, group[t][bi])
-        out_pc[t] = (payload[t] & 0x00FFFFFF) | (is_data.astype(_np.uint32) << 24)
-        out_gp[t] = gp
-    return out_pc, out_gp, mvk
+        is_motion = gp >= 0
+        ptype = _np.where(is_data, 1, _np.where(is_motion, 2, 0)).astype(_np.uint32)
+        kbits = _np.where(is_motion, gp, 0).astype(_np.uint32)
+        out_pc[t] = ((payload[t] & 0x00FFFFFF) | (ptype << 24) | (kbits << 26))
+    return out_pc, mvk
 
 
 @jax.jit
-def decode_sequence_kmv(init_frame, paycode, group_pix, mvk, changed):
-    return _scan_decode_kmv(init_frame, paycode, group_pix, mvk, changed)
+def decode_sequence_kmv(init_frame, paycode, mvk, changed):
+    return _scan_decode_kmv(init_frame, paycode, mvk, changed)

@@ -91,10 +91,10 @@ def test_kmv_device_path_bit_exact():
         streams.append(enc.encode_p(f))
         golds.append(f)
     cmds = stack_sp_commands([streams], X, Y)
-    pc, gp, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
-                              cmds["rect"][0, 0], cmds["payload"][0, 0])
+    pc, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                          cmds["rect"][0, 0], cmds["payload"][0, 0])
     frames = decode_sequence_kmv(
-        jnp.zeros((Y, X), jnp.uint32), jnp.array(pc), jnp.array(gp),
+        jnp.zeros((Y, X), jnp.uint32), jnp.array(pc),
         jnp.array(mvk), jnp.array(cmds["changed"][0, 0]))
     frames = np.asarray(frames)
     for t, g in enumerate(golds):
@@ -127,8 +127,8 @@ def test_kmv_overflow_demotes_to_payload():
         want[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16] = \
             prev[by * 16 + my : by * 16 + my + 16, bx * 16 + mx : bx * 16 + mx + 16]
     payload = want[None].astype(np.uint32)
-    pc, gp, mvk = prepare_kmv(bts, mv, rect, payload, K=2)
+    pc, mvk = prepare_kmv(bts, mv, rect, payload, K=2)
     frames = decode_sequence_kmv(
-        jnp.array(prev), jnp.array(pc), jnp.array(gp), jnp.array(mvk),
+        jnp.array(prev), jnp.array(pc), jnp.array(mvk),
         jnp.array([True]))
     np.testing.assert_array_equal(np.asarray(frames)[0], want)
