@@ -33,9 +33,8 @@ WIN_R = 24  # over-fetch rows (16 + 8 alignment slack)
 WIN_C = 256  # over-fetch cols (16 + 128 alignment slack, padded to lane tile)
 
 
-def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
-            prev_full_ref, out_ref, scratch, sems):
-    by = pl.program_id(0)
+def _kernel(paycode_ref, prev_row_ref, prev_full_ref, src_yx_ref,
+            is_motion_ref, out_ref, scratch, sems):
     X = out_ref.shape[1]
     nbx = X // 16
 
@@ -46,12 +45,11 @@ def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
 
     # start all motion DMAs for this band (aligned windows), then patch
     for bx in range(nbx):
-        bi = by * nbx + bx
 
-        @pl.when(is_motion_ref[bi] != 0)
-        def _(bx=bx, bi=bi):
-            sy = src_yx_ref[bi, 0]
-            sx = src_yx_ref[bi, 1]
+        @pl.when(is_motion_ref[0, 0, bx] != 0)
+        def _(bx=bx):
+            sy = src_yx_ref[0, 0, 2 * bx]
+            sx = src_yx_ref[0, 0, 2 * bx + 1]
             ay = pl.multiple_of((sy // 8) * 8, 8)
             ax = pl.multiple_of((sx // 128) * 128, 128)
             pltpu.make_async_copy(
@@ -60,12 +58,11 @@ def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
             ).start()
 
     for bx in range(nbx):
-        bi = by * nbx + bx
 
-        @pl.when(is_motion_ref[bi] != 0)
-        def _(bx=bx, bi=bi):
-            sy = src_yx_ref[bi, 0]
-            sx = src_yx_ref[bi, 1]
+        @pl.when(is_motion_ref[0, 0, bx] != 0)
+        def _(bx=bx):
+            sy = src_yx_ref[0, 0, 2 * bx]
+            sx = src_yx_ref[0, 0, 2 * bx + 1]
             ay = pl.multiple_of((sy // 8) * 8, 8)
             ax = pl.multiple_of((sx // 128) * 128, 128)
             pltpu.make_async_copy(
@@ -83,8 +80,13 @@ def _kernel(src_yx_ref, is_motion_ref, paycode_ref, prev_row_ref,
             cols256 = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 16), 0)
             cols16 = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 16), 1)
             Bm = (cols256 == cols16 + rx).astype(jnp.float32)  # [256, 16]
-            tile = jnp.dot(jnp.dot(A, win, preferred_element_type=jnp.float32),
-                           Bm, preferred_element_type=jnp.float32)
+            # MXU defaults truncate f32 operands to bf16 — 24-bit pixels
+            # need HIGHEST (multi-pass) precision to stay exact
+            tile = jnp.dot(
+                jnp.dot(A, win, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST),
+                Bm, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             out_ref[:, bx * 16 : (bx + 1) * 16] = pltpu.bitcast(
                 tile.astype(jnp.int32), jnp.uint32)
 
@@ -113,15 +115,25 @@ def _compose_padded(prev, prev_padded, paycode, src_yx, is_motion, interpret):
     Y, X = prev.shape
     nby = Y // 16
     nbx = X // 16
+    # per-band SMEM slices (a full-array scalar-prefetch operand would be
+    # replicated per grid step and overflow SMEM at 1080p scale)
+    # band axis leads; last two dims equal the full array dims (Mosaic's
+    # SMEM block rule), so each grid step gets exactly its band's scalars.
+    src_yx_b = src_yx.reshape(nby, 1, nbx * 2)
+    is_motion_b = is_motion.reshape(nby, 1, nbx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(nby,),
         in_specs=[
-            pl.BlockSpec((16, X), lambda i, *_: (i, 0)),
-            pl.BlockSpec((16, X), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((16, X), lambda i: (i, 0)),
+            pl.BlockSpec((16, X), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, nbx * 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nbx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((16, X), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((16, X), lambda i: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((nbx, WIN_R, WIN_C), jnp.uint32),
             pltpu.SemaphoreType.DMA((nbx,)),
@@ -132,4 +144,4 @@ def _compose_padded(prev, prev_padded, paycode, src_yx, is_motion, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Y, X), jnp.uint32),
         interpret=interpret,
-    )(src_yx, is_motion, paycode, prev, prev_padded)
+    )(paycode, prev, prev_padded, src_yx_b, is_motion_b)
