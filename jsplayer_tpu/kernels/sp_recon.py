@@ -224,3 +224,117 @@ def prepare_kmv(bts, mv, rect, payload, K: int = 4):
 @jax.jit
 def decode_sequence_kmv(init_frame, paycode, mvk, changed):
     return _scan_decode_kmv(init_frame, paycode, mvk, changed)
+
+
+def compact_changed(paycode, mvk, changed):
+    """Still-elision (host, numpy): drop unchanged frames from the device
+    scan — stills don't alter the P-chain carry, so decoding only changed
+    frames is exact.  Returns (paycode', mvk', outmap) where outmap[t] is
+    the compacted index holding original frame t's pixels (-1 → the init
+    frame).  This is the device-side analogue of the reference's SkipStills
+    (Manager.hx:383-441): screen content is mostly stills, and the player
+    never re-decodes them."""
+    import numpy as _np
+
+    changed = _np.asarray(changed, dtype=bool)
+    idx = _np.nonzero(changed)[0]
+    outmap = _np.cumsum(changed).astype(_np.int32) - 1
+    return paycode[idx], mvk[idx], outmap
+
+
+@jax.jit
+def decode_sequence_kmv_compact(init_frame, paycode, mvk):
+    """kmv scan over changed frames only (every input frame composes)."""
+
+    def step(prev, inp):
+        pc, mk = inp
+        out = compose_frame_kmv(prev, pc, mk)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init_frame, (paycode, mvk))
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# kmv-sparse: kmv motion + sparse payload tiles.
+#
+# The dense kmv path reads a full (Y,X) u32 paycode plane per frame even
+# when only a handful of blocks carry data.  Here the per-block codes stay
+# per-block ([NB] broadcast on device — structured broadcasts are free on
+# TPU) and payload travels as M final-content 16x16 tiles applied with
+# dynamic_update_slice, so per-frame HBM traffic drops to prev + out + eps.
+# Correctness hinges on `payload` being the fully decoded frame (the host
+# decoder's output): a tile is the block's FINAL pixels, so overwriting the
+# whole block is exact even for subrect blocks (outside-rect pixels in the
+# decoded frame equal prev) and for padding tiles (block 0's final content).
+
+def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None):
+    """Host prep (numpy): → (bcode [T,NB] u8: 0 copy / 2+k motion-slot,
+    mvk [T,K,2], tiles [T,M,16,16] u32, tile_yx [T,M,2] i32).  Blocks with
+    data content (bts 1/2 subrect/gradient fills, ScreenPressor.hx:317-353)
+    and motion blocks demoted from the K slots become tiles; padding tiles
+    re-write block 0's final content (a no-op)."""
+    import numpy as _np
+
+    T, NB = bts.shape
+    Y, X = payload.shape[-2:]
+    nbx = (X + 15) // 16
+    assert K <= 8
+    mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
+    need_tile = ((bts > 0) & (bts != 3)) | demoted
+    counts = need_tile.sum(axis=1)
+    if M is None:
+        M = max(1, int(counts.max()))
+    if int(counts.max()) > M:
+        raise ValueError(f"M={M} < max tiles/frame {int(counts.max())}")
+    bcode = _np.zeros((T, NB), dtype=_np.uint8)
+    tiles = _np.zeros((T, M, 16, 16), dtype=_np.uint32)
+    tile_yx = _np.zeros((T, M, 2), dtype=_np.int32)
+    pay = payload & _np.uint32(0x00FFFFFF)
+    for t in range(T):
+        g = _np.where(demoted[t], -1, group[t])
+        mot = g >= 0
+        bcode[t][mot] = (2 + g[mot]).astype(_np.uint8)
+        blocks = _np.nonzero(need_tile[t])[0]
+        for m in range(M):
+            bi = blocks[m] if m < len(blocks) else 0
+            by, bx = divmod(int(bi), nbx)
+            # edge blocks: clamp the 16x16 window into the frame; the extra
+            # rows/cols re-write the neighbor's FINAL content (exact, since
+            # payload is the fully decoded frame)
+            y0, x0 = min(by * 16, Y - 16), min(bx * 16, X - 16)
+            tiles[t, m] = pay[t, y0:y0 + 16, x0:x0 + 16]
+            tile_yx[t, m] = (y0, x0)
+    return bcode, mvk, tiles, tile_yx
+
+
+def compose_frame_kmv_sparse(prev, bcode, mvk, tiles, tile_yx):
+    Y, X = prev.shape
+    nbx = (X + 15) // 16
+    nby = bcode.shape[0] // nbx
+    bmap = block_broadcast(bcode.astype(jnp.int32), nby, nbx, Y, X)
+    out = prev
+    K = mvk.shape[0]
+    for k in range(K):
+        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
+        out = jnp.where(bmap == 2 + k, shifted, out)
+
+    def put(frame, inp):
+        tile, yx = inp
+        return jax.lax.dynamic_update_slice(frame, tile, (yx[0], yx[1])), None
+
+    out, _ = jax.lax.scan(put, out, (tiles, tile_yx))
+    return out
+
+
+@jax.jit
+def decode_sequence_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx, changed):
+    def step(prev, inp):
+        bc, mk, tl, yx, chg = inp
+        out = jnp.where(chg, compose_frame_kmv_sparse(prev, bc, mk, tl, yx),
+                        prev)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init_frame,
+                             (bcode, mvk, tiles, tile_yx, changed))
+    return frames

@@ -132,3 +132,98 @@ def test_kmv_overflow_demotes_to_payload():
         jnp.array(prev), jnp.array(pc), jnp.array(mvk),
         jnp.array([True]))
     np.testing.assert_array_equal(np.asarray(frames)[0], want)
+
+def test_kmv_sparse_bit_exact():
+    """prepare_kmv_sparse + decode_sequence_kmv_sparse vs golden frames."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(5)
+    f = np.full((Y, X), pack_rgb(9, 9, 9), dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(7):
+        nf = f.copy().reshape(Y, X)
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        elif t % 3 == 1:
+            nf[10:14, 20:44] = pack_rgb(*rng.integers(0, 256, 3))
+        # t%3==2: still frame
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], X, Y)
+    from jsplayer_tpu.kernels.sp_recon import (
+        decode_sequence_kmv_sparse, prepare_kmv_sparse)
+
+    bc, mvk, tiles, tyx = prepare_kmv_sparse(
+        cmds["bts"][0, 0], cmds["mv"][0, 0], cmds["rect"][0, 0],
+        cmds["payload"][0, 0])
+    frames = decode_sequence_kmv_sparse(
+        jnp.zeros((Y, X), jnp.uint32), jnp.array(bc), jnp.array(mvk),
+        jnp.array(tiles), jnp.array(tyx), jnp.array(cmds["changed"][0, 0]))
+    frames = np.asarray(frames)
+    for t, g in enumerate(golds):
+        np.testing.assert_array_equal(frames[t].reshape(-1), g,
+                                      err_msg=f"frame {t}")
+
+
+def test_kmv_sparse_overflow_demotes_to_tiles():
+    """More distinct vectors than K slots → overflow blocks become tiles."""
+    nbx, nby = X // 16, Y // 16
+    NB = nbx * nby
+    rng = np.random.default_rng(6)
+    prev = rng.integers(0, 1 << 24, (Y, X)).astype(np.uint32)
+    bts = np.full((1, NB), 3, dtype=np.int32)
+    mv = np.zeros((1, NB, 2), dtype=np.int32)
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        mv[0, bi] = (min(bi % 3, X - 16 - bx * 16), min(bi % 2, Y - 16 - by * 16))
+    rect = np.zeros((1, NB, 4), dtype=np.int32)
+    want = np.zeros((Y, X), np.uint32)
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        mx, my = mv[0, bi]
+        want[by * 16:by * 16 + 16, bx * 16:bx * 16 + 16] = \
+            prev[by * 16 + my:by * 16 + my + 16, bx * 16 + mx:bx * 16 + mx + 16]
+    from jsplayer_tpu.kernels.sp_recon import (
+        decode_sequence_kmv_sparse, prepare_kmv_sparse)
+
+    bc, mvk, tiles, tyx = prepare_kmv_sparse(
+        bts, mv, rect, want[None].astype(np.uint32), K=2)
+    frames = decode_sequence_kmv_sparse(
+        jnp.array(prev), jnp.array(bc), jnp.array(mvk), jnp.array(tiles),
+        jnp.array(tyx), jnp.array([True]))
+    np.testing.assert_array_equal(np.asarray(frames)[0], want & 0xFFFFFF)
+
+def test_kmv_still_elision_parity():
+    """compact_changed + decode_sequence_kmv_compact expands to the same
+    frames as the dense kmv scan (stills never enter the device scan)."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(11)
+    f = np.full((Y, X), pack_rgb(1, 2, 3), dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(8):
+        nf = f.copy().reshape(Y, X)
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        elif t % 3 == 1:
+            nf[6:10, 8:30] = pack_rgb(*rng.integers(0, 256, 3))
+        # t%3==2: still
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], X, Y)
+    from jsplayer_tpu.kernels.sp_recon import (
+        compact_changed, decode_sequence_kmv_compact)
+
+    pc, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                          cmds["rect"][0, 0], cmds["payload"][0, 0])
+    changed = np.asarray(cmds["changed"][0, 0])
+    assert not changed.all()  # the content really has stills
+    pcc, mvkc, outmap = compact_changed(pc, mvk, changed)
+    assert pcc.shape[0] == changed.sum()
+    init = jnp.zeros((Y, X), jnp.uint32)
+    dec = np.asarray(decode_sequence_kmv_compact(
+        init, jnp.array(pcc), jnp.array(mvkc)))
+    for t, g in enumerate(golds):
+        got = (np.zeros((Y, X), np.uint32) if outmap[t] < 0
+               else dec[outmap[t]])
+        np.testing.assert_array_equal(got.reshape(-1), g, err_msg=f"frame {t}")
