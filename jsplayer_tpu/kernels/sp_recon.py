@@ -243,6 +243,13 @@ def compact_changed(paycode, mvk, changed):
 
 
 @jax.jit
+def decode_batch_kmv(init_frames, paycode, mvk, changed):
+    """vmapped kmv scan over a batch of streams: init [B,Y,X],
+    paycode [B,T,Y,X], mvk [B,T,K,2], changed [B,T] → frames [B,T,Y,X]."""
+    return jax.vmap(_scan_decode_kmv)(init_frames, paycode, mvk, changed)
+
+
+@jax.jit
 def decode_sequence_kmv_compact(init_frame, paycode, mvk):
     """kmv scan over changed frames only (every input frame composes)."""
 

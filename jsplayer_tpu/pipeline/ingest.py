@@ -36,6 +36,10 @@ class IngestConfig:
     emit_model_input: bool = True
     model_dtype: str = "bfloat16"
     insignificant_lines: int = 0
+    # SP device compose: "kmv" (K-distinct-mv roll; bench-winning, ~27k
+    # fps/chip @1080p) or "general" (arbitrary-gather; any command mix)
+    sp_device_path: str = "kmv"
+    kmv_k: int = 2
 
 
 class StreamReader:
@@ -130,6 +134,7 @@ class VideoIngestPipeline:
         rect = np.zeros((B, T, nb, 4), dtype=np.int32)
         payload = np.zeros((B, T, Y, X), dtype=np.uint32)
         changed = np.zeros((B, T), dtype=bool)
+        sig = np.zeros((B, T), dtype=bool)
         decs = self._sp_decoders()
         for b, frames in enumerate(chunk):
             dec = decs[b]
@@ -138,6 +143,7 @@ class VideoIngestPipeline:
                     isk = dec.is_key_frame(src)
                     view, _sig, cap = dec.decompress(src, isk, capture=True,
                                                      copy=False)
+                    sig[b, t] = bool(_sig)
                     if view is None:
                         view = dec.latest_view()
                     payload[b, t] = np.asarray(view).reshape(Y, X)
@@ -147,8 +153,10 @@ class VideoIngestPipeline:
                     dst = np.zeros(X * Y, dtype=np.uint32)
                     if dec.is_key_frame(src):
                         dec.decompress_i(src, dst)
+                        sig[b, t] = True
                     else:
-                        dec.decompress_p(src, dst)
+                        res = dec.decompress_p(src, dst)
+                        sig[b, t] = bool(res.significant_changes)
                     data = dec.previous_frame()
                     if data is not None:
                         payload[b, t] = data.reshape(Y, X)
@@ -157,10 +165,24 @@ class VideoIngestPipeline:
                 rect[b, t] = cap["rect"]
                 changed[b, t] = cap["changed"]
         init = self._carry_init(B)
-        frames, signif = sp_recon.decode_batch(
-            init, jnp.array(bts), jnp.array(mv), jnp.array(rect),
-            jnp.array(payload), jnp.array(changed), jnp.int32(0),
-        )
+        if self.cfg.sp_device_path == "kmv":
+            # significance comes from the host stage (it decoded everything
+            # anyway); the device only reconstructs pixels
+            pcs, mvks = [], []
+            for b in range(B):
+                pc_b, mvk_b = sp_recon.prepare_kmv(
+                    bts[b], mv[b], rect[b], payload[b], K=self.cfg.kmv_k)
+                pcs.append(pc_b)
+                mvks.append(mvk_b)
+            frames = sp_recon.decode_batch_kmv(
+                init, jnp.array(np.stack(pcs)), jnp.array(np.stack(mvks)),
+                jnp.array(changed))
+            signif = jnp.array(sig)
+        else:
+            frames, signif = sp_recon.decode_batch(
+                init, jnp.array(bts), jnp.array(mv), jnp.array(rect),
+                jnp.array(payload), jnp.array(changed), jnp.int32(0),
+            )
         self._carry = frames[:, -1]  # device-resident carry
         return self._emit(frames, signif, start)
 

@@ -21,6 +21,8 @@ def sp_avi(seed, nframes=11):
     frames_px, streams = [], []
     for t in range(nframes):
         f = f.copy()
+        if t % 4 == 1:
+            f[2:, :] = f[:-2, :].copy()  # scroll → motion blocks (kmv path)
         if t % 4 != 3:
             f[(t % 5) * 4 : (t % 5) * 4 + 4, 8:20] = pack_rgb(
                 *rng.integers(0, 256, 3))
@@ -48,11 +50,14 @@ def msv1_avi(seed, nframes=11):
     return mux_avi(streams, X, Y, 16, codec="CRAM", keyflags=keys), frames_px
 
 
-@pytest.mark.parametrize("maker", [sp_avi, msv1_avi])
-def test_ingest_windows_bit_exact(maker):
+@pytest.mark.parametrize("maker,cfg", [
+    (sp_avi, IngestConfig(window=4)),                          # kmv default
+    (sp_avi, IngestConfig(window=4, sp_device_path="general")),
+    (msv1_avi, IngestConfig(window=4)),
+])
+def test_ingest_windows_bit_exact(maker, cfg):
     avis, golds = zip(*(maker(s) for s in (1, 2, 3)))
-    pipe = VideoIngestPipeline([MemorySource(a) for a in avis],
-                               IngestConfig(window=4))
+    pipe = VideoIngestPipeline([MemorySource(a) for a in avis], cfg)
     seen = 0
     for batch in pipe:
         frames = np.asarray(batch["frames_u32"])  # [B, T, Y, X]
