@@ -129,10 +129,18 @@ class VideoIngestPipeline:
         B, T = len(chunk), self.cfg.window
         nbx, nby = (X + 15) // 16, (Y + 15) // 16
         nb = nbx * nby
-        bts = np.zeros((B, T, nb), dtype=np.int32)
-        mv = np.zeros((B, T, nb, 2), dtype=np.int32)
-        rect = np.zeros((B, T, nb, 4), dtype=np.int32)
-        payload = np.zeros((B, T, Y, X), dtype=np.uint32)
+        # window-sized host buffers are reused across iterations: fresh
+        # multi-hundred-MB allocations pay a page fault per 4KB on first
+        # write, which measured 5x the decode itself at 1080p
+        if getattr(self, "_spbuf", None) is None:
+            self._spbuf = dict(
+                bts=np.zeros((B, T, nb), dtype=np.int32),
+                mv=np.zeros((B, T, nb, 2), dtype=np.int32),
+                rect=np.zeros((B, T, nb, 4), dtype=np.int32),
+                payload=np.zeros((B, T, Y, X), dtype=np.uint32),
+            )
+        buf = self._spbuf
+        bts, mv, rect, payload = buf["bts"], buf["mv"], buf["rect"], buf["payload"]
         changed = np.zeros((B, T), dtype=bool)
         sig = np.zeros((B, T), dtype=bool)
         decs = self._sp_decoders()
