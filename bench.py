@@ -61,10 +61,13 @@ def real_stream_commands():
         streams.append(enc.encode_p(f))
 
     got = native.native_sp_decode_streams([streams], X, Y)
-    t0 = time.perf_counter()  # steady state: reuse output buffers
-    got = native.native_sp_decode_streams([streams], X, Y, out=got)
+    # steady-state host feed rate for the production transport (native kmv
+    # paycode emission, buffers reused)
+    kmv = native.native_sp_decode_streams_kmv([streams], X, Y, K=2)
+    t0 = time.perf_counter()
+    kmv = native.native_sp_decode_streams_kmv([streams], X, Y, K=2, out=kmv)
     host_fps = T / (time.perf_counter() - t0)
-    return got, host_fps
+    return got, kmv, host_fps
 
 
 def main() -> None:
@@ -75,7 +78,7 @@ def main() -> None:
 
     real = real_stream_commands()
     if real is not None:
-        got, host_fps = real
+        got, kmv_host, host_fps = real
         bts = jnp.array(got["bts"][0])
         mv = jnp.array(got["mv"][0])
         rect = jnp.array(got["rect"][0])
@@ -139,11 +142,15 @@ def main() -> None:
             lambda *a: sp_recon.decode_sequence(*a, jnp.int32(0))[0], *dev)
     except Exception as e:  # noqa: BLE001
         results["xla"] = None
-    # strategy 2: K-distinct-motion-vector compose (gather-free)
+    # strategy 2: K-distinct-motion-vector compose (gather-free); transport
+    # comes straight from the native decoder (exact twin of prepare_kmv)
     try:
-        pc, mvk = sp_recon.prepare_kmv(
-            np.asarray(bts), np.asarray(mv), np.asarray(rect),
-            np.asarray(payload), K=2)
+        if real is not None:
+            pc, mvk = kmv_host["paycode"][0], kmv_host["mvk"][0]
+        else:
+            pc, mvk = sp_recon.prepare_kmv(
+                np.asarray(bts), np.asarray(mv), np.asarray(rect),
+                np.asarray(payload), K=2)
         kdev = jax.device_put((init, jnp.array(pc), jnp.array(mvk), changed))
         results["kmv"] = timed(sp_recon.decode_sequence_kmv, *kdev)
     except Exception:  # noqa: BLE001

@@ -61,6 +61,22 @@ def load() -> Optional[ctypes.CDLL]:
     lib.sp_prev_frame.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.sp_prev_frame.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int)]
+    lib.sp_decompress_kmv.restype = ctypes.c_int
+    lib.sp_decompress_kmv.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sp_decode_streams_kmv.restype = ctypes.c_int
+    lib.sp_decode_streams_kmv.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int,
+    ]
     lib.sp_decode_streams.restype = ctypes.c_int
     lib.sp_decode_streams.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -157,6 +173,24 @@ class NativeScreenPressor:
         ptr = self._lib.sp_prev_frame(self._h, ctypes.byref(has))
         return np.ctypeslib.as_array(ptr, shape=(self.X * self.Y,))
 
+    def decompress_kmv(self, data: bytes, is_key: bool, paycode: np.ndarray,
+                       mvk: np.ndarray, K: int = 2):
+        """Decode one frame straight into kmv device transport: paycode
+        [Y,X] u32 (written only when the frame changes) and mvk [K,2] i32.
+        → (changed, signif).  Native twin of kernels/sp_recon.prepare_kmv
+        fused into the decode pass (the numpy version costs ~170 ms/frame
+        at 1080p; this is free next to the decode)."""
+        assert paycode.dtype == np.uint32 and paycode.size == self.X * self.Y
+        assert mvk.dtype == np.int32 and mvk.size == K * 2
+        signif = ctypes.c_int(0)
+        r = self._lib.sp_decompress_kmv(
+            self._h, data, len(data), 1 if is_key else 0, K,
+            paycode.ctypes.data_as(ctypes.c_void_p),
+            mvk.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif))
+        if r == -1:
+            raise ValueError("invalid stream")
+        return r == 0, bool(signif.value)
+
 
 def native_msv1_parse(src: bytes, X: int, Y: int,
                       pal: Optional[np.ndarray] = None):
@@ -240,6 +274,54 @@ def native_sp_decode_streams(streams, width, height, bpp=24,
     return dict(bts=bts, mv=mv, rect=rect, payload=payload,
                 changed=changed.astype(bool), signif=signif.astype(bool),
                 errors=errors)
+
+
+def native_sp_decode_streams_kmv(streams, width, height, bpp=24,
+                                 insignificant_lines=0, K=2, nthreads=0,
+                                 out=None):
+    """Parallel multi-stream SP decode straight into kmv device transport.
+
+    → dict(paycode [B,T,Y,X] u32 (undefined where changed is False),
+           mvk [B,T,K,2] i32, changed [B,T] bool, signif [B,T] bool).
+    Pass a previous result as `out` to reuse its arrays (page-fault cost,
+    see native_sp_decode_streams)."""
+    import os as _os
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    B = len(streams)
+    T = len(streams[0])
+    assert all(len(s) == T for s in streams)
+    blob = bytearray()
+    offsets = np.zeros(B * T, dtype=np.int64)
+    lengths = np.zeros(B * T, dtype=np.int64)
+    for b, frames in enumerate(streams):
+        for t, fr in enumerate(frames):
+            offsets[b * T + t] = len(blob)
+            lengths[b * T + t] = len(fr)
+            blob += fr
+    if out is not None and out["paycode"].shape == (B, T, height, width) \
+            and out["mvk"].shape[-2] == K:
+        paycode, mvk = out["paycode"], out["mvk"]
+    else:
+        paycode = np.zeros((B, T, height, width), dtype=np.uint32)
+        mvk = np.zeros((B, T, K, 2), dtype=np.int32)
+    changed = np.zeros((B, T), dtype=np.uint8)
+    signif = np.zeros((B, T), dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(B, _os.cpu_count() or 1)
+    errors = lib.sp_decode_streams_kmv(
+        B, T, width, height, bpp, bytes(blob), offsets, lengths,
+        insignificant_lines, K,
+        paycode.ctypes.data_as(ctypes.c_void_p),
+        mvk.ctypes.data_as(ctypes.c_void_p),
+        changed.ctypes.data_as(ctypes.c_void_p),
+        signif.ctypes.data_as(ctypes.c_void_p),
+        nthreads,
+    )
+    return dict(paycode=paycode, mvk=mvk, changed=changed.astype(bool),
+                signif=signif.astype(bool), errors=errors)
 
 
 class NativeScreenPressorEncoder:

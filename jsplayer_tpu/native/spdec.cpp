@@ -17,6 +17,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <algorithm>
 #include <thread>
 #include <atomic>
 
@@ -2220,6 +2221,105 @@ struct Msv1Decoder {
 // C ABI
 // ---------------------------------------------------------------------------
 
+
+// ---------------------------------------------------------------------------
+// kmv paycode emission (device transport for kernels/sp_recon.prepare_kmv)
+// ---------------------------------------------------------------------------
+//
+// Packs the decoded frame + block commands into the single u32 plane the
+// K-distinct-motion-vector device compose consumes:
+//   pixel(24b) | ptype(2b: 0 copy, 1 data, 2 motion) | kslot(3b)
+// Motion blocks are grouped by distinct vector; the K most frequent get
+// slots (ties broken by lexicographic (mx,my) order to match the numpy
+// reference implementation), the rest demote to data (the decoded frame
+// already carries their pixels).  Exact twin of
+// kernels/sp_recon.prepare_kmv, including pixel bits under non-data
+// pixels — so paycode & 0xFFFFFF always equals the decoded frame.
+
+static void fill_paycode_i(int npix, const uint32_t* frame, uint32_t* pay) {
+  for (int i = 0; i < npix; i++)
+    pay[i] = (frame[i] & 0x00FFFFFFu) | (1u << 24);
+}
+
+static void fill_paycode_p(int X, int Y, int nbx, int nby,
+                           const int32_t* bts, const int32_t* mv,
+                           const int32_t* rect, const uint32_t* frame,
+                           int K, uint32_t* pay, int32_t* mvk) {
+  size_t nb = (size_t)nbx * nby;
+  struct V { int mx, my, cnt; };
+  std::vector<V> vs;
+  for (size_t bi = 0; bi < nb; bi++) {
+    if (bts[bi] != 3) continue;
+    int mx = mv[bi * 2], my = mv[bi * 2 + 1];
+    int f = -1;
+    for (size_t j = 0; j < vs.size(); j++)
+      if (vs[j].mx == mx && vs[j].my == my) { f = (int)j; break; }
+    if (f < 0) { vs.push_back({mx, my, 0}); f = (int)vs.size() - 1; }
+    vs[f].cnt++;
+  }
+  // numpy parity: unique() sorts vectors lexicographically, argsort(-counts)
+  // is stable -> ties resolve in lexicographic order
+  std::sort(vs.begin(), vs.end(), [](const V& a, const V& b) {
+    return a.mx != b.mx ? a.mx < b.mx : a.my < b.my;
+  });
+  std::stable_sort(vs.begin(), vs.end(),
+                   [](const V& a, const V& b) { return a.cnt > b.cnt; });
+  memset(mvk, 0, (size_t)K * 8);
+  int kk = (int)vs.size() < K ? (int)vs.size() : K;
+  for (int k = 0; k < kk; k++) {
+    mvk[k * 2] = vs[k].mx;
+    mvk[k * 2 + 1] = vs[k].my;
+  }
+  for (int by = 0; by < nby; by++)
+    for (int bx = 0; bx < nbx; bx++) {
+      size_t bi = (size_t)by * nbx + bx;
+      int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
+      int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
+      int b = bts[bi];
+      if (b == 3) {
+        int mx = mv[bi * 2], my = mv[bi * 2 + 1];
+        int slot = -1;
+        for (int k = 0; k < kk; k++)
+          if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
+        if (slot >= 0) {
+          uint32_t v = (2u << 24) | ((uint32_t)slot << 26);
+          for (int y = yb1; y < yb2; y++) {
+            const uint32_t* f = &frame[(size_t)y * X + xb1];
+            uint32_t* row = &pay[(size_t)y * X + xb1];
+            for (int x = 0; x < xb2 - xb1; x++)
+              row[x] = (f[x] & 0x00FFFFFFu) | v;
+          }
+        } else {  // demoted: whole block rides as data
+          for (int y = yb1; y < yb2; y++) {
+            const uint32_t* f = &frame[(size_t)y * X + xb1];
+            uint32_t* row = &pay[(size_t)y * X + xb1];
+            for (int x = 0; x < xb2 - xb1; x++)
+              row[x] = (f[x] & 0x00FFFFFFu) | (1u << 24);
+          }
+        }
+      } else if (b > 0) {  // data / subrect (incl. motion+subrect kinds)
+        int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
+        int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+        for (int y = yb1; y < yb2; y++) {
+          const uint32_t* f = &frame[(size_t)y * X + xb1];
+          uint32_t* row = &pay[(size_t)y * X + xb1];
+          for (int x = 0; x < xb2 - xb1; x++) {
+            int ax = xb1 + x;
+            uint32_t t = (y >= y1 && y < y2 && ax >= x1 && ax < x2)
+                             ? (1u << 24) : 0u;
+            row[x] = (f[x] & 0x00FFFFFFu) | t;
+          }
+        }
+      } else {  // copy: pixel bits carried for the exact-twin invariant
+        for (int y = yb1; y < yb2; y++) {
+          const uint32_t* f = &frame[(size_t)y * X + xb1];
+          uint32_t* row = &pay[(size_t)y * X + xb1];
+          for (int x = 0; x < xb2 - xb1; x++) row[x] = f[x] & 0x00FFFFFFu;
+        }
+      }
+    }
+}
+
 extern "C" {
 
 void* sp_create(int width, int height, int bpp) {
@@ -2396,6 +2496,81 @@ int sp_decode_streams(int nstreams, int frames_per_stream, int width,
         changed[fi] = r == 0 ? 1 : 0;
         signif[fi] = (uint8_t)sg;
         memcpy(&payloads[fi * npix], dec.latest(), npix * 4);
+      }
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > nstreams) nt = nstreams;
+  std::vector<std::thread> pool;
+  for (int i = 1; i < nt; i++) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return errors.load();
+}
+
+// Per-frame kmv decode on a persistent handle (window-based ingest: the
+// decoder's entropy/context state spans windows).  Returns 0 decoded-new /
+// 1 no-change (paycode NOT written) / -1 error.
+int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
+                      int K, uint32_t* paycode, int32_t* mvk, int* signif) {
+  SpDecoder* d = (SpDecoder*)p;
+  size_t nb = (size_t)d->nbx * d->nby;
+  size_t npix = (size_t)d->X * d->Y;
+  *signif = 0;
+  if (is_key) {
+    int r = d->decompress_i(src, (size_t)len, nullptr);
+    if (r != 0) return r;
+    *signif = 1;
+    fill_paycode_i((int)npix, d->latest(), paycode);
+    memset(mvk, 0, (size_t)K * 8);
+    return 0;
+  }
+  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
+                          cm.data(), cr.data());
+  if (r != 0) return r;
+  fill_paycode_p(d->X, d->Y, d->nbx, d->nby, cb.data(), cm.data(), cr.data(),
+                 d->latest(), K, paycode, mvk);
+  return 0;
+}
+
+// Batch variant of sp_decode_streams emitting kmv transport directly:
+// paycode [B*T*npix] u32 (undefined where changed==0), mvk [B*T*K*2] i32.
+int sp_decode_streams_kmv(int nstreams, int frames_per_stream, int width,
+                          int height, int bpp, const uint8_t* blob,
+                          const long* offsets, const long* lengths,
+                          int insign_lines, int K, uint32_t* paycode,
+                          int32_t* mvk, uint8_t* changed, uint8_t* signif,
+                          int nthreads) {
+  const size_t npix = (size_t)width * height;
+  std::atomic<int> next{0};
+  std::atomic<int> errors{0};
+  auto work = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= nstreams) return;
+      SpDecoder dec(width, height, bpp);
+      dec.preinit(insign_lines);
+      for (int f = 0; f < frames_per_stream; f++) {
+        size_t fi = (size_t)b * frames_per_stream + f;
+        const uint8_t* src = blob + offsets[fi];
+        long len = lengths[fi];
+        int sg = 0;
+        int r = sp_decompress_kmv(&dec, src, len,
+                                  sp_is_key_frame(src, len), K,
+                                  &paycode[fi * npix], &mvk[fi * (size_t)K * 2],
+                                  &sg);
+        if (r == -1) {
+          errors.fetch_add(1);
+          for (int g = f; g < frames_per_stream; g++) {
+            size_t gi = (size_t)b * frames_per_stream + g;
+            changed[gi] = 0;
+            signif[gi] = 0;
+          }
+          break;
+        }
+        changed[fi] = r == 0 ? 1 : 0;
+        signif[fi] = (uint8_t)sg;
       }
     }
   };

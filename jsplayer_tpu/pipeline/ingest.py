@@ -129,6 +129,29 @@ class VideoIngestPipeline:
         B, T = len(chunk), self.cfg.window
         nbx, nby = (X + 15) // 16, (Y + 15) // 16
         nb = nbx * nby
+        decs = self._sp_decoders()
+        if self.cfg.sp_device_path == "kmv" and self._sp_native:
+            # fast path: the native decoder emits kmv transport directly
+            # (paycode plane + mvk) during decode — no payload capture, no
+            # numpy re-pack (which costs ~170 ms/frame at 1080p)
+            K = self.cfg.kmv_k
+            if getattr(self, "_kmvbuf", None) is None:
+                self._kmvbuf = dict(
+                    pc=np.zeros((B, T, Y, X), dtype=np.uint32),
+                    mvk=np.zeros((B, T, K, 2), dtype=np.int32))
+            pc, mvk = self._kmvbuf["pc"], self._kmvbuf["mvk"]
+            changed = np.zeros((B, T), dtype=bool)
+            sig = np.zeros((B, T), dtype=bool)
+            for b, frames in enumerate(chunk):
+                dec = decs[b]
+                for t, src in enumerate(frames):
+                    changed[b, t], sig[b, t] = dec.decompress_kmv(
+                        src, dec.is_key_frame(src), pc[b, t], mvk[b, t], K=K)
+            init = self._carry_init(B)
+            frames = sp_recon.decode_batch_kmv(
+                init, jnp.array(pc), jnp.array(mvk), jnp.array(changed))
+            self._carry = frames[:, -1]
+            return self._emit(frames, jnp.array(sig), start)
         # window-sized host buffers are reused across iterations: fresh
         # multi-hundred-MB allocations pay a page fault per 4KB on first
         # write, which measured 5x the decode itself at 1080p
@@ -143,7 +166,6 @@ class VideoIngestPipeline:
         bts, mv, rect, payload = buf["bts"], buf["mv"], buf["rect"], buf["payload"]
         changed = np.zeros((B, T), dtype=bool)
         sig = np.zeros((B, T), dtype=bool)
-        decs = self._sp_decoders()
         for b, frames in enumerate(chunk):
             dec = decs[b]
             for t, src in enumerate(frames):

@@ -252,3 +252,53 @@ def test_rc_renorm_heavy_v2_big_noise():
     dst = np.zeros(Xb * Yb, dtype=np.uint32)
     orc.decompress_i(data, dst)
     np.testing.assert_array_equal(dst, f)
+
+
+def test_native_kmv_paycode_matches_numpy_prepare():
+    """sp_decompress_kmv / sp_decode_streams_kmv vs kernels.sp_recon.prepare_kmv
+    (same grouping, tie-break, demotion, and plane packing)."""
+    from jsplayer_tpu import native
+    from jsplayer_tpu.kernels import sp_recon
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    X, Y = 64, 48
+    enc = native.NativeScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(3)
+    f = np.full((Y, X), 0x010203, dtype=np.uint32)
+    streams = [enc.encode_i(f.reshape(-1))]
+    for t in range(9):
+        nf = f.copy()
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :]
+        elif t % 3 == 1:
+            nf[10:30, 5:40] = nf[6:26, 9:44]  # second motion region
+            nf[1:4, 1:9] = int(rng.integers(0, 1 << 24))
+        # t%3==2: still
+        f = nf
+        streams.append(enc.encode_p(f.reshape(-1)))
+    # reference path: capture + numpy prepare
+    ref = native.native_sp_decode_streams([streams], X, Y)
+    pc_ref, mvk_ref = sp_recon.prepare_kmv(
+        ref["bts"][0], ref["mv"][0], ref["rect"][0], ref["payload"][0], K=2)
+    # native batch path
+    got = native.native_sp_decode_streams_kmv([streams], X, Y, K=2)
+    np.testing.assert_array_equal(got["changed"][0], ref["changed"][0])
+    for t in range(len(streams)):
+        if not got["changed"][0][t]:
+            continue  # paycode undefined for unchanged frames
+        np.testing.assert_array_equal(got["mvk"][0, t], mvk_ref[t],
+                                      err_msg=f"mvk frame {t}")
+        np.testing.assert_array_equal(got["paycode"][0, t], pc_ref[t],
+                                      err_msg=f"paycode frame {t}")
+    # per-frame handle path
+    d = native.NativeScreenPressor(X, Y, 24)
+    d.preinit(0)
+    pc1 = np.zeros((Y, X), np.uint32)
+    mvk1 = np.zeros((2, 2), np.int32)
+    for t, s in enumerate(streams):
+        chg, _sig = d.decompress_kmv(s, d.is_key_frame(s), pc1, mvk1, K=2)
+        assert chg == bool(ref["changed"][0][t])
+        if chg:
+            np.testing.assert_array_equal(pc1, pc_ref[t])
+            np.testing.assert_array_equal(mvk1, mvk_ref[t])
