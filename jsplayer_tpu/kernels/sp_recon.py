@@ -27,6 +27,8 @@ layer pads (1080p → 1088 rows) and crops after decode.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -240,6 +242,32 @@ def compact_changed(paycode, mvk, changed):
     idx = _np.nonzero(changed)[0]
     outmap = _np.cumsum(changed).astype(_np.int32) - 1
     return paycode[idx], mvk[idx], outmap
+
+
+def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
+    """kmv scan emitting ONLY fused model tensors (no full-res frame stack):
+    the scan's ys are the downstream tensors, so per-frame HBM traffic drops
+    by the 4-byte full-res output write + its later re-read (the ML-ingestion
+    shape: SURVEY.md §7 step 8 — decoded pixels never leave the device)."""
+    from .rgb_convert import to_model_input
+
+    def step(prev, inp):
+        pc, mk, chg = inp
+        out = jnp.where(chg, compose_frame_kmv(prev, pc, mk), prev)
+        return out, to_model_input(out, **model_kw)
+
+    last, model = jax.lax.scan(step, init_frame, (paycode, mvk, changed))
+    return last, model
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "layout"))
+def decode_batch_kmv_model(init_frames, paycode, mvk, changed,
+                           dtype=jnp.bfloat16, layout="NHWC"):
+    """Batched kmv decode fused straight into model tensors.
+    → (carry [B,Y,X] u32 for the next window, model [B,T,...])."""
+    kw = dict(dtype=dtype, layout=layout)
+    return jax.vmap(lambda i, p, m, c: _scan_decode_kmv_model(i, p, m, c, kw))(
+        init_frames, paycode, mvk, changed)
 
 
 @jax.jit

@@ -171,6 +171,26 @@ def make_msv1_decode_step(mesh: Mesh, cfg: DecodeConfig):
     return jax.jit(sharded)
 
 
+def make_sp_decode_step_kmv(mesh: Mesh, cfg: DecodeConfig):
+    """Production sharded SP step: kmv transport (paycode [B,G,T,Y,X] u32,
+    mvk [B,G,T,K,2], changed [B,G,T]) over the (dp, gop) mesh.  Each GOP
+    starts at a keyframe, so per-shard init is zeros; significance comes
+    from the host stage alongside the transport."""
+
+    def per_shard(paycode, mvk, changed):
+        init = jnp.zeros_like(paycode[:, :, 0])
+        fn = jax.vmap(jax.vmap(sp_recon._scan_decode_kmv))
+        frames = fn(init, paycode, mvk, changed)
+        return _epilogue(frames, cfg)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp", "gop"),) * 3,
+        out_specs=P("dp", "gop"),
+    )
+    return jax.jit(sharded)
+
+
 def make_sp_decode_step(mesh: Mesh, cfg: DecodeConfig):
     """Build the jitted sharded decode step for SP command stacks."""
 

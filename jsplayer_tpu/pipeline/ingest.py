@@ -34,6 +34,10 @@ from ..kernels.rgb_convert import to_model_input
 class IngestConfig:
     window: int = 16  # frames per emitted window (device scan length)
     emit_model_input: bool = True
+    # False → kmv windows emit ONLY model tensors (fused into the decode
+    # scan; the full-res frame stack is never written, saving its HBM write
+    # + re-read).  frames_u32 is then absent from the yielded dict.
+    emit_frames: bool = True
     model_dtype: str = "bfloat16"
     insignificant_lines: int = 0
     # SP device compose: "kmv" (K-distinct-mv roll; bench-winning, ~27k
@@ -148,6 +152,13 @@ class VideoIngestPipeline:
                     changed[b, t], sig[b, t] = dec.decompress_kmv(
                         src, dec.is_key_frame(src), pc[b, t], mvk[b, t], K=K)
             init = self._carry_init(B)
+            if not self.cfg.emit_frames and self.cfg.emit_model_input:
+                carry, model = sp_recon.decode_batch_kmv_model(
+                    init, jnp.array(pc), jnp.array(mvk), jnp.array(changed),
+                    dtype=jnp.dtype(self.cfg.model_dtype))
+                self._carry = carry
+                return {"start_frame": start, "significant": jnp.array(sig),
+                        "model_input": model}
             frames = sp_recon.decode_batch_kmv(
                 init, jnp.array(pc), jnp.array(mvk), jnp.array(changed))
             self._carry = frames[:, -1]

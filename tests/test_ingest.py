@@ -101,3 +101,21 @@ def test_gop_leading_nonkey():
     keys = [False, True, False]
     gops = split_gops(frames, keys)
     assert [g[0] for g in gops] == [0, 1]
+
+
+def test_ingest_model_only_fused():
+    """emit_frames=False: fused kmv→model scan matches the two-step path."""
+    import jax.numpy as jnp
+    from jsplayer_tpu.kernels.rgb_convert import to_model_input
+
+    avis, golds = zip(*(sp_avi(s) for s in (1, 2)))
+    cfg_full = IngestConfig(window=4)
+    cfg_fused = IngestConfig(window=4, emit_frames=False)
+    full = list(VideoIngestPipeline([MemorySource(a) for a in avis], cfg_full))
+    fused = list(VideoIngestPipeline([MemorySource(a) for a in avis], cfg_fused))
+    assert len(full) == len(fused)
+    for bf, bz in zip(full, fused):
+        assert "frames_u32" not in bz
+        np.testing.assert_array_equal(
+            np.asarray(bf["model_input"], dtype=np.float32),
+            np.asarray(bz["model_input"], dtype=np.float32))

@@ -155,3 +155,53 @@ def test_sharded_msv1_decode_with_model_epilogue():
         want_ch0 = (px & 0xFF) / 255.0  # low byte
         got = out[b, 0, -1, Y - 1 - 5, 5, 0]  # flipped vertically
         np.testing.assert_allclose(got, want_ch0, atol=1 / 128)
+
+
+def test_sp_decode_step_kmv_matches_general():
+    """Production kmv shard_map step == general shard_map step on the
+    (dp, gop) mesh (8 virtual devices)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.kernels import sp_recon
+    from jsplayer_tpu.pipeline.batch import (
+        DecodeConfig, make_sp_decode_step, make_sp_decode_step_kmv,
+        stack_sp_commands)
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X = Y = 32
+    B, G, Tg = 4, 2, 3
+    rng = np.random.default_rng(0)
+    streams = []
+    for b in range(B):
+        s_all = []
+        for g in range(G):
+            enc = ScreenPressorEncoder(4, X, Y)
+            f = np.full((Y, X), pack_rgb(b, g, 7), dtype=np.uint32).reshape(-1)
+            s_all.append(enc.encode_i(f))
+            for t in range(Tg - 1):
+                f = f.copy().reshape(Y, X)
+                if t % 2 == 0:
+                    f[2:, :] = f[:-2, :].copy()
+                else:
+                    f[4:8, 4:20] = pack_rgb(*rng.integers(0, 256, 3))
+                f = f.reshape(-1)
+                s_all.append(enc.encode_p(f))
+        streams.append(s_all)
+    cmds = stack_sp_commands(streams, X, Y, gops=G)
+    mesh = make_mesh(dp=4, gop=2)
+    cfg = DecodeConfig(height=Y, width=X, emit_model_input=True)
+    out, _sig = make_sp_decode_step(mesh, cfg)(
+        jnp.array(cmds["bts"]), jnp.array(cmds["mv"]), jnp.array(cmds["rect"]),
+        jnp.array(cmds["payload"]), jnp.array(cmds["changed"]))
+    pcs = np.zeros((B, G, Tg, Y, X), dtype=np.uint32)
+    mvks = np.zeros((B, G, Tg, 2, 2), dtype=np.int32)
+    for b in range(B):
+        for g in range(G):
+            pcs[b, g], mvks[b, g] = sp_recon.prepare_kmv(
+                cmds["bts"][b, g], cmds["mv"][b, g], cmds["rect"][b, g],
+                cmds["payload"][b, g], K=2)
+    kout = make_sp_decode_step_kmv(mesh, cfg)(
+        jnp.array(pcs), jnp.array(mvks), jnp.array(cmds["changed"]))
+    np.testing.assert_array_equal(np.asarray(kout, dtype=np.float32),
+                                  np.asarray(out, dtype=np.float32))
