@@ -73,21 +73,61 @@ def to_model_input(
     scale: float = 1.0 / 255.0,
     flip_vertical: bool = True,
     bpp16: bool = False,
+    downscale: int = 1,
 ) -> jax.Array:
     """Fused decode→model-tensor epilogue: u32 [..., H, W] → normalized
-    [..., H, W, 3] (NHWC) or [..., 3, H, W] (NCHW) in `dtype`."""
-    x = split_channels(frame, bpp16=bpp16)
+    [..., H/d, W/d, 3] (NHWC) or [..., 3, H/d, W/d] (NCHW) in `dtype`.
+
+    downscale: power-of-two box downsample applied in exact integer math
+    before normalization (full-res bf16 NHWC is larger than the packed u32
+    frame — downscaling is what makes the fused emit cheaper than frames).
+    """
+    d = downscale
+    assert 1 <= d <= 16 and (d & (d - 1)) == 0, \
+        "downscale must be a power of two <= 16 (field-sum bound)"
+    # Layout rules learned on-chip (BENCH_NOTES.md):
+    #  - keep channels OUT of the lane dimension while full-res H/W math
+    #    runs (channel-last wastes 125/128 lanes: measured ~30x slower);
+    #  - box-window the PACKED word: r and b ride one u32 as two 16-bit
+    #    fields (2x2..16x16 sums of u8 stay < 2^16), g rides another —
+    #    two [..., H, W] reduce_windows instead of a [..., 3, H, W]
+    #    materialization;
+    #  - flip commutes with the box window -> flip the small tensor;
+    #  - NHWC emerges only at the very end.
+    c = frame
+    p0 = (c & jnp.uint32(0x00FF00FF)).astype(jnp.int32)  # r | b<<16
+    p1 = ((c >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)  # g
+    denom = 1
+    while d > 1:
+        nd = p0.ndim
+        win = [1] * nd
+        win[-2] = win[-1] = 2
+        p0 = jax.lax.reduce_window(p0, 0, jax.lax.add, tuple(win), tuple(win),
+                                   "VALID")
+        p1 = jax.lax.reduce_window(p1, 0, jax.lax.add, tuple(win), tuple(win),
+                                   "VALID")
+        denom *= 4
+        d >>= 1
+    x = jnp.stack([p0 & 0xFFFF, p1, p0 >> 16], axis=-3)
+    if bpp16:
+        x = x << 3
     if flip_vertical:
-        x = jnp.flip(x, axis=-3)  # bottom-up storage → top-down tensor
-    x = (x.astype(jnp.float32) * scale - mean).astype(dtype)
-    if layout == "NCHW":
-        x = jnp.moveaxis(x, -1, -3)
+        x = jnp.flip(x, axis=-2)  # bottom-up storage → top-down tensor
+    x = (x.astype(jnp.float32) * (scale / denom) - mean).astype(dtype)
+    if layout == "NHWC":
+        x = jnp.moveaxis(x, -3, -1)
     return x
 
 
 def resize_half(frame_u8: jax.Array) -> jax.Array:
-    """2× box downsample on [..., H, W, C] uint8 (ingestion resize)."""
-    h, w = frame_u8.shape[-3], frame_u8.shape[-2]
-    x = frame_u8.astype(jnp.uint16)
-    x = x.reshape(*frame_u8.shape[:-3], h // 2, 2, w // 2, 2, frame_u8.shape[-1])
-    return (x.sum(axis=(-4, -2)) // 4).astype(jnp.uint8)
+    """2x box downsample on [..., H, W, C] uint8 (ingestion resize).
+
+    Implemented as lax.reduce_window: a reshape that splits the lane (W)
+    dimension measured ~45x slower on TPU (layout-hostile)."""
+    x = frame_u8.astype(jnp.int32)
+    nd = x.ndim
+    win = [1] * nd
+    win[-3] = win[-2] = 2
+    x = jax.lax.reduce_window(x, 0, jax.lax.add, tuple(win), tuple(win),
+                              "VALID")
+    return (x // 4).astype(jnp.uint8)

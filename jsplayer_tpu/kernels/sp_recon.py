@@ -260,12 +260,12 @@ def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
     return last, model
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "layout"))
+@functools.partial(jax.jit, static_argnames=("dtype", "layout", "downscale"))
 def decode_batch_kmv_model(init_frames, paycode, mvk, changed,
-                           dtype=jnp.bfloat16, layout="NHWC"):
+                           dtype=jnp.bfloat16, layout="NHWC", downscale=1):
     """Batched kmv decode fused straight into model tensors.
     → (carry [B,Y,X] u32 for the next window, model [B,T,...])."""
-    kw = dict(dtype=dtype, layout=layout)
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale)
     return jax.vmap(lambda i, p, m, c: _scan_decode_kmv_model(i, p, m, c, kw))(
         init_frames, paycode, mvk, changed)
 

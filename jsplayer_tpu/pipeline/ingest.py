@@ -39,6 +39,7 @@ class IngestConfig:
     # + re-read).  frames_u32 is then absent from the yielded dict.
     emit_frames: bool = True
     model_dtype: str = "bfloat16"
+    model_downscale: int = 1  # power-of-two box downsample in the epilogue
     insignificant_lines: int = 0
     # SP device compose: "kmv" (K-distinct-mv roll; bench-winning, ~27k
     # fps/chip @1080p) or "general" (arbitrary-gather; any command mix)
@@ -155,7 +156,8 @@ class VideoIngestPipeline:
             if not self.cfg.emit_frames and self.cfg.emit_model_input:
                 carry, model = sp_recon.decode_batch_kmv_model(
                     init, jnp.array(pc), jnp.array(mvk), jnp.array(changed),
-                    dtype=jnp.dtype(self.cfg.model_dtype))
+                    dtype=jnp.dtype(self.cfg.model_dtype),
+                    downscale=self.cfg.model_downscale)
                 self._carry = carry
                 return {"start_frame": start, "significant": jnp.array(sig),
                         "model_input": model}
@@ -271,5 +273,6 @@ class VideoIngestPipeline:
                "significant": signif}
         if self.cfg.emit_model_input:
             out["model_input"] = to_model_input(
-                frames, dtype=jnp.dtype(self.cfg.model_dtype))
+                frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale)
         return out

@@ -90,3 +90,21 @@ def test_manager_get_rgba_parity():
     m.convert_from_rgb15 = True
     np.testing.assert_array_equal(
         m.get_rgba(), (0xFF000000 | (buf << 3)).astype(np.uint32))
+
+
+def test_to_model_input_downscale_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from jsplayer_tpu.kernels.rgb_convert import to_model_input
+
+    rng = np.random.default_rng(0)
+    f = rng.integers(0, 1 << 24, (8, 16)).astype(np.uint32)
+    out = np.asarray(to_model_input(jnp.array(f), downscale=2,
+                                    dtype=jnp.float32))
+    assert out.shape == (4, 8, 3)
+    # exact box mean (integer window sum, single float divide) of the
+    # flipped u8 channels
+    ch = np.stack([(f & 0xFF), (f >> 8) & 0xFF, (f >> 16) & 0xFF], -1)
+    ch = ch[::-1]  # flip_vertical
+    want = ch.reshape(4, 2, 8, 2, 3).sum(axis=(1, 3)).astype(np.float32)
+    np.testing.assert_allclose(out, want * (1.0 / 255.0 / 4), rtol=1e-6)
