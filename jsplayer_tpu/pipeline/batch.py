@@ -179,8 +179,14 @@ def make_sp_decode_step_kmv(mesh: Mesh, cfg: DecodeConfig):
 
     def per_shard(paycode, mvk, changed):
         init = jnp.zeros_like(paycode[:, :, 0])
-        fn = jax.vmap(jax.vmap(sp_recon._scan_decode_kmv))
-        frames = fn(init, paycode, mvk, changed)
+        # unroll local (b, g) dims — vmapped dynamic rolls lower to gathers
+        b_n, g_n = paycode.shape[0], paycode.shape[1]
+        frames = jnp.stack([
+            jnp.stack([
+                sp_recon._scan_decode_kmv(init[b, g], paycode[b, g],
+                                          mvk[b, g], changed[b, g])
+                for g in range(g_n)])
+            for b in range(b_n)])
         return _epilogue(frames, cfg)
 
     sharded = jax.shard_map(
