@@ -14,11 +14,15 @@ Decode math matches the byte-wise rANS of the reference (12-bit
 probabilities, L=2^23 renorm, ANS.hx:33-48); the lane layout and the static
 table are the re-encode's freedom — parity is defined on decoded symbols.
 
-Engineering note (measured): TPU has no efficient per-lane byte gather, so
-each refill step costs an N-element gather.  Device lane decode is therefore
-a capability/offload path (frees host cores; data never leaves HBM), not a
-raw-speed win over the native host decoder — the default pipeline keeps
-entropy on host and reconstruction on device.
+Engineering note (measured on v5e): TPU has no efficient per-lane byte
+gather, so each lockstep step pays two take_along_axis gathers; throughput
+is ~26 Msym/s and FLAT in the lane count (512/2048/8192 all ~80 us/step —
+scan-step latency bound, not compute bound).  A Pallas variant can't fix
+this: Mosaic has no cross-lane dynamic-address load either.  Device lane
+decode is therefore a capability/offload path (frees host cores; data
+never leaves HBM), not a raw-speed win over the native host decoder
+(~6,200 fps/core) — the default pipeline keeps entropy on host and
+reconstruction on device.
 """
 
 from __future__ import annotations

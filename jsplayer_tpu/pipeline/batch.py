@@ -62,7 +62,10 @@ def stack_msv1_commands(
                 src, X, Y, pal=pal
             )
     rs = lambda a: a.reshape(B, gops, Tg, *a.shape[2:])
-    return dict(btype=rs(bt), sel=rs(sel), colors=rs(col), changes=rs(chg))
+    # sel ships plane-ordered [.., Y, X] (device-side 4x4 relayout is 2x
+    # the paint kernel's cost on TPU — msv1_paint.sel_to_plane)
+    return dict(btype=rs(bt), sel=rs(msv1_paint.sel_to_plane(sel, Y, X)),
+                colors=rs(col), changes=rs(chg))
 
 
 def stack_sp_commands(

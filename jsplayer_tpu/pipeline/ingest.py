@@ -251,6 +251,7 @@ class VideoIngestPipeline:
                     src, X, Y, pal=pal)
         init = self._carry_init(B)
         valid = jnp.array([start > 0] * B)
+        sel = msv1_paint.sel_to_plane(sel, Y, X)  # device wants plane order
         frames, signif = msv1_paint.decode_batch(
             init, valid, jnp.array(bt), jnp.array(sel), jnp.array(col),
             jnp.array(chg),

@@ -228,10 +228,13 @@ def test_device_parity_random_opcodes(bits, seed):
 
     insign_blocks = (insign + 3) >> 2
     insign_lines = insign if bits == 16 else 0  # 8-bit quirk parity
+    from jsplayer_tpu.kernels.msv1_paint import sel_to_plane
+
     frames, sigs = decode_sequence(
         jnp.zeros((Y, X), dtype=jnp.uint32),
         jnp.array(False),
-        jnp.array(bt), jnp.array(sel), jnp.array(col), jnp.array(chg),
+        jnp.array(bt), jnp.array(sel_to_plane(sel, Y, X)), jnp.array(col),
+        jnp.array(chg),
         jnp.int32(insign_blocks), jnp.int32(insign_lines), X // 4,
     )
     frames = np.asarray(frames).reshape(T, NPIX)
@@ -270,9 +273,12 @@ def test_device_parity_encoded_chain():
     for t, s in enumerate(streams):
         bt[t], sel[t], col[t], chg[t] = parse_commands(s, X, Y)
 
+    from jsplayer_tpu.kernels.msv1_paint import sel_to_plane
+
     dev_frames, dev_sigs = decode_sequence(
         jnp.zeros((Y, X), dtype=jnp.uint32), jnp.array(False),
-        jnp.array(bt), jnp.array(sel), jnp.array(col), jnp.array(chg),
+        jnp.array(bt), jnp.array(sel_to_plane(sel, Y, X)), jnp.array(col),
+        jnp.array(chg),
         jnp.int32(0), jnp.int32(0), X // 4,
     )
     dev_frames = np.asarray(dev_frames).reshape(T, NPIX)
