@@ -6,8 +6,11 @@ parity vs host-decoded golds, (3) the multi-strategy bench, (4) fused
 epilogue bench.  Appends results to TPU_RESULTS.md.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -88,6 +91,23 @@ def main():
     except Exception as e:
         results["mxu_parity"] = f"compile-fail: {str(e)[:160]}"
     print("mxu shuffle:", results["mxu_parity"])
+
+    # 1b. production kmv path (native transport) parity on-chip
+    try:
+        from jsplayer_tpu import native
+        if native.available():
+            kmv = native.native_sp_decode_streams_kmv([streams], X, Y, K=2)
+            frames = sp_recon.decode_sequence_kmv(
+                jnp.zeros((Y, X), jnp.uint32), jnp.array(kmv["paycode"][0]),
+                jnp.array(kmv["mvk"][0]), jnp.array(kmv["changed"][0]))
+            ok = all(np.array_equal(np.asarray(frames[t]).reshape(-1), golds[t])
+                     for t in range(len(golds)))
+            results["kmv_native_parity"] = ok
+        else:
+            results["kmv_native_parity"] = "native unavailable"
+    except Exception as e:  # noqa: BLE001
+        results["kmv_native_parity"] = f"fail: {str(e)[:160]}"
+    print("kmv native transport:", results["kmv_native_parity"])
 
     # 2. bench
     import bench

@@ -254,15 +254,16 @@ def test_rc_renorm_heavy_v2_big_noise():
     np.testing.assert_array_equal(dst, f)
 
 
-def test_native_kmv_paycode_matches_numpy_prepare():
+@pytest.mark.parametrize("X,Y", [(64, 48), (64, 40)])
+def test_native_kmv_paycode_matches_numpy_prepare(X, Y):
     """sp_decompress_kmv / sp_decode_streams_kmv vs kernels.sp_recon.prepare_kmv
-    (same grouping, tie-break, demotion, and plane packing)."""
+    (same grouping, tie-break, demotion, and plane packing) — including
+    partial bottom block rows (Y=40 → 16+16+8)."""
     from jsplayer_tpu import native
     from jsplayer_tpu.kernels import sp_recon
 
     if not native.available():
         pytest.skip("native unavailable")
-    X, Y = 64, 48
     enc = native.NativeScreenPressorEncoder(4, X, Y)
     rng = np.random.default_rng(3)
     f = np.full((Y, X), 0x010203, dtype=np.uint32)
