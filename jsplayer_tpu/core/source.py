@@ -71,13 +71,82 @@ class MemorySource(ByteSource):
         return self._data[start : last + 1]
 
 
-def open_source(path_or_url: str) -> ByteSource:
-    """Source factory. http(s) URLs would map to HTTP Range requests — gated
-    off here (zero-egress environment); file paths map to FileSource."""
+class HttpRangeSource(ByteSource):
+    """HTTP byte-range source — the reference's network transport
+    (PostStream.hx:18-196), both protocols:
+
+    * ``protocol="range"`` (default): standard GET with a ``Range:
+      bytes=s-e`` header — what any modern object store / CDN serves.
+    * ``protocol="post"``: the reference's custom byte-range POST carrying
+      ``s``/``e`` as request headers AND form body (PostStream.LoadPart,
+      PostStream.hx:140-159), for Infognition's player_js backend.
+
+    Size discovery: HEAD Content-Length, falling back to a 0-0 range
+    probe's Content-Range total (the reference instead parses riff_size
+    from the first chunk, DataLoaderAVIIndexed.hx:81)."""
+
+    def __init__(self, url: str, protocol: str = "range", timeout: float = 30.0):
+        assert protocol in ("range", "post")
+        self._url = url
+        self._protocol = protocol
+        self._timeout = timeout
+        self._size: Optional[int] = None
+
+    def size(self) -> int:
+        import urllib.request
+
+        if self._size is None:
+            req = urllib.request.Request(self._url, method="HEAD")
+            with urllib.request.urlopen(req, timeout=self._timeout) as r:
+                cl = r.headers.get("Content-Length")
+                if cl is not None:
+                    self._size = int(cl)
+                else:
+                    cr = r.headers.get("Content-Range", "")
+                    self._size = int(cr.rpartition("/")[2]) if "/" in cr else 0
+        return self._size
+
+    def read_range(self, start: int, end: Optional[int] = None) -> bytes:
+        import urllib.request
+
+        if self._protocol == "post":
+            # PostStream.hx:140-159: s/e ride as headers and form body; an
+            # omitted end means "to EOF" (the reference sends e=riff end)
+            e = "" if end is None else str(end)
+            body = f"s={start}&e={e}".encode()
+            req = urllib.request.Request(
+                self._url, data=body, method="POST",
+                headers={"s": str(start), "e": e,
+                         "Content-Type": "application/x-www-form-urlencoded"})
+        else:
+            rng = f"bytes={start}-" if end is None else f"bytes={start}-{end}"
+            req = urllib.request.Request(self._url, headers={"Range": rng})
+        with urllib.request.urlopen(req, timeout=self._timeout) as r:
+            return r.read()
+
+    def stream_range(self, start: int, end: Optional[int] = None,
+                     chunk_size: int = 1 << 16) -> Iterator[bytes]:
+        """True streaming read: chunks yield as the socket delivers them
+        (the XHR progress-event model, PostStream.hx:60-67)."""
+        import urllib.request
+
+        if self._protocol == "post":
+            yield from super().stream_range(start, end, chunk_size)
+            return
+        rng = f"bytes={start}-" if end is None else f"bytes={start}-{end}"
+        req = urllib.request.Request(self._url, headers={"Range": rng})
+        with urllib.request.urlopen(req, timeout=self._timeout) as r:
+            while True:
+                chunk = r.read(chunk_size)
+                if not chunk:
+                    return
+                yield chunk
+
+
+def open_source(path_or_url: str, **kw) -> ByteSource:
+    """Source factory: http(s) URLs → HttpRangeSource (pass
+    protocol="post" for the reference's player_js backend), file paths →
+    FileSource."""
     if path_or_url.startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "HTTP range source requires network egress; use a file path "
-            "(GCS/HTTP mounting is the deployment-side equivalent of "
-            "PostStream.LoadPart)"
-        )
+        return HttpRangeSource(path_or_url, **kw)
     return FileSource(path_or_url)
