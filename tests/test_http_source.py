@@ -117,3 +117,56 @@ def test_player_over_http(avi_server):
     assert p.first_shown
     np.testing.assert_array_equal(
         p.manager.buffers[p.manager._last_filled_buffer], golds[0])
+
+
+def test_indexed_player_seek_over_http():
+    """OpenDML-indexed AVI streamed over HTTP: seek triggers byte-range
+    re-requests through the transport (the reference's LoadPart flow,
+    DataLoaderAVIIndexed.hx:482-618)."""
+    from jsplayer_tpu.encode.avi_mux import mux_avi_opendml
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.player import Player, PlayerConfig
+
+    X = Y = 32
+    n = 24
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(9)
+    f = np.full((Y, X), pack_rgb(1, 1, 1), dtype=np.uint32).reshape(-1)
+    streams, golds = [], []
+    for t in range(n):
+        if t % 6 == 0:
+            enc = ScreenPressorEncoder(4, X, Y)  # fresh GOP
+            nf = f.copy().reshape(Y, X)
+            nf[:] = pack_rgb(t, 3, 5)
+            f = nf.reshape(-1)
+            streams.append(enc.encode_i(f))
+        else:
+            nf = f.copy().reshape(Y, X)
+            nf[4:8, 2:30] = pack_rgb(*rng.integers(0, 256, 3))
+            f = nf.reshape(-1)
+            streams.append(enc.encode_p(f))
+        golds.append(f)
+    keys = [t % 6 == 0 for t in range(n)]
+    avi = mux_avi_opendml(streams, X, Y, 12, codec="SPV4", keyflags=keys)
+    srv, url = make_server(avi)
+    try:
+        p = Player(PlayerConfig(indexed=True))
+        vi = p.load(open_source(url))
+        assert vi.nframes == n
+        from jsplayer_tpu.pipeline.manager import FrameResult
+
+        for _ in range(800):
+            if p.tick() == FrameResult.DECOMPRESSED and p.first_shown:
+                break
+        assert p.first_shown
+        # seek deep into the third GOP — range re-request over HTTP
+        target = 14
+        p.seek_time(target / p.manager.fps + 1e-3)
+        for _ in range(800):
+            p.tick()
+            if p.manager.last_frame_drawn == target:
+                break
+        np.testing.assert_array_equal(
+            p.manager.buffers[p.manager._last_filled_buffer], golds[target])
+    finally:
+        srv.shutdown()
