@@ -137,7 +137,9 @@ def decode_batch(
 def derive_kmv_commands(bts, mv, rect, K: int = 4):
     """numpy host step: [T,...] commands → (mvk [T,K,2], group [T,NB] int32
     in [-1, K), data_mask_extra: blocks demoted to data).  group == -1 means
-    not motion."""
+    not motion.  Motion blocks are bts 3 (full block) AND 4 (subrect motion,
+    (bts-1)&2 — the encoder's common shape for scrolls over flat regions);
+    for bts 4 the roll applies only inside the captured rect."""
     import numpy as _np
 
     T, NB = bts.shape
@@ -145,7 +147,7 @@ def derive_kmv_commands(bts, mv, rect, K: int = 4):
     group = _np.full((T, NB), -1, dtype=_np.int32)
     demoted = _np.zeros((T, NB), dtype=bool)
     for t in range(T):
-        motion = _np.nonzero(bts[t] == 3)[0]
+        motion = _np.nonzero((bts[t] == 3) | (bts[t] == 4))[0]
         if motion.size == 0:
             continue
         vecs, inv, counts = _np.unique(
@@ -213,10 +215,11 @@ def prepare_kmv(bts, mv, rect, payload, K: int = 4):
         r = rect[t][bi]
         in_rect = ((xx >= r[..., 0]) & (xx < r[..., 2])
                    & (yy >= r[..., 1]) & (yy < r[..., 3]))
-        is_data = (b > 0) & (b != 3) & in_rect
+        is_mot_block = (b == 3) | (b == 4)
+        is_data = (b > 0) & ~is_mot_block & in_rect
         is_data |= demoted[t][bi]
         gp = _np.where(demoted[t][bi], -1, group[t][bi])
-        is_motion = gp >= 0
+        is_motion = (gp >= 0) & in_rect  # bts 4: roll only inside the rect
         ptype = _np.where(is_data, 1, _np.where(is_motion, 2, 0)).astype(_np.uint32)
         kbits = _np.where(is_motion, gp, 0).astype(_np.uint32)
         out_pc[t] = ((payload[t] & 0x00FFFFFF) | (ptype << 24) | (kbits << 26))
@@ -327,31 +330,52 @@ def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None)
     nbx = (X + 15) // 16
     assert K <= 8
     mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
-    need_tile = ((bts > 0) & (bts != 3)) | demoted
+    # The sparse compose rolls WHOLE blocks (bcode is per block), but bts 4
+    # motion is rect-limited: a slot is safe iff the full-block roll
+    # reproduces the decoded block (256-pixel compare vs payload[t-1] per
+    # motion block — the whole-frame roll+reduction variant measured 2 s
+    # per 64-frame 1080p window; this is ~50 ms)
+    pay = payload & _np.uint32(0x00FFFFFF)
+    safe = _np.zeros((T, NB), dtype=bool)
+    for t in range(1, T):
+        for bi in _np.nonzero(group[t] >= 0)[0]:
+            by, bx = divmod(int(bi), nbx)
+            y1, y2 = by * 16, min(by * 16 + 16, Y)
+            x1, x2 = bx * 16, min(bx * 16 + 16, X)
+            mx, my = mv[t, bi]
+            if (y1 + my < 0 or y2 + my > Y or x1 + mx < 0 or x2 + mx > X):
+                continue
+            safe[t, bi] = bool(
+                (pay[t - 1, y1 + my:y2 + my, x1 + mx:x2 + mx]
+                 == pay[t, y1:y2, x1:x2]).all())
+    mot = group >= 0
+    need_tile = (((bts > 0) & (bts != 3) & (bts != 4)) | demoted
+                 | (mot & ~safe))
     counts = need_tile.sum(axis=1)
     if M is None:
         M = max(1, int(counts.max()))
     if int(counts.max()) > M:
         raise ValueError(f"M={M} < max tiles/frame {int(counts.max())}")
     bcode = _np.zeros((T, NB), dtype=_np.uint8)
+    g = _np.where(demoted | ~safe, -1, group)
+    bcode[g >= 0] = (2 + g[g >= 0]).astype(_np.uint8)
     tiles = _np.zeros((T, M, 16, 16), dtype=_np.uint32)
     tile_yx = _np.zeros((T, M, 2), dtype=_np.int32)
-    pay = payload & _np.uint32(0x00FFFFFF)
     for t in range(T):
-        g = _np.where(demoted[t], -1, group[t])
-        mot = g >= 0
-        bcode[t][mot] = (2 + g[mot]).astype(_np.uint8)
         blocks = _np.nonzero(need_tile[t])[0]
-        for m in range(M):
-            bi = blocks[m] if m < len(blocks) else 0
+        for m, bi in enumerate(blocks):
             by, bx = divmod(int(bi), nbx)
-            # edge blocks: clamp the 16x16 window into the frame; the extra
-            # rows/cols re-write the neighbor's FINAL content (exact, since
-            # payload is the fully decoded frame)
+            # edge blocks: clamp the 16x16 window into the frame; the
+            # extra rows/cols re-write the neighbor's FINAL content
+            # (exact, since payload is the fully decoded frame)
             y0, x0 = min(by * 16, Y - 16), min(bx * 16, X - 16)
             tiles[t, m] = pay[t, y0:y0 + 16, x0:x0 + 16]
             tile_yx[t, m] = (y0, x0)
-    return bcode, mvk, tiles, tile_yx
+        # pad with block (0,0)'s final content — a no-op rewrite
+        if len(blocks) < M:
+            tiles[t, len(blocks):] = pay[t, :16, :16]
+            tile_yx[t, len(blocks):] = 0
+    return bcode, mvk, _np.ascontiguousarray(tiles), tile_yx
 
 
 def compose_frame_kmv_sparse(prev, bcode, mvk, tiles, tile_yx):
@@ -374,7 +398,20 @@ def compose_frame_kmv_sparse(prev, bcode, mvk, tiles, tile_yx):
 
 
 @jax.jit
-def decode_sequence_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx, changed):
+def decode_batch_kmv_sparse(init_frames, bcode, mvk, tiles, tile_yx, changed):
+    """Batched sparse-kmv scan (unrolled over B — see decode_batch_kmv).
+
+    The sparse transport exists for the HOST->DEVICE link, not for HBM: the
+    dense paycode plane is 8.3 MB/frame at 1080p while typical screen
+    content needs ~50 KB of tiles + block codes — on a PCIe- (or tunnel-)
+    fed serving host the transfer dominates end-to-end throughput."""
+    outs = [_scan_decode_kmv_sparse(init_frames[b], bcode[b], mvk[b],
+                                    tiles[b], tile_yx[b], changed[b])
+            for b in range(bcode.shape[0])]
+    return jnp.stack(outs)
+
+
+def _scan_decode_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx, changed):
     def step(prev, inp):
         bc, mk, tl, yx, chg = inp
         out = jnp.where(chg, compose_frame_kmv_sparse(prev, bc, mk, tl, yx),
@@ -384,3 +421,9 @@ def decode_sequence_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx, changed):
     _, frames = jax.lax.scan(step, init_frame,
                              (bcode, mvk, tiles, tile_yx, changed))
     return frames
+
+
+@jax.jit
+def decode_sequence_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx, changed):
+    return _scan_decode_kmv_sparse(init_frame, bcode, mvk, tiles, tile_yx,
+                                   changed)

@@ -2249,7 +2249,7 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
   struct V { int mx, my, cnt; };
   std::vector<V> vs;
   for (size_t bi = 0; bi < nb; bi++) {
-    if (bts[bi] != 3) continue;
+    if (bts[bi] != 3 && bts[bi] != 4) continue;  // 4 = subrect motion
     int mx = mv[bi * 2], my = mv[bi * 2 + 1];
     int f = -1;
     for (size_t j = 0; j < vs.size(); j++)
@@ -2276,18 +2276,23 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
       int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
       int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
       int b = bts[bi];
-      if (b == 3) {
+      if (b == 3 || b == 4) {  // motion (4 = rect-limited: roll inside rect)
         int mx = mv[bi * 2], my = mv[bi * 2 + 1];
         int slot = -1;
         for (int k = 0; k < kk; k++)
           if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
         if (slot >= 0) {
           uint32_t v = (2u << 24) | ((uint32_t)slot << 26);
+          int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
+          int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
           for (int y = yb1; y < yb2; y++) {
             const uint32_t* f = &frame[(size_t)y * X + xb1];
             uint32_t* row = &pay[(size_t)y * X + xb1];
-            for (int x = 0; x < xb2 - xb1; x++)
-              row[x] = (f[x] & 0x00FFFFFFu) | v;
+            for (int x = 0; x < xb2 - xb1; x++) {
+              int ax = xb1 + x;
+              uint32_t t = (y >= y1 && y < y2 && ax >= x1 && ax < x2) ? v : 0u;
+              row[x] = (f[x] & 0x00FFFFFFu) | t;
+            }
           }
         } else {  // demoted: whole block rides as data
           for (int y = yb1; y < yb2; y++) {
@@ -2297,7 +2302,7 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
               row[x] = (f[x] & 0x00FFFFFFu) | (1u << 24);
           }
         }
-      } else if (b > 0) {  // data / subrect (incl. motion+subrect kinds)
+      } else if (b > 0) {  // data / subrect
         int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
         int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
         for (int y = yb1; y < yb2; y++) {

@@ -41,8 +41,13 @@ class IngestConfig:
     model_dtype: str = "bfloat16"
     model_downscale: int = 1  # power-of-two box downsample in the epilogue
     insignificant_lines: int = 0
-    # SP device compose: "kmv" (K-distinct-mv roll; bench-winning, ~27k
-    # fps/chip @1080p) or "general" (arbitrary-gather; any command mix)
+    # SP device compose:
+    #   "kmv"        dense paycode plane (K-distinct-mv roll; fastest in
+    #                HBM, ~27k fps/chip @1080p) — for co-located hosts;
+    #   "kmv_sparse" block codes + payload tiles (~50 KB/frame typical vs
+    #                8.3 MB dense) — for PCIe/network-fed serving where the
+    #                host->device link dominates;
+    #   "general"    arbitrary-gather compose (any command mix).
     sp_device_path: str = "kmv"
     kmv_k: int = 2
 
@@ -135,6 +140,8 @@ class VideoIngestPipeline:
         nbx, nby = (X + 15) // 16, (Y + 15) // 16
         nb = nbx * nby
         decs = self._sp_decoders()
+        if self.cfg.sp_device_path == "kmv_sparse":
+            return self._decode_sp_window_sparse(chunk, start)
         if self.cfg.sp_device_path == "kmv" and self._sp_native:
             # fast path: the native decoder emits kmv transport directly
             # (paycode plane + mvk) during decode — no payload capture, no
@@ -228,6 +235,99 @@ class VideoIngestPipeline:
             )
         self._carry = frames[:, -1]  # device-resident carry
         return self._emit(frames, signif, start)
+
+    def _decode_sp_window_sparse(self, chunk, start) -> dict:
+        """Sparse kmv transport: host captures commands + decoded frames,
+        ships per-block codes, K motion vectors, and final-content payload
+        tiles.  GOP alignment makes the I-frame the scan INIT (one dense
+        frame per GOP) instead of an M≈NB tile burst; tile counts are
+        padded to power-of-two buckets to bound recompiles."""
+        vi = self.info
+        X, Y = vi.width, vi.height
+        B, T = len(chunk), self.cfg.window
+        nbx, nby = (X + 15) // 16, (Y + 15) // 16
+        nb = nbx * nby
+        if getattr(self, "_spbuf", None) is None:
+            self._spbuf = dict(
+                bts=np.zeros((B, T, nb), dtype=np.int32),
+                mv=np.zeros((B, T, nb, 2), dtype=np.int32),
+                rect=np.zeros((B, T, nb, 4), dtype=np.int32),
+                payload=np.zeros((B, T, Y, X), dtype=np.uint32),
+            )
+        buf = self._spbuf
+        bts, mv, rect, payload = (buf["bts"], buf["mv"], buf["rect"],
+                                  buf["payload"])
+        changed = np.zeros((B, T), dtype=bool)
+        sig = np.zeros((B, T), dtype=bool)
+        decs = self._sp_decoders()
+        is_key0 = np.zeros(B, dtype=bool)
+        for b, frames in enumerate(chunk):
+            dec = decs[b]
+            for t, src in enumerate(frames):
+                if self._sp_native:
+                    isk = dec.is_key_frame(src)
+                    view, _sig, cap = dec.decompress(src, isk, capture=True,
+                                                     copy=False)
+                    sig[b, t] = bool(_sig)
+                    if view is None:
+                        view = dec.latest_view()
+                    payload[b, t] = np.asarray(view).reshape(Y, X)
+                else:
+                    cap = {}
+                    dec.capture = cap
+                    dst = np.zeros(X * Y, dtype=np.uint32)
+                    isk = dec.is_key_frame(src)
+                    if isk:
+                        dec.decompress_i(src, dst)
+                        sig[b, t] = True
+                    else:
+                        res = dec.decompress_p(src, dst)
+                        sig[b, t] = bool(res.significant_changes)
+                    data = dec.previous_frame()
+                    if data is not None:
+                        payload[b, t] = data.reshape(Y, X)
+                if t == 0:
+                    is_key0[b] = bool(isk)
+                bts[b, t] = cap["bts"]
+                mv[b, t] = cap["mv"]
+                rect[b, t] = cap["rect"]
+                changed[b, t] = cap["changed"]
+        K = self.cfg.kmv_k
+        # GOP-aligned init: a window-leading keyframe ships as the dense
+        # scan init (its tiles would be the whole frame anyway)
+        skip0 = bool(is_key0.all())
+        t0 = 1 if skip0 else 0
+        preps = [sp_recon.prepare_kmv_sparse(
+            bts[b, t0:], mv[b, t0:], rect[b, t0:],
+            (payload[b, t0:] & np.uint32(0x00FFFFFF)), K=K)
+            for b in range(B)]
+        m_max = max(1, max(p[2].shape[1] for p in preps))
+        m_pad = 1 << (m_max - 1).bit_length()
+        def padM(tiles, tyx):
+            # prepare_kmv_sparse guarantees M >= 1 with final-content pad
+            # tiles, so repeating column 0 is always a correct no-op rewrite
+            m = tiles.shape[1]
+            if m == m_pad:
+                return tiles, tyx
+            reps = m_pad - m
+            return (np.concatenate([tiles, np.repeat(tiles[:, :1], reps, 1)], 1),
+                    np.concatenate([tyx, np.repeat(tyx[:, :1], reps, 1)], 1))
+        bc = np.stack([p[0] for p in preps])
+        mvk = np.stack([p[1] for p in preps])
+        padded = [padM(p[2], p[3]) for p in preps]
+        tiles = np.stack([q[0] for q in padded])
+        tyx = np.stack([q[1] for q in padded])
+        if skip0:
+            init = jnp.array(payload[:, 0] & np.uint32(0x00FFFFFF))
+        else:
+            init = self._carry_init(B)
+        frames = sp_recon.decode_batch_kmv_sparse(
+            init, jnp.array(bc), jnp.array(mvk), jnp.array(tiles),
+            jnp.array(tyx), jnp.array(changed[:, t0:]))
+        if skip0:
+            frames = jnp.concatenate([init[:, None], frames], axis=1)
+        self._carry = frames[:, -1]
+        return self._emit(frames, jnp.array(sig), start)
 
     # -- MSVideo1 --------------------------------------------------------------
 

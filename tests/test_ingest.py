@@ -119,3 +119,21 @@ def test_ingest_model_only_fused():
         np.testing.assert_array_equal(
             np.asarray(bf["model_input"], dtype=np.float32),
             np.asarray(bz["model_input"], dtype=np.float32))
+
+
+def test_ingest_sparse_path_bit_exact():
+    """kmv_sparse transport matches golds (keyframe-led windows, scrolls,
+    paints, stills)."""
+    avis, golds = zip(*(sp_avi(s) for s in (1, 2)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, sp_device_path="kmv_sparse"))
+    for batch in pipe:
+        frames = np.asarray(batch["frames_u32"])
+        start = batch["start_frame"]
+        for b in range(2):
+            for t in range(frames.shape[1]):
+                gi = min(start + t, len(golds[b]) - 1)
+                np.testing.assert_array_equal(
+                    frames[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {start + t}")

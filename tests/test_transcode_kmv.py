@@ -227,3 +227,39 @@ def test_kmv_still_elision_parity():
         got = (np.zeros((Y, X), np.uint32) if outmap[t] < 0
                else dec[outmap[t]])
         np.testing.assert_array_equal(got.reshape(-1), g, err_msg=f"frame {t}")
+
+
+def test_kmv_16bpp_bit_exact():
+    """16bpp SP streams through prepare_kmv + device kmv scan (15-bit pixels
+    ride the same 24-bit paycode field)."""
+    from jsplayer_tpu import native
+
+    enc = ScreenPressorEncoder(4, X, Y, bpp=16)
+    rng = np.random.default_rng(8)
+    f = np.full((Y, X), 0x1234, dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(5):
+        nf = f.copy().reshape(Y, X)
+        if t % 2 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        else:
+            nf[8:12, 6:30] = int(rng.integers(0, 0x8000))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], X, Y, bpp=16)
+    pc, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                          cmds["rect"][0, 0], cmds["payload"][0, 0])
+    frames = np.asarray(decode_sequence_kmv(
+        jnp.zeros((Y, X), jnp.uint32), jnp.array(pc), jnp.array(mvk),
+        jnp.array(cmds["changed"][0, 0])))
+    for t, g in enumerate(golds):
+        np.testing.assert_array_equal(frames[t].reshape(-1), g,
+                                      err_msg=f"frame {t}")
+    # native kmv transport parity at 16bpp
+    if native.available():
+        got = native.native_sp_decode_streams_kmv([streams], X, Y, bpp=16, K=4)
+        for t in range(len(streams)):
+            if got["changed"][0][t]:
+                np.testing.assert_array_equal(got["paycode"][0, t], pc[t],
+                                              err_msg=f"native pc {t}")
