@@ -317,12 +317,17 @@ def decode_sequence_kmv_compact(init_frame, paycode, mvk):
 # whole block is exact even for subrect blocks (outside-rect pixels in the
 # decoded frame equal prev) and for padding tiles (block 0's final content).
 
-def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None):
+def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None,
+                       prev0=None):
     """Host prep (numpy): → (bcode [T,NB] u8: 0 copy / 2+k motion-slot,
     mvk [T,K,2], tiles [T,M,16,16] u32, tile_yx [T,M,2] i32).  Blocks with
     data content (bts 1/2 subrect/gradient fills, ScreenPressor.hx:317-353)
     and motion blocks demoted from the K slots become tiles; padding tiles
-    re-write block 0's final content (a no-op)."""
+    re-write block 0's final content (a no-op).
+
+    prev0: the decoded frame preceding payload[0] (the previous window's
+    last frame); without it frame 0's motion blocks can't pass the slot-
+    safety check and all ride as tiles."""
     import numpy as _np
 
     T, NB = bts.shape
@@ -337,7 +342,11 @@ def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None)
     # per 64-frame 1080p window; this is ~50 ms)
     pay = payload & _np.uint32(0x00FFFFFF)
     safe = _np.zeros((T, NB), dtype=bool)
-    for t in range(1, T):
+    prev0 = None if prev0 is None else (prev0 & _np.uint32(0x00FFFFFF))
+    for t in range(T):
+        prev = pay[t - 1] if t > 0 else prev0
+        if prev is None:
+            continue
         for bi in _np.nonzero(group[t] >= 0)[0]:
             by, bx = divmod(int(bi), nbx)
             y1, y2 = by * 16, min(by * 16 + 16, Y)
@@ -346,7 +355,7 @@ def prepare_kmv_sparse(bts, mv, rect, payload, K: int = 4, M: int | None = None)
             if (y1 + my < 0 or y2 + my > Y or x1 + mx < 0 or x2 + mx > X):
                 continue
             safe[t, bi] = bool(
-                (pay[t - 1, y1 + my:y2 + my, x1 + mx:x2 + mx]
+                (prev[y1 + my:y2 + my, x1 + mx:x2 + mx]
                  == pay[t, y1:y2, x1:x2]).all())
     mot = group >= 0
     need_tile = (((bts > 0) & (bts != 3) & (bts != 4)) | demoted

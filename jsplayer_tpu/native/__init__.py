@@ -67,6 +67,13 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sp_decompress_kmv_sparse.restype = ctypes.c_int
+    lib.sp_decompress_kmv_sparse.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.sp_decode_streams_kmv.restype = ctypes.c_int
     lib.sp_decode_streams_kmv.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -172,6 +179,33 @@ class NativeScreenPressor:
         has = ctypes.c_int(0)
         ptr = self._lib.sp_prev_frame(self._h, ctypes.byref(has))
         return np.ctypeslib.as_array(ptr, shape=(self.X * self.Y,))
+
+    def decompress_kmv_sparse(self, data: bytes, is_key: bool,
+                              bcode: np.ndarray, mvk: np.ndarray,
+                              tiles: np.ndarray, tile_yx: np.ndarray,
+                              K: int = 2):
+        """Decode one frame straight into SPARSE kmv transport (per-block
+        codes + K vectors + final-content tiles) — the PCIe-serving shape.
+        → (changed, signif, m_used).  m_used == -1 signals overflow (or a
+        keyframe): the frame is decoded, ship latest_view() dense instead.
+        Native twin of kernels/sp_recon.prepare_kmv_sparse (per frame)."""
+        m_cap = tiles.shape[0]
+        assert tiles.dtype == np.uint32 and tiles.size == m_cap * 256
+        assert bcode.dtype == np.uint8 and bcode.size == self.nbx * self.nby
+        signif = ctypes.c_int(0)
+        m_used = ctypes.c_int32(0)
+        r = self._lib.sp_decompress_kmv_sparse(
+            self._h, data, len(data), 1 if is_key else 0, K, m_cap,
+            bcode.ctypes.data_as(ctypes.c_void_p),
+            mvk.ctypes.data_as(ctypes.c_void_p),
+            tiles.ctypes.data_as(ctypes.c_void_p),
+            tile_yx.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(m_used), ctypes.byref(signif))
+        if r == -1:
+            raise ValueError("invalid stream")
+        if r == -2:
+            return True, bool(signif.value), -1
+        return r == 0, bool(signif.value), int(m_used.value)
 
     def decompress_kmv(self, data: bytes, is_key: bool, paycode: np.ndarray,
                        mvk: np.ndarray, K: int = 2):

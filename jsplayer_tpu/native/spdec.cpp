@@ -2539,6 +2539,139 @@ int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
   return 0;
 }
 
+// Per-frame SPARSE kmv transport on a persistent handle (the serving shape
+// for PCIe/network-fed hosts): per-block codes + K motion vectors + final-
+// content payload tiles.  Exact twin of kernels/sp_recon.prepare_kmv_sparse
+// for one frame (same grouping, tie-break, slot-safety vs the previous
+// decoded frame, clamped tile origins, block-0 pad tiles).
+// Returns 0 decoded / 1 no-change (outputs untouched) / -1 error /
+// -2 tile overflow (frame IS decoded; *m_used holds the needed count —
+// fall back to latest() as a dense frame).
+int sp_decompress_kmv_sparse(void* h, const uint8_t* src, long len,
+                             int is_key, int K, int m_cap, uint8_t* bcode,
+                             int32_t* mvk, uint32_t* tiles, int32_t* tile_yx,
+                             int32_t* m_used, int* signif) {
+  SpDecoder* d = (SpDecoder*)h;
+  const int X = d->X, Y = d->Y, nbx = d->nbx, nby = d->nby;
+  const size_t nb = (size_t)nbx * nby;
+  *signif = 0;
+  *m_used = 0;
+  auto emit_all_tiles = [&](const uint32_t* f) {
+    int m = 0;
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++, m++) {
+        int y0 = by * 16 > Y - 16 ? Y - 16 : by * 16;
+        int x0 = bx * 16 > X - 16 ? X - 16 : bx * 16;
+        for (int y = 0; y < 16; y++)
+          for (int x = 0; x < 16; x++)
+            tiles[(size_t)m * 256 + y * 16 + x] =
+                f[(size_t)(y0 + y) * X + (x0 + x)] & 0x00FFFFFFu;
+        tile_yx[m * 2] = y0;
+        tile_yx[m * 2 + 1] = x0;
+      }
+  };
+  if (is_key) {
+    int r = d->decompress_i(src, (size_t)len, nullptr);
+    if (r != 0) return r;
+    *signif = 1;
+    *m_used = (int32_t)nb;
+    if (m_cap < (int)nb) return -2;  // ship latest() dense instead
+    memset(bcode, 0, nb);
+    memset(mvk, 0, (size_t)K * 8);
+    emit_all_tiles(d->latest());
+    return 0;
+  }
+  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
+                          cm.data(), cr.data());
+  if (r != 0) return r;
+  const uint32_t* curf = d->latest();
+  const uint32_t* prevf = d->older();
+  // group motion vectors (bts 3|4), numpy-parity ordering
+  struct V { int mx, my, cnt; };
+  std::vector<V> vs;
+  for (size_t bi = 0; bi < nb; bi++) {
+    if (cb[bi] != 3 && cb[bi] != 4) continue;
+    int mx = cm[bi * 2], my = cm[bi * 2 + 1];
+    int f = -1;
+    for (size_t j = 0; j < vs.size(); j++)
+      if (vs[j].mx == mx && vs[j].my == my) { f = (int)j; break; }
+    if (f < 0) { vs.push_back({mx, my, 0}); f = (int)vs.size() - 1; }
+    vs[f].cnt++;
+  }
+  std::sort(vs.begin(), vs.end(), [](const V& a, const V& b) {
+    return a.mx != b.mx ? a.mx < b.mx : a.my < b.my;
+  });
+  std::stable_sort(vs.begin(), vs.end(),
+                   [](const V& a, const V& b) { return a.cnt > b.cnt; });
+  memset(mvk, 0, (size_t)K * 8);
+  int kk = (int)vs.size() < K ? (int)vs.size() : K;
+  for (int k = 0; k < kk; k++) {
+    mvk[k * 2] = vs[k].mx;
+    mvk[k * 2 + 1] = vs[k].my;
+  }
+  memset(bcode, 0, nb);
+  int used = 0;
+  auto emit_tile = [&](int by, int bx) {
+    if (used < m_cap) {
+      int y0 = by * 16 > Y - 16 ? Y - 16 : by * 16;
+      int x0 = bx * 16 > X - 16 ? X - 16 : bx * 16;
+      for (int y = 0; y < 16; y++)
+        for (int x = 0; x < 16; x++)
+          tiles[(size_t)used * 256 + y * 16 + x] =
+              curf[(size_t)(y0 + y) * X + (x0 + x)] & 0x00FFFFFFu;
+      tile_yx[used * 2] = y0;
+      tile_yx[used * 2 + 1] = x0;
+    }
+    used++;
+  };
+  for (int by = 0; by < nby; by++)
+    for (int bx = 0; bx < nbx; bx++) {
+      size_t bi = (size_t)by * nbx + bx;
+      int b = cb[bi];
+      if (b <= 0) continue;
+      if (b == 3 || b == 4) {
+        int mx = cm[bi * 2], my = cm[bi * 2 + 1];
+        int slot = -1;
+        for (int k = 0; k < kk; k++)
+          if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
+        bool safe = false;
+        if (slot >= 0) {
+          int y1 = by * 16, y2 = (by * 16 + 16 > Y) ? Y : by * 16 + 16;
+          int x1 = bx * 16, x2 = (bx * 16 + 16 > X) ? X : bx * 16 + 16;
+          if (y1 + my >= 0 && y2 + my <= Y && x1 + mx >= 0 && x2 + mx <= X) {
+            safe = true;
+            for (int y = y1; y < y2 && safe; y++) {
+              const uint32_t* a = &curf[(size_t)y * X + x1];
+              const uint32_t* p = &prevf[(size_t)(y + my) * X + x1 + mx];
+              for (int x = 0; x < x2 - x1; x++)
+                if ((a[x] ^ p[x]) & 0x00FFFFFFu) { safe = false; break; }
+            }
+          }
+        }
+        if (safe) {
+          bcode[bi] = (uint8_t)(2 + slot);
+        } else {
+          emit_tile(by, bx);
+        }
+      } else {
+        emit_tile(by, bx);
+      }
+    }
+  *m_used = used;
+  if (used > m_cap) return -2;
+  // pad with block (0,0)'s final content — a no-op rewrite
+  for (int m = used; m < m_cap; m++) {
+    for (int y = 0; y < 16; y++)
+      for (int x = 0; x < 16; x++)
+        tiles[(size_t)m * 256 + y * 16 + x] =
+            curf[(size_t)y * X + x] & 0x00FFFFFFu;
+    tile_yx[m * 2] = 0;
+    tile_yx[m * 2 + 1] = 0;
+  }
+  return 0;
+}
+
 // Batch variant of sp_decode_streams emitting kmv transport directly:
 // paycode [B*T*npix] u32 (undefined where changed==0), mvk [B*T*K*2] i32.
 int sp_decode_streams_kmv(int nstreams, int frames_per_stream, int width,

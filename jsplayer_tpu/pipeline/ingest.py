@@ -247,6 +247,9 @@ class VideoIngestPipeline:
         B, T = len(chunk), self.cfg.window
         nbx, nby = (X + 15) // 16, (Y + 15) // 16
         nb = nbx * nby
+        decs = self._sp_decoders()
+        if self._sp_native:
+            return self._decode_sp_window_sparse_native(chunk, start, decs)
         if getattr(self, "_spbuf", None) is None:
             self._spbuf = dict(
                 bts=np.zeros((B, T, nb), dtype=np.int32),
@@ -259,7 +262,6 @@ class VideoIngestPipeline:
                                   buf["payload"])
         changed = np.zeros((B, T), dtype=bool)
         sig = np.zeros((B, T), dtype=bool)
-        decs = self._sp_decoders()
         is_key0 = np.zeros(B, dtype=bool)
         for b, frames in enumerate(chunk):
             dec = decs[b]
@@ -324,6 +326,64 @@ class VideoIngestPipeline:
         frames = sp_recon.decode_batch_kmv_sparse(
             init, jnp.array(bc), jnp.array(mvk), jnp.array(tiles),
             jnp.array(tyx), jnp.array(changed[:, t0:]))
+        if skip0:
+            frames = jnp.concatenate([init[:, None], frames], axis=1)
+        self._carry = frames[:, -1]
+        return self._emit(frames, jnp.array(sig), start)
+
+    def _decode_sp_window_sparse_native(self, chunk, start, decs) -> dict:
+        """Native sparse emission: the C++ decoder fills bcode/mvk/tiles
+        directly (sp_decompress_kmv_sparse — no payload capture, no numpy
+        re-pack).  Window-leading keyframes (all streams) ship as the dense
+        scan init; other keyframes arrive as full-tile frames."""
+        vi = self.info
+        X, Y = vi.width, vi.height
+        B, T = len(chunk), self.cfg.window
+        nbx, nby = (X + 15) // 16, (Y + 15) // 16
+        nb = nbx * nby
+        K = self.cfg.kmv_k
+        if getattr(self, "_sparsebuf", None) is None:
+            self._sparsebuf = dict(
+                bc=np.zeros((B, T, nb), dtype=np.uint8),
+                mvk=np.zeros((B, T, K, 2), dtype=np.int32),
+                tiles=np.zeros((B, T, nb, 16, 16), dtype=np.uint32),
+                tyx=np.zeros((B, T, nb, 2), dtype=np.int32),
+                init=np.zeros((B, Y, X), dtype=np.uint32),
+            )
+        buf = self._sparsebuf
+        bc, mvk, tiles, tyx = buf["bc"], buf["mvk"], buf["tiles"], buf["tyx"]
+        changed = np.zeros((B, T), dtype=bool)
+        sig = np.zeros((B, T), dtype=bool)
+        skip0 = all(len(fr) > 0 and decs[b].is_key_frame(fr[0])
+                    for b, fr in enumerate(chunk))
+        t0 = 1 if skip0 else 0
+        m_max = 1
+        for b, frames in enumerate(chunk):
+            dec = decs[b]
+            for t, src in enumerate(frames):
+                if t == 0 and skip0:
+                    view, s0, _ = dec.decompress(src, True, copy=False)
+                    if view is None:
+                        view = dec.latest_view()
+                    buf["init"][b] = np.asarray(view).reshape(Y, X)
+                    buf["init"][b] &= np.uint32(0x00FFFFFF)
+                    changed[b, 0] = True
+                    sig[b, 0] = True
+                    continue
+                chg, sg, m_used = dec.decompress_kmv_sparse(
+                    src, dec.is_key_frame(src), bc[b, t], mvk[b, t],
+                    tiles[b, t], tyx[b, t], K=K)
+                changed[b, t] = chg
+                sig[b, t] = sg
+                if chg:
+                    m_max = max(m_max, max(1, m_used))
+        m_pad = 1 << (m_max - 1).bit_length()
+        init = (jnp.array(buf["init"]) if skip0 else self._carry_init(B))
+        frames = sp_recon.decode_batch_kmv_sparse(
+            init, jnp.array(bc[:, t0:]), jnp.array(mvk[:, t0:]),
+            jnp.array(np.ascontiguousarray(tiles[:, t0:, :m_pad])),
+            jnp.array(np.ascontiguousarray(tyx[:, t0:, :m_pad])),
+            jnp.array(changed[:, t0:]))
         if skip0:
             frames = jnp.concatenate([init[:, None], frames], axis=1)
         self._carry = frames[:, -1]

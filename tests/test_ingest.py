@@ -137,3 +137,23 @@ def test_ingest_sparse_path_bit_exact():
                 np.testing.assert_array_equal(
                     frames[b, t].reshape(-1), golds[b][gi],
                     err_msg=f"stream {b} frame {start + t}")
+
+
+def test_ingest_sparse_path_oracle_fallback(monkeypatch):
+    """kmv_sparse without the native library (oracle decoders + numpy
+    prepare) stays bit-exact."""
+    from jsplayer_tpu import native as _native
+
+    monkeypatch.setattr(_native, "available", lambda: False)
+    avis, golds = zip(*(sp_avi(s) for s in (1,)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, sp_device_path="kmv_sparse"))
+    for batch in pipe:
+        frames = np.asarray(batch["frames_u32"])
+        start = batch["start_frame"]
+        for t in range(frames.shape[1]):
+            gi = min(start + t, len(golds[0]) - 1)
+            np.testing.assert_array_equal(frames[0, t].reshape(-1),
+                                          golds[0][gi],
+                                          err_msg=f"frame {start + t}")

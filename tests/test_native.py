@@ -303,3 +303,53 @@ def test_native_kmv_paycode_matches_numpy_prepare(X, Y):
         if chg:
             np.testing.assert_array_equal(pc1, pc_ref[t])
             np.testing.assert_array_equal(mvk1, mvk_ref[t])
+
+
+def test_native_kmv_sparse_matches_numpy_prepare():
+    """sp_decompress_kmv_sparse per frame vs prepare_kmv_sparse (with prev0):
+    same bcode, mvk, tile contents/origins, pads."""
+    from jsplayer_tpu import native
+    from jsplayer_tpu.kernels import sp_recon
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    X, Y = 64, 40  # partial bottom block row
+    enc = native.NativeScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(13)
+    f = np.full((Y, X), 0x0A0B0C, dtype=np.uint32)
+    f[8:24, 16:48] = 0x445566
+    streams = [enc.encode_i(f.reshape(-1))]
+    for t in range(8):
+        nf = f.copy()
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :]        # scroll (bts 3/4 motion)
+        elif t % 3 == 1:
+            nf[4:9, 3:17] = int(rng.integers(0, 1 << 24))  # paint
+        f = nf
+        streams.append(enc.encode_p(f.reshape(-1)))
+    ref = native.native_sp_decode_streams([streams], X, Y)
+    bc_ref, mvk_ref, tiles_ref, tyx_ref = sp_recon.prepare_kmv_sparse(
+        ref["bts"][0][1:], ref["mv"][0][1:], ref["rect"][0][1:],
+        ref["payload"][0][1:], K=2, prev0=ref["payload"][0][0])
+    M = tiles_ref.shape[1]
+    d = native.NativeScreenPressor(X, Y, 24)
+    d.preinit(0)
+    nb = d.nbx * d.nby
+    bc = np.zeros(nb, np.uint8)
+    mvk = np.zeros((2, 2), np.int32)
+    tiles = np.zeros((M, 16, 16), np.uint32)
+    tyx = np.zeros((M, 2), np.int32)
+    for t, s in enumerate(streams):
+        chg, sig, m_used = d.decompress_kmv_sparse(
+            s, d.is_key_frame(s), bc, mvk, tiles, tyx, K=2)
+        if t == 0:
+            assert m_used == -1  # keyframe ships dense
+            continue
+        assert chg == bool(ref["changed"][0][t])
+        if not chg:
+            continue
+        i = t - 1
+        np.testing.assert_array_equal(bc, bc_ref[i], err_msg=f"bcode {t}")
+        np.testing.assert_array_equal(mvk, mvk_ref[i], err_msg=f"mvk {t}")
+        np.testing.assert_array_equal(tiles, tiles_ref[i], err_msg=f"tiles {t}")
+        np.testing.assert_array_equal(tyx, tyx_ref[i], err_msg=f"tyx {t}")
