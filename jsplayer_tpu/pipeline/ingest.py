@@ -80,6 +80,12 @@ class VideoIngestPipeline:
             ), "streams in a batch must share geometry and codec"
         self.info = info0
         self.nframes = max(len(r.frames) for r in self.readers)
+        # per-stream failure quarantine (SURVEY.md §5.3: a malformed frame
+        # freezes that stream at its last good frame for the rest of the
+        # run; other batch slots continue — DataLoaderAVIIndexed's
+        # keyframe-restart model collapsed to freeze-at-error for batch
+        # serving).  Indexed by reader position.
+        self.quarantined: set[int] = set()
 
     def _window_starts(self) -> list[int]:
         return list(range(0, self.nframes, self.cfg.window))
@@ -109,6 +115,18 @@ class VideoIngestPipeline:
             pending = out
         if pending is not None:
             yield pending
+
+    def _guard(self, b: int, fn, *args, default=None):
+        """Run a per-frame decode step; on a malformed stream quarantine
+        slot b (frozen at the last good frame) instead of failing the
+        batch."""
+        if b in self.quarantined:
+            return default
+        try:
+            return fn(*args)
+        except ValueError:
+            self.quarantined.add(b)
+            return default
 
     # -- ScreenPressor ---------------------------------------------------------
 
@@ -157,8 +175,10 @@ class VideoIngestPipeline:
             for b, frames in enumerate(chunk):
                 dec = decs[b]
                 for t, src in enumerate(frames):
-                    changed[b, t], sig[b, t] = dec.decompress_kmv(
-                        src, dec.is_key_frame(src), pc[b, t], mvk[b, t], K=K)
+                    changed[b, t], sig[b, t] = self._guard(
+                        b, lambda: dec.decompress_kmv(
+                            src, dec.is_key_frame(src), pc[b, t], mvk[b, t],
+                            K=K), default=(False, False))
             init = self._carry_init(B)
             if not self.cfg.emit_frames and self.cfg.emit_model_input:
                 carry, model = sp_recon.decode_batch_kmv_model(
@@ -191,8 +211,12 @@ class VideoIngestPipeline:
             for t, src in enumerate(frames):
                 if self._sp_native:
                     isk = dec.is_key_frame(src)
-                    view, _sig, cap = dec.decompress(src, isk, capture=True,
-                                                     copy=False)
+                    got = self._guard(
+                        b, lambda: dec.decompress(src, isk, capture=True,
+                                                  copy=False))
+                    if got is None:  # quarantined: frozen at last good frame
+                        continue
+                    view, _sig, cap = got
                     sig[b, t] = bool(_sig)
                     if view is None:
                         view = dec.latest_view()
@@ -268,8 +292,12 @@ class VideoIngestPipeline:
             for t, src in enumerate(frames):
                 if self._sp_native:
                     isk = dec.is_key_frame(src)
-                    view, _sig, cap = dec.decompress(src, isk, capture=True,
-                                                     copy=False)
+                    got = self._guard(
+                        b, lambda: dec.decompress(src, isk, capture=True,
+                                                  copy=False))
+                    if got is None:  # quarantined: frozen at last good frame
+                        continue
+                    view, _sig, cap = got
                     sig[b, t] = bool(_sig)
                     if view is None:
                         view = dec.latest_view()
@@ -370,9 +398,11 @@ class VideoIngestPipeline:
                     changed[b, 0] = True
                     sig[b, 0] = True
                     continue
-                chg, sg, m_used = dec.decompress_kmv_sparse(
-                    src, dec.is_key_frame(src), bc[b, t], mvk[b, t],
-                    tiles[b, t], tyx[b, t], K=K)
+                chg, sg, m_used = self._guard(
+                    b, lambda: dec.decompress_kmv_sparse(
+                        src, dec.is_key_frame(src), bc[b, t], mvk[b, t],
+                        tiles[b, t], tyx[b, t], K=K),
+                    default=(False, False, 0))
                 changed[b, t] = chg
                 sig[b, t] = sg
                 if chg:

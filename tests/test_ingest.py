@@ -157,3 +157,45 @@ def test_ingest_sparse_path_oracle_fallback(monkeypatch):
             np.testing.assert_array_equal(frames[0, t].reshape(-1),
                                           golds[0][gi],
                                           err_msg=f"frame {start + t}")
+
+
+@pytest.mark.parametrize("path", ["kmv", "kmv_sparse"])
+def test_ingest_quarantines_bad_stream(path):
+    """A decode error freezes its stream at the last good frame; the other
+    batch slot decodes to the end (SURVEY §5.3 failure model).  The error
+    is injected at the decoder boundary (structural errors like invalid
+    motion bounds raise ValueError; plain bit corruption decodes to wrong
+    pixels by design, like the reference)."""
+    (avi_ok, golds_ok), (avi_b, _g) = sp_avi(1), sp_avi(2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi_ok), MemorySource(avi_b)],
+        IngestConfig(window=4, sp_device_path=path))
+    decs = pipe._sp_decoders()
+    bad = decs[1]
+    count = [0]
+
+    class Boom:
+        def __getattr__(self, name):
+            orig = getattr(bad, name)
+            if name.startswith("decompress"):
+                def wrap(*a, **k):
+                    count[0] += 1
+                    if count[0] >= 6:
+                        raise ValueError("injected decode failure")
+                    return orig(*a, **k)
+                return wrap
+            return orig
+
+    pipe._spdecs = [decs[0], Boom()]
+    outs = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            outs[batch["start_frame"] + t] = fr[:, t]
+    for t in range(len(golds_ok)):
+        np.testing.assert_array_equal(outs[t][0].reshape(-1), golds_ok[t],
+                                      err_msg=f"healthy stream frame {t}")
+    assert pipe.quarantined == {1}
+    # the frozen stream repeats its last good frame
+    last = outs[5][1]
+    np.testing.assert_array_equal(outs[len(golds_ok) - 1][1], last)
