@@ -408,6 +408,10 @@ class VideoIngestPipeline:
                 if chg:
                     m_max = max(m_max, max(1, m_used))
         m_pad = 1 << (m_max - 1).bit_length()
+        # sticky bucket: growing windows would otherwise recompile the scan
+        # per distinct tile count (~1-2 s each on TPU)
+        m_pad = max(m_pad, getattr(self, "_m_bucket", 1))
+        self._m_bucket = m_pad
         init = (jnp.array(buf["init"]) if skip0 else self._carry_init(B))
         frames = sp_recon.decode_batch_kmv_sparse(
             init, jnp.array(bc[:, t0:]), jnp.array(mvk[:, t0:]),
