@@ -30,6 +30,33 @@ from ..codecs.msvideo1 import palette_to_u32, parse_commands
 from ..kernels.rgb_convert import to_model_input
 
 
+# Process-wide host-buffer pool: window buffers are hundreds of MB and this
+# class of host faults in fresh pages at ~29 MB/s (BENCH_NOTES.md), so a new
+# pipeline re-allocating them costs more than the decode itself.  Buffers
+# are checked out exclusively (popped) while a pipeline iterates and
+# returned when its iterator finishes.
+_BUFFER_POOL: dict = {}
+
+
+def _pool_acquire(key, builder):
+    buf = _BUFFER_POOL.pop(key, None)
+    return buf if buf is not None else builder()
+
+
+def _pool_release(key, buf):
+    if buf is not None:
+        _BUFFER_POOL[key] = buf
+
+
+def _put(a):
+    """Host→device upload.  jax.device_put, NOT jnp.array: on the axon
+    backend jnp.array of a large numpy array measured 24x slower (8.6 s vs
+    0.36 s for 530 MB — it detours through host-side conversion)."""
+    import numpy as _np
+
+    return jax.device_put(_np.ascontiguousarray(a))
+
+
 @dataclass
 class IngestConfig:
     window: int = 16  # frames per emitted window (device scan length)
@@ -100,21 +127,44 @@ class VideoIngestPipeline:
         vi = self.info
         W = self.cfg.window
         pending = None
-        for start in self._window_starts():
-            chunk = []
-            for r in self.readers:
-                frames = r.frames[start : start + W]
-                frames += [b""] * (W - len(frames))  # empty = no change
-                chunk.append(frames)
-            if vi.codec == CodecType.SCREENPRESSOR:
-                out = self._decode_sp_window(chunk, start)
-            else:
-                out = self._decode_msv1_window(chunk, start)
+        try:
+            for start in self._window_starts():
+                chunk = []
+                for r in self.readers:
+                    frames = r.frames[start : start + W]
+                    frames += [b""] * (W - len(frames))  # empty = no change
+                    chunk.append(frames)
+                if vi.codec == CodecType.SCREENPRESSOR:
+                    out = self._decode_sp_window(chunk, start)
+                else:
+                    out = self._decode_msv1_window(chunk, start)
+                if pending is not None:
+                    yield pending
+                pending = out
             if pending is not None:
                 yield pending
-            pending = out
-        if pending is not None:
-            yield pending
+        finally:
+            self._release_buffers()
+
+    def _release_buffers(self):
+        import jax as _jax
+
+        for attr, key in (("_spbuf", "sp"), ("_kmvbuf", "kmv"),
+                          ("_sparsebuf", "sparse")):
+            buf = getattr(self, attr, None)
+            if buf is not None:
+                # the last window's device computation may still be reading
+                # transfers staged from these pages
+                if getattr(self, "_carry", None) is not None:
+                    _jax.block_until_ready(self._carry)
+                _pool_release((key,) + self._buf_key, buf)
+                setattr(self, attr, None)
+
+    @property
+    def _buf_key(self):
+        vi = self.info
+        return (len(self.readers), self.cfg.window, vi.height, vi.width,
+                self.cfg.kmv_k)
 
     def _guard(self, b: int, fn, *args, default=None):
         """Run a per-frame decode step; on a malformed stream quarantine
@@ -166,9 +216,10 @@ class VideoIngestPipeline:
             # numpy re-pack (which costs ~170 ms/frame at 1080p)
             K = self.cfg.kmv_k
             if getattr(self, "_kmvbuf", None) is None:
-                self._kmvbuf = dict(
-                    pc=np.zeros((B, T, Y, X), dtype=np.uint32),
-                    mvk=np.zeros((B, T, K, 2), dtype=np.int32))
+                self._kmvbuf = _pool_acquire(
+                    ("kmv",) + self._buf_key, lambda: dict(
+                        pc=np.zeros((B, T, Y, X), dtype=np.uint32),
+                        mvk=np.zeros((B, T, K, 2), dtype=np.int32)))
             pc, mvk = self._kmvbuf["pc"], self._kmvbuf["mvk"]
             changed = np.zeros((B, T), dtype=bool)
             sig = np.zeros((B, T), dtype=bool)
@@ -182,26 +233,26 @@ class VideoIngestPipeline:
             init = self._carry_init(B)
             if not self.cfg.emit_frames and self.cfg.emit_model_input:
                 carry, model = sp_recon.decode_batch_kmv_model(
-                    init, jnp.array(pc), jnp.array(mvk), jnp.array(changed),
+                    init, _put(pc), _put(mvk), _put(changed),
                     dtype=jnp.dtype(self.cfg.model_dtype),
                     downscale=self.cfg.model_downscale)
                 self._carry = carry
                 return {"start_frame": start, "significant": jnp.array(sig),
                         "model_input": model}
             frames = sp_recon.decode_batch_kmv(
-                init, jnp.array(pc), jnp.array(mvk), jnp.array(changed))
+                init, _put(pc), _put(mvk), _put(changed))
             self._carry = frames[:, -1]
             return self._emit(frames, jnp.array(sig), start)
         # window-sized host buffers are reused across iterations: fresh
         # multi-hundred-MB allocations pay a page fault per 4KB on first
         # write, which measured 5x the decode itself at 1080p
         if getattr(self, "_spbuf", None) is None:
-            self._spbuf = dict(
+            self._spbuf = _pool_acquire(("sp",) + self._buf_key, lambda: dict(
                 bts=np.zeros((B, T, nb), dtype=np.int32),
                 mv=np.zeros((B, T, nb, 2), dtype=np.int32),
                 rect=np.zeros((B, T, nb, 4), dtype=np.int32),
                 payload=np.zeros((B, T, Y, X), dtype=np.uint32),
-            )
+            ))
         buf = self._spbuf
         bts, mv, rect, payload = buf["bts"], buf["mv"], buf["rect"], buf["payload"]
         changed = np.zeros((B, T), dtype=bool)
@@ -249,13 +300,13 @@ class VideoIngestPipeline:
                 pcs.append(pc_b)
                 mvks.append(mvk_b)
             frames = sp_recon.decode_batch_kmv(
-                init, jnp.array(np.stack(pcs)), jnp.array(np.stack(mvks)),
-                jnp.array(changed))
+                init, _put(np.stack(pcs)), _put(np.stack(mvks)),
+                _put(changed))
             signif = jnp.array(sig)
         else:
             frames, signif = sp_recon.decode_batch(
-                init, jnp.array(bts), jnp.array(mv), jnp.array(rect),
-                jnp.array(payload), jnp.array(changed), jnp.int32(0),
+                init, _put(bts), _put(mv), _put(rect),
+                _put(payload), _put(changed), jnp.int32(0),
             )
         self._carry = frames[:, -1]  # device-resident carry
         return self._emit(frames, signif, start)
@@ -275,12 +326,12 @@ class VideoIngestPipeline:
         if self._sp_native:
             return self._decode_sp_window_sparse_native(chunk, start, decs)
         if getattr(self, "_spbuf", None) is None:
-            self._spbuf = dict(
+            self._spbuf = _pool_acquire(("sp",) + self._buf_key, lambda: dict(
                 bts=np.zeros((B, T, nb), dtype=np.int32),
                 mv=np.zeros((B, T, nb, 2), dtype=np.int32),
                 rect=np.zeros((B, T, nb, 4), dtype=np.int32),
                 payload=np.zeros((B, T, Y, X), dtype=np.uint32),
-            )
+            ))
         buf = self._spbuf
         bts, mv, rect, payload = (buf["bts"], buf["mv"], buf["rect"],
                                   buf["payload"])
@@ -348,12 +399,12 @@ class VideoIngestPipeline:
         tiles = np.stack([q[0] for q in padded])
         tyx = np.stack([q[1] for q in padded])
         if skip0:
-            init = jnp.array(payload[:, 0] & np.uint32(0x00FFFFFF))
+            init = _put(payload[:, 0] & np.uint32(0x00FFFFFF))
         else:
             init = self._carry_init(B)
         frames = sp_recon.decode_batch_kmv_sparse(
-            init, jnp.array(bc), jnp.array(mvk), jnp.array(tiles),
-            jnp.array(tyx), jnp.array(changed[:, t0:]))
+            init, _put(bc), _put(mvk), _put(tiles),
+            _put(tyx), _put(changed[:, t0:]))
         if skip0:
             frames = jnp.concatenate([init[:, None], frames], axis=1)
         self._carry = frames[:, -1]
@@ -371,13 +422,14 @@ class VideoIngestPipeline:
         nb = nbx * nby
         K = self.cfg.kmv_k
         if getattr(self, "_sparsebuf", None) is None:
-            self._sparsebuf = dict(
-                bc=np.zeros((B, T, nb), dtype=np.uint8),
-                mvk=np.zeros((B, T, K, 2), dtype=np.int32),
-                tiles=np.zeros((B, T, nb, 16, 16), dtype=np.uint32),
-                tyx=np.zeros((B, T, nb, 2), dtype=np.int32),
-                init=np.zeros((B, Y, X), dtype=np.uint32),
-            )
+            self._sparsebuf = _pool_acquire(
+                ("sparse",) + self._buf_key, lambda: dict(
+                    bc=np.zeros((B, T, nb), dtype=np.uint8),
+                    mvk=np.zeros((B, T, K, 2), dtype=np.int32),
+                    tiles=np.zeros((B, T, nb, 16, 16), dtype=np.uint32),
+                    tyx=np.zeros((B, T, nb, 2), dtype=np.int32),
+                    init=np.zeros((B, Y, X), dtype=np.uint32),
+                ))
         buf = self._sparsebuf
         bc, mvk, tiles, tyx = buf["bc"], buf["mvk"], buf["tiles"], buf["tyx"]
         changed = np.zeros((B, T), dtype=bool)
@@ -412,12 +464,12 @@ class VideoIngestPipeline:
         # per distinct tile count (~1-2 s each on TPU)
         m_pad = max(m_pad, getattr(self, "_m_bucket", 1))
         self._m_bucket = m_pad
-        init = (jnp.array(buf["init"]) if skip0 else self._carry_init(B))
+        init = (_put(buf["init"]) if skip0 else self._carry_init(B))
         frames = sp_recon.decode_batch_kmv_sparse(
-            init, jnp.array(bc[:, t0:]), jnp.array(mvk[:, t0:]),
-            jnp.array(np.ascontiguousarray(tiles[:, t0:, :m_pad])),
-            jnp.array(np.ascontiguousarray(tyx[:, t0:, :m_pad])),
-            jnp.array(changed[:, t0:]))
+            init, _put(bc[:, t0:]), _put(mvk[:, t0:]),
+            _put(tiles[:, t0:, :m_pad]),
+            _put(tyx[:, t0:, :m_pad]),
+            _put(changed[:, t0:]))
         if skip0:
             frames = jnp.concatenate([init[:, None], frames], axis=1)
         self._carry = frames[:, -1]
@@ -447,8 +499,8 @@ class VideoIngestPipeline:
         valid = jnp.array([start > 0] * B)
         sel = msv1_paint.sel_to_plane(sel, Y, X)  # device wants plane order
         frames, signif = msv1_paint.decode_batch(
-            init, valid, jnp.array(bt), jnp.array(sel), jnp.array(col),
-            jnp.array(chg),
+            init, valid, _put(bt), _put(sel), _put(col),
+            _put(chg),
             jnp.int32((self.cfg.insignificant_lines + 3) >> 2),
             jnp.int32(self.cfg.insignificant_lines), X // 4,
         )
