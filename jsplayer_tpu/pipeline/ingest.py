@@ -86,11 +86,23 @@ class StreamReader:
         self.loader = DataLoaderAVISeq()
         self.loader.open(source)
         self.loader.pump_all()
+        # drain the MP3 side (the Player drives this from its worker tick,
+        # Manager.hx:478-481; batch ingest drains it once up front)
+        for _ in range(100000):
+            before = self.loader.mp3_parser.frames_processed
+            self.loader.parse_sound()
+            if self.loader.mp3_parser.frames_processed == before:
+                break
+        self.loader.mp3_parser.on_data_end()
+        self.loader.parse_sound()
         self.info: VideoInfo = self.loader.video_info
         self.frames: list[bytes] = [
             (f.data if f is not None and f.data is not None else b"")
             for f in self.loader.frames
         ]
+        # MP3 audio rides along: sections with PTS + raw bytes, ready for a
+        # downstream audio model or A/V alignment (AudioTrack parity)
+        self.audio_track = self.loader.audio_track
 
 
 class VideoIngestPipeline:
@@ -107,6 +119,8 @@ class VideoIngestPipeline:
             ), "streams in a batch must share geometry and codec"
         self.info = info0
         self.nframes = max(len(r.frames) for r in self.readers)
+        #: per-stream AudioTrack (MP3 sections, PTS, time_loaded watermark)
+        self.audio_tracks = [r.audio_track for r in self.readers]
         # per-stream failure quarantine (SURVEY.md §5.3: a malformed frame
         # freezes that stream at its last good frame for the rest of the
         # run; other batch slots continue — DataLoaderAVIIndexed's

@@ -199,3 +199,33 @@ def test_ingest_quarantines_bad_stream(path):
     # the frozen stream repeats its last good frame
     last = outs[5][1]
     np.testing.assert_array_equal(outs[len(golds_ok) - 1][1], last)
+
+
+def test_ingest_exposes_audio_tracks():
+    """A/V streams: ingest surfaces per-stream MP3 audio sections with PTS
+    so consumers can align audio to the decoded frame axis."""
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.mp3_synth import make_frames
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+
+    Xd = Yd = 32
+    enc = ScreenPressorEncoder(4, Xd, Yd)
+    f = np.full((Yd, Xd), pack_rgb(5, 5, 5), dtype=np.uint32).reshape(-1)
+    streams = [enc.encode_i(f)]
+    for t in range(5):
+        nf = f.copy().reshape(Yd, Xd)
+        nf[2:6, 2:20] = pack_rgb(t + 1, 9, 9)
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+    mp3, nfr, rate = make_frames(40)
+    half = len(mp3) // 2
+    avi = mux_avi(streams, Xd, Yd, 24, codec="SPV4",
+                  keyflags=[t == 0 for t in range(6)],
+                  sound_chunks=[(1, mp3[:half]), (3, mp3[half:])])
+    pipe = VideoIngestPipeline([MemorySource(avi)], IngestConfig(window=4))
+    for _ in pipe:
+        pass
+    at = pipe.audio_tracks[0]
+    assert at.time_loaded > 0
+    total = nfr * 1152 / rate
+    assert abs(at.time_loaded - total) < 0.2

@@ -231,3 +231,22 @@ def test_demux_garbage_robustness():
     d.signal_eof()
     d.pump()
     assert d.finished
+
+
+def test_parse_ix_64bit_base_offset():
+    """OpenDML ix## with a >4 GB qwBaseOffset decodes exactly (Int64.hx
+    parity: JS needed 53-bit float tricks; Python ints are exact)."""
+    import struct
+    from jsplayer_tpu.core.riff import parse_ix
+
+    base = 0x1_2345_6789A  # > 4 GB
+    body = struct.pack("<HBBII", 2, 0, 0x01, 2, struct.unpack(
+        "<I", b"00dc")[0])
+    body += struct.pack("<II", base & 0xFFFFFFFF, base >> 32)
+    body += b"\x00" * 4
+    body += struct.pack("<II", 1000 + 8, 500)                 # keyframe
+    body += struct.pack("<II", 2000 + 8, 300 | 0x80000000)    # non-key
+    ckid, got_base, got = parse_ix(body)
+    assert got_base == base
+    assert [(e.off, e.size, e.key) for e in got] == [
+        (1000, 500, True), (2000, 300, False)]

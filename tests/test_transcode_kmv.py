@@ -263,3 +263,33 @@ def test_kmv_16bpp_bit_exact():
             if got["changed"][0][t]:
                 np.testing.assert_array_equal(got["paycode"][0, t], pc[t],
                                               err_msg=f"native pc {t}")
+
+
+def test_kmv_large_motion_vectors():
+    """Synthetic commands with reference-scale motion (up to ±256,
+    ScreenPressor msr_x/y) through the kmv roll compose."""
+    Xl, Yl = 512, 320
+    nbx, nby = Xl // 16, Yl // 16
+    NB = nbx * nby
+    rng = np.random.default_rng(2)
+    prev = rng.integers(0, 1 << 24, (Yl, Xl)).astype(np.uint32)
+    bts = np.zeros((1, NB), np.int32)
+    mv = np.zeros((1, NB, 2), np.int32)
+    rect = np.zeros((1, NB, 4), np.int32)
+    want = prev.copy()
+    # one shared large vector for many blocks (typical page-jump)
+    mxy = (192, -128)
+    for bi in range(NB):
+        by, bx = divmod(bi, nbx)
+        x1, y1 = bx * 16, by * 16
+        if 0 <= x1 + mxy[0] <= Xl - 16 and 0 <= y1 + mxy[1] <= Yl - 16:
+            bts[0, bi] = 3
+            mv[0, bi] = mxy
+            rect[0, bi] = (x1, y1, x1 + 16, y1 + 16)
+            want[y1:y1+16, x1:x1+16] = prev[y1+mxy[1]:y1+mxy[1]+16,
+                                            x1+mxy[0]:x1+mxy[0]+16]
+    payload = want[None].astype(np.uint32)
+    pc, mvk = prepare_kmv(bts, mv, rect, payload, K=2)
+    frames = decode_sequence_kmv(jnp.array(prev), jnp.array(pc),
+                                 jnp.array(mvk), jnp.array([True]))
+    np.testing.assert_array_equal(np.asarray(frames)[0], want)
