@@ -57,6 +57,19 @@ def _put(a):
     return jax.device_put(_np.ascontiguousarray(a))
 
 
+def _window_barrier(*arrays):
+    """Synchronize a window's outputs before its pooled host buffers are
+    rewritten.  Needed on the CPU backend only: the CPU PJRT client stages
+    device_put reads lazily until the consuming computation executes (even
+    block_until_ready on the put array returns early), so with pipeline
+    overlap the next window's host fill raced the previous window's
+    deferred execution — outputs showed FUTURE frames ~1-in-15 runs until
+    this barrier.  Real TPU transfers copy eagerly over the link, so the
+    barrier is skipped there to keep host/device overlap."""
+    if jax.default_backend() == "cpu":
+        jax.block_until_ready(arrays)
+
+
 @dataclass
 class IngestConfig:
     window: int = 16  # frames per emitted window (device scan length)
@@ -127,6 +140,7 @@ class VideoIngestPipeline:
         # keyframe-restart model collapsed to freeze-at-error for batch
         # serving).  Indexed by reader position.
         self.quarantined: set[int] = set()
+        self.quarantine_errors: list[tuple[int, str]] = []
 
     def _window_starts(self) -> list[int]:
         return list(range(0, self.nframes, self.cfg.window))
@@ -188,8 +202,9 @@ class VideoIngestPipeline:
             return default
         try:
             return fn(*args)
-        except ValueError:
+        except ValueError as e:
             self.quarantined.add(b)
+            self.quarantine_errors.append((b, repr(e)))
             return default
 
     # -- ScreenPressor ---------------------------------------------------------
@@ -251,11 +266,13 @@ class VideoIngestPipeline:
                     dtype=jnp.dtype(self.cfg.model_dtype),
                     downscale=self.cfg.model_downscale)
                 self._carry = carry
+                _window_barrier(carry, model)
                 return {"start_frame": start, "significant": jnp.array(sig),
                         "model_input": model}
             frames = sp_recon.decode_batch_kmv(
                 init, _put(pc), _put(mvk), _put(changed))
             self._carry = frames[:, -1]
+            _window_barrier(frames)
             return self._emit(frames, jnp.array(sig), start)
         # window-sized host buffers are reused across iterations: fresh
         # multi-hundred-MB allocations pay a page fault per 4KB on first
@@ -323,6 +340,7 @@ class VideoIngestPipeline:
                 _put(payload), _put(changed), jnp.int32(0),
             )
         self._carry = frames[:, -1]  # device-resident carry
+        _window_barrier(frames)
         return self._emit(frames, signif, start)
 
     def _decode_sp_window_sparse(self, chunk, start) -> dict:
@@ -419,6 +437,7 @@ class VideoIngestPipeline:
         frames = sp_recon.decode_batch_kmv_sparse(
             init, _put(bc), _put(mvk), _put(tiles),
             _put(tyx), _put(changed[:, t0:]))
+        _window_barrier(frames)
         if skip0:
             frames = jnp.concatenate([init[:, None], frames], axis=1)
         self._carry = frames[:, -1]
@@ -487,6 +506,7 @@ class VideoIngestPipeline:
         if skip0:
             frames = jnp.concatenate([init[:, None], frames], axis=1)
         self._carry = frames[:, -1]
+        _window_barrier(frames)
         return self._emit(frames, jnp.array(sig), start)
 
     # -- MSVideo1 --------------------------------------------------------------
@@ -519,6 +539,7 @@ class VideoIngestPipeline:
             jnp.int32(self.cfg.insignificant_lines), X // 4,
         )
         self._carry = frames[:, -1]  # device-resident carry
+        _window_barrier(frames)
         return self._emit(frames, signif, start)
 
     # -- shared ----------------------------------------------------------------

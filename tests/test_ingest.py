@@ -192,10 +192,11 @@ def test_ingest_quarantines_bad_stream(path):
         fr = np.asarray(batch["frames_u32"])
         for t in range(fr.shape[1]):
             outs[batch["start_frame"] + t] = fr[:, t]
+    assert pipe.quarantined == {1}, pipe.quarantine_errors
     for t in range(len(golds_ok)):
-        np.testing.assert_array_equal(outs[t][0].reshape(-1), golds_ok[t],
-                                      err_msg=f"healthy stream frame {t}")
-    assert pipe.quarantined == {1}
+        np.testing.assert_array_equal(
+            outs[t][0].reshape(-1), golds_ok[t],
+            err_msg=f"healthy stream frame {t}; qerrs={pipe.quarantine_errors}")
     # the frozen stream repeats its last good frame
     last = outs[5][1]
     np.testing.assert_array_equal(outs[len(golds_ok) - 1][1], last)
@@ -229,3 +230,57 @@ def test_ingest_exposes_audio_tracks():
     assert at.time_loaded > 0
     total = nfr * 1152 / rate
     assert abs(at.time_loaded - total) < 0.2
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ingest_sparse_soak_random_content(seed):
+    """Randomized content soak for the sparse path: scrolls (both axes),
+    paints, stills, noise bursts, and MID-WINDOW keyframes (GOP restarts
+    that don't align with the window grid → full-tile keyframe handling)."""
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+
+    Xs, Ys, N = 48, 48, 26
+    rng = np.random.default_rng(100 + seed)
+    enc = ScreenPressorEncoder(4, Xs, Ys)
+    f = np.full((Ys, Xs), pack_rgb(7, 7, 7), dtype=np.uint32)
+    streams, golds, keys = [], [], []
+    for t in range(N):
+        kind = rng.integers(0, 6)
+        is_key = t == 0 or kind == 5
+        if is_key:
+            enc = ScreenPressorEncoder(4, Xs, Ys)
+            f = np.full((Ys, Xs), pack_rgb(int(rng.integers(256)), 7, 7),
+                        dtype=np.uint32)
+            f[8:20, 4:40] = pack_rgb(*rng.integers(0, 256, 3))
+            streams.append(enc.encode_i(f.reshape(-1)))
+        else:
+            nf = f.copy()
+            if kind == 0:
+                s8 = int(rng.integers(1, 6))
+                nf[s8:, :] = nf[:-s8, :]
+            elif kind == 1:
+                s8 = int(rng.integers(1, 6))
+                nf[:, s8:] = nf[:, :-s8]
+            elif kind == 2:
+                y0, x0 = rng.integers(0, Ys - 8), rng.integers(0, Xs - 8)
+                nf[y0:y0+8, x0:x0+8] = pack_rgb(*rng.integers(0, 256, 3))
+            elif kind == 3:
+                nf[4:12, 4:20] = rng.integers(
+                    0, 1 << 24, (8, 16)).astype(np.uint32)
+            # kind 4: still
+            f = nf
+            streams.append(enc.encode_p(f.reshape(-1)))
+        golds.append(f.reshape(-1).copy())
+        keys.append(is_key)
+    avi = mux_avi(streams, Xs, Ys, 24, codec="SPV4", keyflags=keys)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi)],
+        IngestConfig(window=5, sp_device_path="kmv_sparse"))
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            gi = min(batch["start_frame"] + t, N - 1)
+            np.testing.assert_array_equal(
+                fr[0, t].reshape(-1), golds[gi],
+                err_msg=f"seed {seed} frame {batch['start_frame'] + t}")
