@@ -9,20 +9,27 @@ frame composition runs on device:
              = payload[y,x]       if pixel in a data block's rect
              = prev[y,x]          otherwise (copy / outside subrect)
 
-Two implementations share semantics:
-  * the XLA path here: per-block commands expand to per-pixel maps via
-    *structured broadcasts* (16×16 tiles — no arbitrary gather; measured 25×
-    faster than gather-by-block-id on TPU); the motion read is the single
-    remaining arbitrary gather;
-  * the Pallas path (kernels/sp_motion_pallas.py): the copy/data select runs
-    as a fused elementwise pass and motion rects are patched in-place with
-    per-block dynamic DMAs — see that module for the bandwidth story.
+Implementations, ranked on-chip (BENCH_NOTES.md):
+  * **kmv** (production): the host groups motion blocks by distinct vector
+    into K slots; the device composes with `jnp.roll` + selects over a
+    single packed u32 paycode plane (pixel|type|kslot) — gather-free, ~27k
+    fps/chip @1080p, ~40k delivered with still-elision (`compact_changed`).
+    `prepare_kmv`/`prepare_kmv_sparse` have native C++ twins that emit the
+    transport during decode (native/spdec.cpp sp_decompress_kmv*).
+  * **kmv-sparse**: per-block codes + final-content payload tiles — same
+    compose plus a dynamic_update_slice tile pass; built for link-fed
+    serving (~0.4 MB/frame vs 8.3 dense), slightly slower in HBM.
+  * the general XLA path here (`compose_frame`): per-block commands expand
+    to per-pixel maps via *structured broadcasts* (16×16 tiles); the motion
+    read is a per-pixel gather — fully general, 61 fps @1080p.
+  * Pallas variants (kernels/sp_motion_pallas.py, sp_motion_mxu.py): see
+    those modules; the MXU shuffle is the validated high-K fallback.
 
 The P-chain's true data dependency (prev-frame reads, ScreenPressor.hx:379,
-404,442,472) is a `lax.scan` carry; batching over streams is `vmap`.
-
-Frame height/width must be multiples of 16/128 on the fast paths; the batch
-layer pads (1080p → 1088 rows) and crops after decode.
+404,442,472) is a `lax.scan` carry.  Batching over streams UNROLLS in
+Python — never vmap the kmv scan (batched-dynamic roll shifts lower to
+gathers, measured 15× slower).  Arbitrary frame sizes work (1080p runs
+unpadded); block maps are ceil-divided and broadcasts crop.
 """
 
 from __future__ import annotations

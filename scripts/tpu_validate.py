@@ -109,6 +109,40 @@ def main():
         results["kmv_native_parity"] = f"fail: {str(e)[:160]}"
     print("kmv native transport:", results["kmv_native_parity"])
 
+    # 1c. sparse transport parity on-chip (native emission -> device scan)
+    try:
+        from jsplayer_tpu import native
+        if native.available():
+            d = native.NativeScreenPressor(X, Y, 24)
+            d.preinit(0)
+            nb = d.nbx * d.nby
+            T = len(streams)
+            bc = np.zeros((T, nb), np.uint8)
+            mvkK = np.zeros((T, 2, 2), np.int32)
+            tiles = np.zeros((T, nb, 16, 16), np.uint32)
+            tyx = np.zeros((T, nb, 2), np.int32)
+            chg = np.zeros(T, bool)
+            init = None
+            for t, st in enumerate(streams):
+                c, sg, mu = d.decompress_kmv_sparse(
+                    st, d.is_key_frame(st), bc[t], mvkK[t], tiles[t], tyx[t],
+                    K=2)
+                chg[t] = c
+                if t == 0:
+                    assert mu <= nb
+            frames = sp_recon.decode_batch_kmv_sparse(
+                jnp.zeros((1, Y, X), jnp.uint32), jnp.array(bc[None]),
+                jnp.array(mvkK[None]), jnp.array(tiles[None]),
+                jnp.array(tyx[None]), jnp.array(chg[None]))
+            ok = all(np.array_equal(np.asarray(frames[0, t]).reshape(-1),
+                                    golds[t]) for t in range(len(golds)))
+            results["kmv_sparse_parity"] = ok
+        else:
+            results["kmv_sparse_parity"] = "native unavailable"
+    except Exception as e:  # noqa: BLE001
+        results["kmv_sparse_parity"] = f"fail: {str(e)[:160]}"
+    print("kmv sparse transport:", results["kmv_sparse_parity"])
+
     # 2. bench
     import bench
     print("running bench...")
