@@ -284,3 +284,34 @@ def test_ingest_sparse_soak_random_content(seed):
             np.testing.assert_array_equal(
                 fr[0, t].reshape(-1), golds[gi],
                 err_msg=f"seed {seed} frame {batch['start_frame'] + t}")
+
+
+def test_ingest_msv1_8bit_palette():
+    """8-bit CRAM ingestion: palette resolves on host (Preinit parity,
+    MSVideo1.hx:281-291), device paints resolved u32 colors."""
+    from jsplayer_tpu.codecs.msvideo1 import palette_to_u32
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_8
+
+    Xs = Ys = 32
+    rng = np.random.default_rng(21)
+    pal = bytes(rng.integers(0, 256, 256 * 4, dtype=np.uint8))
+    pal_u32 = palette_to_u32(pal)
+    idx = np.full(Ys * Xs, 3, dtype=np.uint8)
+    streams, golds, prev = [], [], None
+    for t in range(9):
+        idx = idx.copy()
+        x0 = ((t * 4) % (Xs - 4)) & ~3
+        idx.reshape(Ys, Xs)[8:12, x0:x0 + 4] = int(rng.integers(0, 256))
+        streams.append(encode_frame_8(idx, prev, Xs, Ys))
+        golds.append(pal_u32[idx].astype(np.uint32))
+        prev = idx
+    avi = mux_avi(streams, Xs, Ys, 8, codec="CRAM", palette=pal,
+                  keyflags=[t == 0 for t in range(9)])
+    pipe = VideoIngestPipeline([MemorySource(avi)], IngestConfig(window=4))
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            gi = min(batch["start_frame"] + t, 8)
+            np.testing.assert_array_equal(fr[0, t].reshape(-1), golds[gi],
+                                          err_msg=f"frame {batch['start_frame']+t}")
