@@ -18,7 +18,7 @@ decoder — identical for conformant streams.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

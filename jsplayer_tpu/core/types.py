@@ -11,7 +11,7 @@ needed a hand-rolled Int64, Int64.hx:36-51, only because JS lacks one).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

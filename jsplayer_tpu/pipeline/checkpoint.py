@@ -20,9 +20,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import asdict, dataclass, field
-from typing import Optional
 
-import numpy as np
 
 
 @dataclass
