@@ -77,7 +77,8 @@ def cmd_transcode(args) -> int:
 
     with open(args.infile, "rb") as f:
         data = f.read()
-    out = transcode_sp(data, target_version=args.version)
+    out = transcode_sp(data, target_version=args.version,
+                       jobs=getattr(args, 'jobs', 1))
     with open(args.outfile, "wb") as f:
         f.write(out)
     print(json.dumps({"in_bytes": len(data), "out_bytes": len(out),
@@ -126,6 +127,8 @@ def main(argv=None) -> int:
     a.add_argument("infile")
     a.add_argument("outfile")
     a.add_argument("--version", type=int, default=4, choices=(2, 3, 4))
+    a.add_argument("--jobs", type=int, default=0,
+                   help="GOP-parallel workers (0 = all cores)")
     a.set_defaults(fn=cmd_transcode)
 
     a = sub.add_parser("ingest", help="batched decode to model tensors")

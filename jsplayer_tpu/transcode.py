@@ -24,8 +24,15 @@ from .encode.avi_mux import mux_avi
 
 
 def transcode_sp(avi_bytes: bytes, target_version: int = 4,
-                 use_native: Optional[bool] = None) -> bytes:
-    """Re-encode an SP AVI to `target_version`; returns the new AVI bytes."""
+                 use_native: Optional[bool] = None, jobs: int = 1) -> bytes:
+    """Re-encode an SP AVI to `target_version`; returns the new AVI bytes.
+
+    jobs > 1 (or 0 = all cores) transcodes keyframe-delimited GOPs in
+    parallel — GOPs are the stream's only independent units
+    (DataLoader.GetNearestKeyframe semantics), and the decoder/encoder
+    entropy state resets at every I-frame, so per-GOP codecs produce the
+    same bytes as a continuous pass.  ctypes releases the GIL during the
+    native calls, so Python threads give real parallelism."""
     from . import native as _native
 
     if use_native is None:
@@ -47,6 +54,13 @@ def transcode_sp(avi_bytes: bytes, target_version: int = 4,
         raise ValueError("transcode_sp handles ScreenPressor inputs only")
 
     X, Y = vi.width, vi.height
+    import os as _os
+
+    if jobs == 0:
+        jobs = _os.cpu_count() or 1
+    if jobs > 1:
+        return _transcode_parallel(frames, vi, target_version, use_native,
+                                   jobs)
     if use_native:
         dec = _native.NativeScreenPressor(X, Y, vi.bpp)
         dec.preinit(0)
@@ -87,3 +101,71 @@ def transcode_sp(avi_bytes: bytes, target_version: int = 4,
 
     return mux_avi(out_streams, X, Y, vi.bpp, codec=f"SPV{target_version}",
                    fps=vi.fps, keyflags=keyflags)
+
+
+def _make_codecs(vi: VideoInfo, target_version: int, use_native: bool):
+    X, Y = vi.width, vi.height
+    if use_native:
+        from . import native as _native
+
+        dec = _native.NativeScreenPressor(X, Y, vi.bpp)
+        enc = _native.NativeScreenPressorEncoder(target_version, X, Y, vi.bpp)
+    else:
+        from .codecs.screenpressor import ScreenPressor
+        from .encode.sp_enc import ScreenPressorEncoder
+
+        dec = ScreenPressor(X, Y, vi.bpp)
+        enc = ScreenPressorEncoder(target_version, X, Y, vi.bpp)
+    dec.preinit(0)
+    return dec, enc
+
+
+def _transcode_gop(gop_frames, vi, target_version, use_native):
+    X, Y = vi.width, vi.height
+    dec, enc = _make_codecs(vi, target_version, use_native)
+    out, keyflags = [], []
+    for t, src in enumerate(gop_frames):
+        if use_native:
+            isk = dec.is_key_frame(src)
+            view, _sig, _ = dec.decompress(src, isk, copy=False)
+            px = np.asarray(view if view is not None else dec.latest_view())
+        else:
+            dst = np.zeros(X * Y, dtype=np.uint32)
+            if dec.is_key_frame(src):
+                dec.decompress_i(src, dst)
+                px, isk = dst, True
+            else:
+                res = dec.decompress_p(src, dst)
+                px, isk = np.asarray(res.data), False
+        out.append(enc.encode_i(px) if isk else enc.encode_p(px))
+        keyflags.append(isk or t == 0)
+    return out, keyflags
+
+
+def _transcode_parallel(frames, vi, target_version, use_native, jobs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .pipeline.gop import split_gops
+    from . import native as _native
+
+    if use_native:
+        probe = _native.NativeScreenPressor(vi.width, vi.height, vi.bpp)
+        keys = [bool(probe.is_key_frame(f)) for f in frames]
+    else:
+        from .codecs.screenpressor import ScreenPressor
+
+        probe = ScreenPressor(vi.width, vi.height, vi.bpp)
+        keys = [bool(probe.is_key_frame(f)) for f in frames]
+    gops = split_gops(frames, keys)
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        parts = list(ex.map(
+            lambda g: _transcode_gop(g[1], vi, target_version, use_native),
+            gops))
+    out_streams, keyflags = [], []
+    for streams_g, keys_g in parts:
+        out_streams.extend(streams_g)
+        keyflags.extend(keys_g)
+    keyflags[0] = True
+    return mux_avi(out_streams, vi.width, vi.height, vi.bpp,
+                   codec=f"SPV{target_version}", fps=vi.fps,
+                   keyflags=keyflags)

@@ -293,3 +293,32 @@ def test_kmv_large_motion_vectors():
     frames = decode_sequence_kmv(jnp.array(prev), jnp.array(pc),
                                  jnp.array(mvk), jnp.array([True]))
     np.testing.assert_array_equal(np.asarray(frames)[0], want)
+
+
+def test_transcode_parallel_gops_byte_identical():
+    """jobs>1 GOP-parallel transcode == sequential output byte-for-byte
+    (entropy state resets at every I-frame, so per-GOP codecs are exact)."""
+    from jsplayer_tpu.transcode import transcode_sp
+
+    enc = ScreenPressorEncoder(2, X, Y)
+    rng = np.random.default_rng(3)
+    streams, keys = [], []
+    f = np.full((Y, X), pack_rgb(1, 2, 3), dtype=np.uint32).reshape(-1)
+    for t in range(12):
+        if t % 4 == 0:
+            enc = ScreenPressorEncoder(2, X, Y)
+            nf = f.copy().reshape(Y, X)
+            nf[:] = pack_rgb(t, 2, 3)
+            f = nf.reshape(-1)
+            streams.append(enc.encode_i(f))
+            keys.append(True)
+        else:
+            nf = f.copy().reshape(Y, X)
+            nf[4:8, 4:30] = pack_rgb(*rng.integers(0, 256, 3))
+            f = nf.reshape(-1)
+            streams.append(enc.encode_p(f))
+            keys.append(False)
+    avi = mux_avi(streams, X, Y, 24, codec="SPV2", keyflags=keys)
+    seq = transcode_sp(avi, target_version=4, jobs=1)
+    par = transcode_sp(avi, target_version=4, jobs=4)
+    assert seq == par
