@@ -310,15 +310,53 @@ def native_sp_decode_streams(streams, width, height, bpp=24,
                 errors=errors)
 
 
+def split_stream_gops(frames, width, height):
+    """Split one stream into keyframe-delimited rows padded with empty
+    frames (both codecs define empty as no-change) so a single long stream
+    parallelizes across the thread pool like independent streams — a fresh
+    decoder at a keyframe reproduces the continuous decode exactly.
+    → (rows [G][Tmax], spans [(start, n_real)])."""
+    lib = load()
+    keys = [bool(lib.sp_is_key_frame(f, len(f))) for f in frames]
+    from ..pipeline.gop import split_gops
+
+    gops = split_gops(frames, keys)
+    tmax = max(len(g[1]) for g in gops)
+    rows = [list(g[1]) + [b""] * (tmax - len(g[1])) for g in gops]
+    spans = [(g[0], len(g[1])) for g in gops]
+    return rows, spans
+
+
 def native_sp_decode_streams_kmv(streams, width, height, bpp=24,
                                  insignificant_lines=0, K=2, nthreads=0,
-                                 out=None):
+                                 out=None, gop_split=False):
     """Parallel multi-stream SP decode straight into kmv device transport.
 
     → dict(paycode [B,T,Y,X] u32 (undefined where changed is False),
            mvk [B,T,K,2] i32, changed [B,T] bool, signif [B,T] bool).
     Pass a previous result as `out` to reuse its arrays (page-fault cost,
-    see native_sp_decode_streams)."""
+    see native_sp_decode_streams).
+
+    gop_split=True (single stream only): split the stream into keyframe-
+    delimited rows so ONE long stream saturates the thread pool; outputs
+    are re-flattened to the original frame order."""
+    if gop_split:
+        assert len(streams) == 1, "gop_split handles a single stream"
+        rows, spans = split_stream_gops(streams[0], width, height)
+        got = native_sp_decode_streams_kmv(
+            rows, width, height, bpp, insignificant_lines, K, nthreads)
+        T = len(streams[0])
+        pay = np.empty((1, T, height, width), dtype=np.uint32)
+        mvk_o = np.zeros((1, T, K, 2), dtype=np.int32)
+        chg = np.zeros((1, T), dtype=bool)
+        sig = np.zeros((1, T), dtype=bool)
+        for g, (start, n) in enumerate(spans):
+            pay[0, start:start + n] = got["paycode"][g, :n]
+            mvk_o[0, start:start + n] = got["mvk"][g, :n]
+            chg[0, start:start + n] = got["changed"][g, :n]
+            sig[0, start:start + n] = got["signif"][g, :n]
+        return dict(paycode=pay, mvk=mvk_o, changed=chg, signif=sig,
+                    errors=got["errors"])
     import os as _os
 
     lib = load()

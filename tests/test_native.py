@@ -353,3 +353,42 @@ def test_native_kmv_sparse_matches_numpy_prepare():
         np.testing.assert_array_equal(mvk, mvk_ref[i], err_msg=f"mvk {t}")
         np.testing.assert_array_equal(tiles, tiles_ref[i], err_msg=f"tiles {t}")
         np.testing.assert_array_equal(tyx, tyx_ref[i], err_msg=f"tyx {t}")
+
+
+def test_gop_split_kmv_decode_matches_continuous():
+    """gop_split=True (single-stream core scaling) reproduces the
+    continuous decode's transport exactly on changed frames."""
+    from jsplayer_tpu import native
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    X, Y = 64, 48
+    enc = native.NativeScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(17)
+    streams = []
+    f = np.full((Y, X), 0x030201, dtype=np.uint32)
+    for t in range(14):
+        if t % 5 == 0:
+            enc = native.NativeScreenPressorEncoder(4, X, Y)
+            f = np.full((Y, X), 0x030201 + t, dtype=np.uint32)
+            f[4:20, 8:40] = int(rng.integers(0, 1 << 24))
+            streams.append(enc.encode_i(f.reshape(-1)))
+        else:
+            nf = f.copy()
+            if t % 2:
+                nf[2:, :] = nf[:-2, :]
+            else:
+                nf[6:10, 4:30] = int(rng.integers(0, 1 << 24))
+            f = nf
+            streams.append(enc.encode_p(f.reshape(-1)))
+    a = native.native_sp_decode_streams_kmv([streams], X, Y, K=2)
+    b = native.native_sp_decode_streams_kmv([streams], X, Y, K=2,
+                                            gop_split=True, nthreads=4)
+    np.testing.assert_array_equal(a["changed"], b["changed"])
+    np.testing.assert_array_equal(a["signif"], b["signif"])
+    for t in range(len(streams)):
+        if a["changed"][0][t]:
+            np.testing.assert_array_equal(a["paycode"][0, t],
+                                          b["paycode"][0, t],
+                                          err_msg=f"frame {t}")
+            np.testing.assert_array_equal(a["mvk"][0, t], b["mvk"][0, t])
