@@ -1717,6 +1717,9 @@ struct SpEncoder {
   EntroEncRC* rc = nullptr;
   EntroEncANS* ans = nullptr;
   std::vector<uint32_t> prev;
+  // sim mirrors the decoder's in-progress frame; invariant between frames:
+  // sim == prev contentwise (so encode_p skips an 8.3 MB/frame re-copy)
+  std::vector<uint32_t> sim;
   bool has_prev = false, has_flat = false;
   int cx = 0, cx1 = 0;
   std::vector<uint8_t> out;
@@ -1733,6 +1736,7 @@ struct SpEncoder {
       sc_cxshift = 2;
     }
     prev.assign((size_t)w * h, 0);
+    sim.assign((size_t)w * h, 0);
   }
   ~SpEncoder() { delete rc; delete ans; }
 
@@ -1776,6 +1780,7 @@ struct SpEncoder {
     out.push_back((uint8_t)((clr >> 8) & 0xFF));   // g
     out.push_back((uint8_t)((clr >> 16) & 0xFF));  // b
     std::fill(prev.begin(), prev.end(), clr);
+    std::fill(sim.begin(), sim.end(), clr);
     has_prev = true;
     has_flat = true;
     return 0;
@@ -1850,6 +1855,7 @@ struct SpEncoder {
     out.push_back((uint8_t)head(2));
     if (rc) rc->end(out); else ans->end(out);
     memcpy(prev.data(), f, end * 4);
+    memcpy(sim.data(), f, end * 4);
     has_prev = true;
     return 0;
   }
@@ -1929,9 +1935,16 @@ struct SpEncoder {
         int bx2 = x16 + 16 > X ? X : x16 + 16;
         int by2 = y16 + 16 > Y ? Y : y16 + 16;
         int rx1 = bx2, rx2 = x16, ry1 = by2, ry2 = y16;
+        size_t wbytes = (size_t)(bx2 - x16) * 4;
+        bool same = true;  // memcmp fast path: most blocks are unchanged
+        for (int y = y16; y < by2 && same; y++)
+          same = memcmp(&cur[(size_t)y * X + x16],
+                        &prev[(size_t)y * X + x16], wbytes) == 0;
+        if (same) continue;  // unchanged block
         for (int y = y16; y < by2; y++) {
           const uint32_t* a = &cur[(size_t)y * X + x16];
           const uint32_t* b = &prev[(size_t)y * X + x16];
+          if (memcmp(a, b, wbytes) == 0) continue;
           for (int x = 0; x < bx2 - x16; x++)
             if (a[x] != b[x]) {
               if (y < ry1) ry1 = y;
@@ -1973,7 +1986,7 @@ struct SpEncoder {
       enc_bn(n);
       x += n;
     }
-    std::vector<uint32_t> sim(prev);
+    // sim == prev here (invariant maintained across frames)
     int maskcx1, shiftcx1, shiftcx;
     cx_consts(&maskcx1, &shiftcx1, &shiftcx);
     cx = cx1 = 0;
@@ -2055,7 +2068,23 @@ struct SpEncoder {
     out.clear();
     out.push_back(1);
     out.insert(out.end(), payload.begin(), payload.end());
-    memcpy(prev.data(), cur, (size_t)X * Y * 4);
+    // prev/sim := cur, but only touched blocks can differ — screen content
+    // is mostly stills, so this replaces an 8.3 MB/frame memcpy with a few
+    // block copies (sim already holds cur inside every encoded rect)
+    for (int by = 0; by < nby; by++)
+      for (int bx = 0; bx < nbx; bx++) {
+        size_t bi = (size_t)by * nbx + bx;
+        if (!bts[bi]) continue;
+        int x16 = bx * 16, y16 = by * 16;
+        int bx2 = x16 + 16 > X ? X : x16 + 16;
+        int by2 = y16 + 16 > Y ? Y : y16 + 16;
+        for (int y = y16; y < by2; y++) {
+          memcpy(&prev[(size_t)y * X + x16], &cur[(size_t)y * X + x16],
+                 (size_t)(bx2 - x16) * 4);
+          memcpy(&sim[(size_t)y * X + x16], &cur[(size_t)y * X + x16],
+                 (size_t)(bx2 - x16) * 4);
+        }
+      }
     has_prev = true;
     return 0;
   }
