@@ -90,6 +90,12 @@ class IngestConfig:
     #   "general"    arbitrary-gather compose (any command mix).
     sp_device_path: str = "kmv"
     kmv_k: int = 2
+    # True (single-stream kmv only): unchanged frames never enter the
+    # device scan (the bench-headline path, ~40k delivered fps/chip).  The
+    # yielded dict gains "outmap": outmap[t] is the index into frames_u32
+    # holding original frame t's pixels (stills alias their predecessor;
+    # -1 = the window's carry-in frame).
+    still_elision: bool = False
 
 
 class StreamReader:
@@ -260,6 +266,21 @@ class VideoIngestPipeline:
                             src, dec.is_key_frame(src), pc[b, t], mvk[b, t],
                             K=K), default=(False, False))
             init = self._carry_init(B)
+            if self.cfg.still_elision:
+                assert B == 1, "still_elision is single-stream"
+                pcc, mvkc, outmap = sp_recon.compact_changed(
+                    pc[0], mvk[0], changed[0])
+                frames = sp_recon.decode_sequence_kmv_compact(
+                    init[0], _put(pcc), _put(mvkc))[None]
+                self._carry = (frames[:, -1] if pcc.shape[0] else init)
+                _window_barrier(frames)
+                out = {"start_frame": start, "significant": jnp.array(sig),
+                       "frames_u32": frames, "outmap": outmap}
+                if self.cfg.emit_model_input:
+                    out["model_input"] = to_model_input(
+                        frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                        downscale=self.cfg.model_downscale)
+                return out
             if not self.cfg.emit_frames and self.cfg.emit_model_input:
                 carry, model = sp_recon.decode_batch_kmv_model(
                     init, _put(pc), _put(mvk), _put(changed),

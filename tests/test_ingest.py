@@ -315,3 +315,27 @@ def test_ingest_msv1_8bit_palette():
             gi = min(batch["start_frame"] + t, 8)
             np.testing.assert_array_equal(fr[0, t].reshape(-1), golds[gi],
                                           err_msg=f"frame {batch['start_frame']+t}")
+
+
+def test_ingest_still_elision_single_stream():
+    """still_elision=True: device decodes only changed frames; outmap
+    reconstructs the full timeline bit-exactly."""
+    avis, golds = zip(*(sp_avi(4),))
+    pipe = VideoIngestPipeline(
+        [MemorySource(avis[0])],
+        IngestConfig(window=4, still_elision=True))
+    carry_prev = None
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        outmap = batch["outmap"]
+        start = batch["start_frame"]
+        assert fr.shape[1] <= 4
+        for t in range(len(outmap)):
+            gi = min(start + t, len(golds[0]) - 1)
+            if outmap[t] >= 0:
+                got = fr[0, outmap[t]].reshape(-1)
+            else:
+                got = carry_prev  # still at window start: previous window's last
+            np.testing.assert_array_equal(got, golds[0][gi],
+                                          err_msg=f"frame {start + t}")
+        carry_prev = (fr[0, -1].reshape(-1) if fr.shape[1] else carry_prev)
