@@ -182,15 +182,19 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         results["pallas_patch"] = None
 
-    # extra (not headline — different output contract): fused ML-ingest
-    # path, kmv decode -> 2x box downscale -> normalized bf16 NHWC tensors
+    # extras (not headline — different output contract): fused ML-ingest
+    # paths, kmv decode -> 2x box downscale -> normalized bf16 NHWC tensors
     model_fps = None
+    model_elision_fps = None
     try:
-        results_model = timed(
+        model_fps = timed(
             lambda i, p, m, c: sp_recon.decode_batch_kmv_model(
                 i[None], p[None], m[None], c[None], downscale=2)[1],
             *kdev)
-        model_fps = results_model
+        model_elision_fps = timed(
+            lambda i, p, m: sp_recon.decode_sequence_kmv_compact_model(
+                i, p, m, downscale=2)[1],
+            *cdev)
     except Exception:  # noqa: BLE001
         pass
 
@@ -207,6 +211,8 @@ def main() -> None:
                       for k, v in results.items()},
         "host_stage_fps_per_core": None if host_fps is None else round(host_fps, 1),
         "model_ingest_ds2_fps": None if model_fps is None else round(model_fps, 1),
+        "model_ingest_ds2_elision_fps": (
+            None if model_elision_fps is None else round(model_elision_fps, 1)),
     }))
 
 

@@ -298,6 +298,27 @@ def decode_batch_kmv(init_frames, paycode, mvk, changed):
     return jnp.stack(outs)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "layout", "downscale"))
+def decode_sequence_kmv_compact_model(init_frame, paycode, mvk,
+                                      dtype=jnp.bfloat16, layout="NHWC",
+                                      downscale=1):
+    """Still-elision + fused model emission: decode only changed frames,
+    emit ONLY their model tensors (full ML-serving shape; pair with
+    compact_changed's outmap to reconstruct the timeline).
+    → (carry [Y,X] u32, model [T', ...])."""
+    from .rgb_convert import to_model_input
+
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale)
+
+    def step(prev, inp):
+        pc, mk = inp
+        out = compose_frame_kmv(prev, pc, mk)
+        return out, to_model_input(out, **kw)
+
+    last, model = jax.lax.scan(step, init_frame, (paycode, mvk))
+    return last, model
+
+
 @jax.jit
 def decode_sequence_kmv_compact(init_frame, paycode, mvk):
     """kmv scan over changed frames only (every input frame composes)."""

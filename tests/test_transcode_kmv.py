@@ -322,3 +322,42 @@ def test_transcode_parallel_gops_byte_identical():
     seq = transcode_sp(avi, target_version=4, jobs=1)
     par = transcode_sp(avi, target_version=4, jobs=4)
     assert seq == par
+
+
+def test_kmv_compact_model_matches_expand():
+    """Elided fused-model scan == full scan's model tensors at outmap."""
+    import jax
+    from jsplayer_tpu.kernels.rgb_convert import to_model_input
+    from jsplayer_tpu.kernels.sp_recon import (
+        compact_changed, decode_sequence_kmv, decode_sequence_kmv_compact_model)
+
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(31)
+    f = np.full((Y, X), pack_rgb(8, 8, 8), dtype=np.uint32).reshape(-1)
+    streams = [enc.encode_i(f)]
+    for t in range(7):
+        nf = f.copy().reshape(Y, X)
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        elif t % 3 == 1:
+            nf[4:8, 2:30] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+    cmds = stack_sp_commands([streams], X, Y)
+    pc, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                          cmds["rect"][0, 0], cmds["payload"][0, 0])
+    changed = np.asarray(cmds["changed"][0, 0])
+    init = jnp.zeros((Y, X), jnp.uint32)
+    frames = decode_sequence_kmv(init, jnp.array(pc), jnp.array(mvk),
+                                 jnp.array(changed))
+    want = np.asarray(to_model_input(frames, downscale=2,
+                                     dtype=jnp.float32))
+    pcc, mvkc, outmap = compact_changed(pc, mvk, changed)
+    _carry, model = decode_sequence_kmv_compact_model(
+        init, jnp.array(pcc), jnp.array(mvkc), downscale=2,
+        dtype=jnp.float32)
+    model = np.asarray(model)
+    for t in range(len(changed)):
+        if outmap[t] >= 0:
+            np.testing.assert_array_equal(model[outmap[t]], want[t],
+                                          err_msg=f"frame {t}")
