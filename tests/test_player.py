@@ -283,3 +283,19 @@ def test_autoskip_jumps_over_stills():
         if p.manager.last_frame_drawn >= 5:
             break
     assert p.manager.last_frame_drawn >= 5
+
+
+def test_thumbnail_and_resize():
+    """-Dwait thumbnail mode (Main.hx:266-276) + spresize aspect-fit
+    (Main.hx:1327-1338)."""
+    avi, golds = make_sp_avi(7)
+    p = Player(PlayerConfig(indexed=False))
+    vi = p.load(MemorySource(avi))
+    rgba = np.asarray(p.thumbnail())
+    # ABGR-opaque conversion of frame 0 (Manager.fill_bitmap_data parity)
+    c = golds[0].astype(np.uint32)
+    want = (0xFF000000 | ((c & 0xFF) << 16) | (c & 0xFF00)
+            | ((c >> 16) & 0xFF)).astype(np.uint32)
+    np.testing.assert_array_equal(rgba, want)
+    assert p.resize(vi.width * 3, vi.height * 2) == (vi.width * 2, vi.height * 2)
+    assert p.resize(vi.width, vi.height * 9) == (vi.width, vi.height)
