@@ -175,13 +175,13 @@ def make_msv1_decode_step(mesh: Mesh, cfg: DecodeConfig):
 
 
 def make_sp_decode_step_kmv(mesh: Mesh, cfg: DecodeConfig):
-    """Production sharded SP step: kmv transport (paycode [B,G,T,Y,X] u32,
-    mvk [B,G,T,K,2], changed [B,G,T]) over the (dp, gop) mesh.  Each GOP
-    starts at a keyframe, so per-shard init is zeros; significance comes
-    from the host stage alongside the transport."""
+    """Production sharded SP step: kmv transport (init [B,G,Y,X] carry-in
+    — zeros when every row starts at a keyframe — plus paycode
+    [B,G,T,Y,X] u32, mvk [B,G,T,K,2], changed [B,G,T]) over the (dp, gop)
+    mesh.  Significance comes from the host stage alongside the
+    transport."""
 
-    def per_shard(paycode, mvk, changed):
-        init = jnp.zeros_like(paycode[:, :, 0])
+    def per_shard(init, paycode, mvk, changed):
         # unroll local (b, g) dims — vmapped dynamic rolls lower to gathers
         b_n, g_n = paycode.shape[0], paycode.shape[1]
         frames = jnp.stack([
@@ -194,7 +194,7 @@ def make_sp_decode_step_kmv(mesh: Mesh, cfg: DecodeConfig):
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("dp", "gop"),) * 3,
+        in_specs=(P("dp", "gop"),) * 4,
         out_specs=P("dp", "gop"),
     )
     return jax.jit(sharded)

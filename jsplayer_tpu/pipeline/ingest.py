@@ -96,6 +96,10 @@ class IngestConfig:
     # holding original frame t's pixels (stills alias their predecessor;
     # -1 = the window's carry-in frame).
     still_elision: bool = False
+    # Multi-chip: a jax.sharding.Mesh with a "dp" axis shards the stream
+    # batch across devices through the shard_map kmv step (pipeline/batch);
+    # B must be divisible by the dp size.  None = single-device unrolled.
+    mesh: object = None
 
 
 class StreamReader:
@@ -266,6 +270,11 @@ class VideoIngestPipeline:
                             src, dec.is_key_frame(src), pc[b, t], mvk[b, t],
                             K=K), default=(False, False))
             init = self._carry_init(B)
+            if self.cfg.mesh is not None:
+                frames = self._sharded_kmv_step(pc, mvk, changed)
+                self._carry = frames[:, -1]
+                _window_barrier(frames)
+                return self._emit(frames, jnp.array(sig), start)
             if self.cfg.still_elision:
                 assert B == 1, "still_elision is single-stream"
                 pcc, mvkc, outmap = sp_recon.compact_changed(
@@ -529,6 +538,36 @@ class VideoIngestPipeline:
         self._carry = frames[:, -1]
         _window_barrier(frames)
         return self._emit(frames, jnp.array(sig), start)
+
+    def _sharded_kmv_step(self, pc, mvk, changed):
+        """Multi-chip window decode: streams shard over the mesh's dp axis
+        (each device scans its own P-chains; no cross-device traffic —
+        GOPs/streams are independent, SURVEY.md §2 DP row)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .batch import DecodeConfig, make_sp_decode_step_kmv
+
+        mesh = self.cfg.mesh
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)).get("gop", 1) \
+            == 1, "ingest shards streams on dp; use a mesh with gop=1"
+        vi = self.info
+        if getattr(self, "_sharded_step", None) is None:
+            cfg = DecodeConfig(height=vi.height, width=vi.width,
+                               emit_model_input=False)
+            self._sharded_step = make_sp_decode_step_kmv(mesh, cfg)
+        # [B, T, ...] → [B, G=1, T, ...] rows on the (dp, gop) mesh
+        put = lambda a, spec: jax.device_put(
+            np.ascontiguousarray(a), NamedSharding(mesh, spec))
+        init = self._carry_init(pc.shape[0])
+        frames = self._sharded_step(
+            jax.device_put(init[:, None],
+                           NamedSharding(mesh, P("dp", "gop"))),
+            put(pc[:, None], P("dp", "gop")),
+            put(mvk[:, None], P("dp", "gop")),
+            put(changed[:, None], P("dp", "gop")))
+        if jax.default_backend() == "cpu":
+            jax.block_until_ready(frames)
+        return frames[:, 0]
 
     # -- MSVideo1 --------------------------------------------------------------
 

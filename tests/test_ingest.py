@@ -339,3 +339,27 @@ def test_ingest_still_elision_single_stream():
             np.testing.assert_array_equal(got, golds[0][gi],
                                           err_msg=f"frame {start + t}")
         carry_prev = (fr[0, -1].reshape(-1) if fr.shape[1] else carry_prev)
+
+
+def test_ingest_mesh_sharded_dp():
+    """Multi-chip ingest: 4 streams sharded over a dp=4 mesh through the
+    shard_map kmv step, bit-exact vs golds across window carries."""
+    import jax
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    nd = len(jax.devices())
+    if nd < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(dp=nd, gop=1)  # ingest shards streams on dp; gop=1
+    avis, golds = zip(*(sp_avi(s) for s in range(1, nd + 1)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, mesh=mesh))
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for b in range(nd):
+            for t in range(fr.shape[1]):
+                gi = min(batch["start_frame"] + t, len(golds[b]) - 1)
+                np.testing.assert_array_equal(
+                    fr[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {batch['start_frame']+t}")

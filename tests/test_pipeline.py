@@ -202,6 +202,7 @@ def test_sp_decode_step_kmv_matches_general():
                 cmds["bts"][b, g], cmds["mv"][b, g], cmds["rect"][b, g],
                 cmds["payload"][b, g], K=2)
     kout = make_sp_decode_step_kmv(mesh, cfg)(
-        jnp.array(pcs), jnp.array(mvks), jnp.array(cmds["changed"]))
+        jnp.zeros((B, G, Y, X), jnp.uint32), jnp.array(pcs),
+        jnp.array(mvks), jnp.array(cmds["changed"]))
     np.testing.assert_array_equal(np.asarray(kout, dtype=np.float32),
                                   np.asarray(out, dtype=np.float32))
