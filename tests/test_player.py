@@ -299,3 +299,21 @@ def test_thumbnail_and_resize():
     np.testing.assert_array_equal(rgba, want)
     assert p.resize(vi.width * 3, vi.height * 2) == (vi.width * 2, vi.height * 2)
     assert p.resize(vi.width, vi.height * 9) == (vi.width, vi.height)
+
+
+def test_logging_spans_and_counters():
+    """utils.logging: timed spans, counters, and the capped event log
+    (Logging.hx FastLog/TimedMsg parity, SURVEY §5.1/§5.5)."""
+    from jsplayer_tpu.utils.logging import LOG, Log
+
+    log = Log()
+    with log.span("demux"):
+        log.count("frames", 3)
+    log.count("frames", 2)
+    assert log.counters["frames"] == 5
+    assert any(m.msg == "demux" for m in log.events)
+    assert all(m.t1 >= m.t0 for m in log.events)
+    # cap parity: FastLog auto-disables after 4000 entries (Logging.hx:26-30)
+    for i in range(5000):
+        log.fast_log(f"e{i}")
+    assert len(log.events) <= 4001
