@@ -435,6 +435,22 @@ def compose_frame_kmv_sparse(prev, bcode, mvk, tiles, tile_yx):
 
 
 @jax.jit
+def decode_batch_kmv_sparse_ragged(init_frames, bcode, mvk, tiles_flat,
+                                   tile_idx, tile_yx, changed):
+    """Ragged tile transport: tiles ship as ONE flat [S,256] u32 array of
+    real tiles (plus per-frame pad rows) and tile_idx [B,T,M] maps each
+    scan slot to its row — the padded-per-frame layout wastes ~3.5x
+    transfer on mixed content (every frame pads to the window max).  The
+    device repack is a row gather of 1 KB rows, measured ~free."""
+    B, T, M = tile_idx.shape
+    Y, X = init_frames.shape[-2:]
+    tiles = jnp.take(tiles_flat, tile_idx.reshape(-1), axis=0)
+    tiles = tiles.reshape(B, T, M, 16, 16)
+    return decode_batch_kmv_sparse(init_frames, bcode, mvk, tiles, tile_yx,
+                                   changed)
+
+
+@jax.jit
 def decode_batch_kmv_sparse(init_frames, bcode, mvk, tiles, tile_yx, changed):
     """Batched sparse-kmv scan (unrolled over B — see decode_batch_kmv).
 
