@@ -535,17 +535,16 @@ class VideoIngestPipeline:
         # ~3.5x link bandwidth on mixed content
         flat_rows = []
         tile_idx = np.zeros((B, T - t0, m_pad), dtype=np.int32)
+        off = 0
         for b in range(B):
             for t in range(t0, T):
                 if not changed[b, t]:
                     continue
-                m_t = int(m_used_arr[b, t])
-                take = min(m_t + 1, nb)  # +1 = the native pad row
-                off = len(flat_rows) and sum(r.shape[0] for r in flat_rows)
-                off = int(off)
+                take = min(int(m_used_arr[b, t]) + 1, nb)  # +1 = pad row
                 flat_rows.append(tiles[b, t, :take].reshape(take, 256))
                 j = np.minimum(np.arange(m_pad), take - 1)
                 tile_idx[b, t - t0] = off + j
+                off += take
         flat = (np.concatenate(flat_rows, axis=0) if flat_rows
                 else np.zeros((1, 256), np.uint32))
         frames = sp_recon.decode_batch_kmv_sparse_ragged(
