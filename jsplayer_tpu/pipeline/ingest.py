@@ -500,11 +500,11 @@ class VideoIngestPipeline:
         skip0 = all(len(fr) > 0 and decs[b].is_key_frame(fr[0])
                     for b, fr in enumerate(chunk))
         t0 = 1 if skip0 else 0
-        m_max = 1
         m_used_arr = np.zeros((B, T), dtype=np.int32)
-        for b, frames in enumerate(chunk):
+
+        def host_decode_stream(b):
             dec = decs[b]
-            for t, src in enumerate(frames):
+            for t, src in enumerate(chunk[b]):
                 if t == 0 and skip0:
                     view, s0, _ = dec.decompress(src, True, copy=False)
                     if view is None:
@@ -523,7 +523,18 @@ class VideoIngestPipeline:
                 sig[b, t] = sg
                 if chg:
                     m_used_arr[b, t] = max(1, m_used)
-                    m_max = max(m_max, max(1, m_used))
+
+        if B > 1:
+            # streams decode in parallel on real threads (the native calls
+            # release the GIL); each thread owns disjoint buffer rows
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+
+            with ThreadPoolExecutor(min(B, _os.cpu_count() or 1)) as ex:
+                list(ex.map(host_decode_stream, range(B)))
+        else:
+            host_decode_stream(0)
+        m_max = max(1, int(m_used_arr.max()))
         m_pad = 1 << (m_max - 1).bit_length()
         # sticky bucket: growing windows would otherwise recompile the scan
         # per distinct tile count (~1-2 s each on TPU)
