@@ -317,3 +317,26 @@ def test_logging_spans_and_counters():
     for i in range(5000):
         log.fast_log(f"e{i}")
     assert len(log.events) <= 4001
+
+
+@pytest.mark.parametrize("frac", [0.15, 0.5, 0.9])
+def test_player_truncated_file(frac):
+    """Playback of a truncated AVI: no crash, frames up to the cut decode
+    exactly (progressive-streaming parity — the reference plays while
+    bytes arrive)."""
+    avi, golds = make_sp_avi(12)
+    cut = avi[: int(len(avi) * frac)]
+    p = Player(PlayerConfig(indexed=False))
+    try:
+        vi = p.load(MemorySource(cut))
+    except Exception:
+        return  # header itself truncated: a load error is acceptable
+    shown = 0
+    for _ in range(2000):
+        res = p.tick()
+        if res == FrameResult.DECOMPRESSED and p.first_shown:
+            shown += 1
+            break
+    if shown:
+        np.testing.assert_array_equal(
+            p.manager.buffers[p.manager._last_filled_buffer], golds[0])
