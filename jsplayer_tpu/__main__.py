@@ -21,7 +21,11 @@ def cmd_info(args) -> int:
     from .player import Player, PlayerConfig
 
     p = Player(PlayerConfig(indexed=not args.seq))
-    vi = p.load(open_source(args.file))
+    try:
+        vi = p.load(open_source(args.file))
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
     loader = p.manager.loader
     out = {
         "width": vi.width, "height": vi.height, "bpp": vi.bpp,

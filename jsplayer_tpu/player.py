@@ -82,6 +82,9 @@ class Player:
             loader = DataLoaderAVISeq()
         self.manager = Manager(loader, num_buffers=self.config.num_buffers)
         self.manager.open(source, self._on_open)
+        if self.video_info is None:
+            raise ValueError(
+                "no video header found (file truncated before avih/strf?)")
         return self.video_info
 
     def _on_open(self, vi: VideoInfo) -> None:
