@@ -12,7 +12,7 @@ Public surface:
   open_source                    — byte-range sources (file / memory)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .core.source import ByteSource, FileSource, MemorySource, open_source  # noqa: F401
 from .core.types import CodecType, VideoInfo  # noqa: F401

@@ -1,9 +1,13 @@
 """End-to-end batched video ingestion: AVI sources → model-input tensors.
 
 The flagship serving API (BASELINE.json config 5): N AVI streams are
-demuxed on host, entropy-decoded to command tensors (native thread pool),
-and reconstructed on device in GOP-aligned windows, fused straight into
-normalized model tensors — decoded pixels never round-trip to host.
+demuxed on host, entropy-decoded straight into the kmv device transport
+(native thread pool; dense paycode plane for co-located hosts or the
+ragged sparse tile transport for link-fed serving), and reconstructed on
+device in windows — optionally fused into normalized model tensors
+(emit_frames=False), with still-elision (still_elision=True) and
+multi-chip stream sharding (mesh=...).  Decoded pixels never round-trip
+to host.  Failures quarantine per stream (frozen at the last good frame).
 
 GOP alignment: windows start at keyframes (the only independent decode
 points, DataLoader.GetNearestKeyframe ≙ core/loader.py); short windows pad
