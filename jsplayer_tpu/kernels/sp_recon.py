@@ -270,12 +270,14 @@ def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
     return last, model
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "layout", "downscale"))
+@functools.partial(jax.jit,
+                   static_argnames=("dtype", "layout", "downscale", "bpp16"))
 def decode_batch_kmv_model(init_frames, paycode, mvk, changed,
-                           dtype=jnp.bfloat16, layout="NHWC", downscale=1):
+                           dtype=jnp.bfloat16, layout="NHWC", downscale=1,
+                           bpp16=False):
     """Batched kmv decode fused straight into model tensors.
     → (carry [B,Y,X] u32 for the next window, model [B,T,...])."""
-    kw = dict(dtype=dtype, layout=layout, downscale=downscale)
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16)
     # unrolled over B (see decode_batch_kmv: vmapped dynamic rolls gather)
     res = [_scan_decode_kmv_model(init_frames[b], paycode[b], mvk[b],
                                   changed[b], kw)

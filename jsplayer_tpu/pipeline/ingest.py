@@ -146,6 +146,11 @@ class VideoIngestPipeline:
             ), "streams in a batch must share geometry and codec"
         self.info = info0
         self.nframes = max(len(r.frames) for r in self.readers)
+        # 16bpp ScreenPressor decodes to 5-bit channels in the byte slots
+        # (scaled <<3 for display/model, Manager.hx:363-370); MSV1 16-bit
+        # already resolves to 8-bit channels at parse (fromRGB15)
+        self._bpp16 = (info0.bpp == 16
+                       and info0.codec == CodecType.SCREENPRESSOR)
         #: per-stream AudioTrack (MP3 sections, PTS, time_loaded watermark)
         self.audio_tracks = [r.audio_track for r in self.readers]
         # per-stream failure quarantine (SURVEY.md §5.3: a malformed frame
@@ -292,13 +297,13 @@ class VideoIngestPipeline:
                 if self.cfg.emit_model_input:
                     out["model_input"] = to_model_input(
                         frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                        downscale=self.cfg.model_downscale)
+                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
                 return out
             if not self.cfg.emit_frames and self.cfg.emit_model_input:
                 carry, model = sp_recon.decode_batch_kmv_model(
                     init, _put(pc), _put(mvk), _put(changed),
                     dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale)
+                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
                 self._carry = carry
                 _window_barrier(carry, model)
                 return {"start_frame": start, "significant": jnp.array(sig),
@@ -650,5 +655,5 @@ class VideoIngestPipeline:
         if self.cfg.emit_model_input:
             out["model_input"] = to_model_input(
                 frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale)
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
         return out

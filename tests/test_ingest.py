@@ -363,3 +363,33 @@ def test_ingest_mesh_sharded_dp():
                 np.testing.assert_array_equal(
                     fr[b, t].reshape(-1), golds[b][gi],
                     err_msg=f"stream {b} frame {batch['start_frame']+t}")
+
+
+def test_ingest_16bpp_sp_model_channels():
+    """16bpp SP: model tensors use the 5-bit-channel scaling (<<3), parity
+    with the display conversion (Manager.hx:363-370)."""
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
+
+    Xs = Ys = 32
+    enc = ScreenPressorEncoder(4, Xs, Ys, bpp=16)
+    rng = np.random.default_rng(5)
+    f = np.full((Ys, Xs), 0x0A0B0C & 0x1F1F1F, dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(4):
+        nf = f.copy().reshape(Ys, Xs)
+        nf[4:8, 4:20] = int(rng.integers(0, 0x8000)) & 0x1F1F1F
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    avi = mux_avi(streams, Xs, Ys, 16, codec="SPV4",
+                  keyflags=[t == 0 for t in range(5)])
+    pipe = VideoIngestPipeline([MemorySource(avi)], IngestConfig(window=5))
+    batch = next(iter(pipe))
+    mi = np.asarray(batch["model_input"], dtype=np.float32)
+    fr = np.asarray(batch["frames_u32"])
+    for t, g in enumerate(golds):
+        np.testing.assert_array_equal(fr[0, t].reshape(-1), g)
+        # channel 0 of the model tensor == (g & 0xFF) << 3, normalized, flipped
+        want = (((g.reshape(Ys, Xs) & 0xFF) << 3)[::-1] / 255.0)
+        np.testing.assert_allclose(mi[0, t, :, :, 0], want, atol=0.01)
