@@ -151,6 +151,9 @@ class VideoIngestPipeline:
         # already resolves to 8-bit channels at parse (fromRGB15)
         self._bpp16 = (info0.bpp == 16
                        and info0.codec == CodecType.SCREENPRESSOR)
+        # channel order: SP packs (b<<16)|(g<<8)|r, MSV1's fromRGB15 packs
+        # (r<<16)|(g<<8)|b — flip MSV1 so model_input is always RGB
+        self._swap_rb = info0.codec != CodecType.SCREENPRESSOR
         #: per-stream AudioTrack (MP3 sections, PTS, time_loaded watermark)
         self.audio_tracks = [r.audio_track for r in self.readers]
         # per-stream failure quarantine (SURVEY.md §5.3: a malformed frame
@@ -653,7 +656,8 @@ class VideoIngestPipeline:
         out = {"start_frame": start, "frames_u32": frames,
                "significant": signif}
         if self.cfg.emit_model_input:
-            out["model_input"] = to_model_input(
+            mi = to_model_input(
                 frames, dtype=jnp.dtype(self.cfg.model_dtype),
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            out["model_input"] = mi[..., ::-1] if self._swap_rb else mi
         return out
