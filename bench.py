@@ -129,7 +129,7 @@ def main() -> None:
                     ^ jnp.uint32(i)
             return jax.lax.fori_loop(0, nrep, body, jnp.uint32(0))
 
-        def t_at(nrep, tries=4):
+        def t_at(nrep, tries=6):
             int(loop(jnp.int32(nrep), *args))  # warm; readback = barrier
             best = float("inf")
             for _ in range(tries):
@@ -138,9 +138,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        t_lo = t_at(1)
-        # two-point marginal: cancels the tunnel's fixed per-dispatch cost
-        n_lo, n_hi = (1, 3) if t_lo > 0.5 else (4, 16)
+        t_lo = t_at(1, tries=2)
+        # two-point marginal: cancels the tunnel's fixed per-dispatch cost;
+        # a wide rep spread + best-of-6 damps tunnel jitter on the diff
+        n_lo, n_hi = (1, 3) if t_lo > 0.5 else (4, 24)
         t1, t2 = t_at(n_lo), t_at(n_hi)
         return T * (n_hi - n_lo) / max(t2 - t1, 1e-9)
 
