@@ -424,3 +424,37 @@ def test_ingest_model_channels_are_rgb_for_both_codecs():
     mi = np.asarray(next(iter(pipe))["model_input"], dtype=np.float32)
     assert mi[0, 0, 0, 0, 0] > 0.9 and mi[0, 0, 0, 0, 2] < 0.1, \
         f"SP red pixel: {mi[0, 0, 0, 0]}"
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_ingest_legacy_sp_versions(version):
+    """SP v2 (range coder) and v3 (rANS f0=64) streams through the full
+    ingest pipeline and kmv device path."""
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+
+    enc = ScreenPressorEncoder(version, X, Y)
+    rng = np.random.default_rng(40 + version)
+    f = np.full((Y, X), pack_rgb(6, 6, 6), dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(6):
+        nf = f.copy().reshape(Y, X)
+        if t % 3 == 0:
+            nf[2:, :] = nf[:-2, :].copy()
+        elif t % 3 == 1:
+            nf[4:8, 8:24] = pack_rgb(*rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    avi = mux_avi(streams, X, Y, 24, codec=f"SPV{version}",
+                  keyflags=[t == 0 for t in range(7)])
+    for path in ("kmv", "kmv_sparse"):
+        pipe = VideoIngestPipeline([MemorySource(avi)],
+                                   IngestConfig(window=4, sp_device_path=path))
+        for batch in pipe:
+            fr = np.asarray(batch["frames_u32"])
+            for t in range(fr.shape[1]):
+                gi = min(batch["start_frame"] + t, len(golds) - 1)
+                np.testing.assert_array_equal(
+                    fr[0, t].reshape(-1), golds[gi],
+                    err_msg=f"v{version} {path} frame {batch['start_frame']+t}")
