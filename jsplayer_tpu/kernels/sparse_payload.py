@@ -13,6 +13,12 @@ blocks:
 
 Per-frame traffic becomes ~activity-proportional: tiles (M·1KB) + indices,
 e.g. 15% active blocks at 1080p ≈ 1.2 MB instead of 8.3 MB.
+
+Status: the production sparse serving path is kernels/sp_recon's kmv-sparse
+transport (ragged flat tiles + dynamic_update_slice, fed by the native
+decoder — see pipeline/ingest).  This module remains the MXU-scatter
+alternative for payload-only workloads and as the measured reference for
+one-hot-matmul scatter on TPU.
 """
 
 from __future__ import annotations
