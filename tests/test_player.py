@@ -340,3 +340,15 @@ def test_player_truncated_file(frac):
     if shown:
         np.testing.assert_array_equal(
             p.manager.buffers[p.manager._last_filled_buffer], golds[0])
+
+
+def test_loaded_range_and_fractions():
+    """Loaded-range bar surfaces (Main.hx:1114-1115 from
+    LoadedFractionStart/End)."""
+    avi, golds = make_sp_avi(8)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    drive_until_shown(p)
+    lo, hi = p.loaded_range()
+    assert 0.0 <= lo <= hi <= 1.0
+    assert hi > 0.9  # fully loaded memory source
