@@ -96,7 +96,10 @@ def cmd_ingest(args) -> int:
 
     pipe = VideoIngestPipeline(
         [open_source(f) for f in args.files],
-        IngestConfig(window=args.window),
+        IngestConfig(window=args.window, sp_device_path=args.path,
+                     model_downscale=args.downscale,
+                     emit_frames=not args.model_only,
+                     still_elision=args.elide and len(args.files) == 1),
     )
     t0 = time.monotonic()
     n = 0
@@ -138,6 +141,15 @@ def main(argv=None) -> int:
     a = sub.add_parser("ingest", help="batched decode to model tensors")
     a.add_argument("files", nargs="+")
     a.add_argument("--window", type=int, default=16)
+    a.add_argument("--path", default="kmv",
+                   choices=("kmv", "kmv_sparse", "general"),
+                   help="SP device compose (kmv_sparse for link-fed hosts)")
+    a.add_argument("--downscale", type=int, default=1,
+                   help="power-of-two box downsample in the model epilogue")
+    a.add_argument("--model-only", action="store_true",
+                   help="fused model emission; skip full-res frame stacks")
+    a.add_argument("--elide", action="store_true",
+                   help="still-elision (single stream)")
     a.set_defaults(fn=cmd_ingest)
 
     args = ap.parse_args(argv)
