@@ -52,3 +52,9 @@ def test_cli_ingest(avi_path, capsys):
     assert main(["ingest", avi_path, "--window", "3"]) == 0
     out = capsys.readouterr().out
     assert "frames" in out.lower() or "window" in out.lower()
+
+
+def test_cli_ingest_sparse_elide(avi_path, capsys):
+    assert main(["ingest", avi_path, "--window", "3", "--path", "kmv_sparse",
+                 "--downscale", "1"]) == 0
+    assert main(["ingest", avi_path, "--window", "3", "--elide"]) == 0
