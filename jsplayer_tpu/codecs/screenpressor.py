@@ -183,9 +183,16 @@ class ScreenPressor(VideoCodec):
         clr = 0
         k = 0
         # first row (+1 pixel) (:169-197)
+        stall = 0  # corrupt stream: endless n==0 runs must not hang
         while k < X + 1:
             clr = self._decode_rgb()
             n = ec.decode_n(0)
+            if n == 0:
+                stall += 1
+                if stall > 4096:
+                    raise ValueError("stalled stream (invalid)")
+            else:
+                stall = 0
             k += n
             for _ in range(n):
                 dst[di] = clr
@@ -196,7 +203,9 @@ class ScreenPressor(VideoCodec):
         off = -X - 1
         ptype = 0
         # main predictor-run loop (:218-286)
+        stall = 0
         while di < end:
+            di0 = di
             ptype = ec.decode_p(ptype)
             if ptype == 0:
                 clr = self._decode_rgb()
@@ -236,6 +245,12 @@ class ScreenPressor(VideoCodec):
                     dst[di] = clr
                     di += 1
                 lasti = di - 1
+            if di == di0:
+                stall += 1
+                if stall > 4096:
+                    raise ValueError("stalled stream (invalid)")
+            else:
+                stall = 0
             self.cx1 = (clr & maskcx1) >> shiftcx1
             self.cx = clr >> shiftcx
         self.prev = dst
@@ -304,6 +319,13 @@ class ScreenPressor(VideoCodec):
                     y1 = ec.decode_sxy(1) + y16
                     x2 = ec.decode_sxy(2) + x16 + 1
                     y2 = ec.decode_sxy(3) + y16 + 1
+                    # a corrupt stream can place the subrect outside the
+                    # frame (edge blocks narrower than 16); reject rather
+                    # than write out of bounds (mirrors native spdec.cpp)
+                    if x2 > X or y2 > Y or x1 >= x2 or y1 >= y2:
+                        raise ValueError(
+                            f"subrect out of bounds (invalid stream): "
+                            f"({x1},{y1})-({x2},{y2}) in {X}x{Y}")
                 if cap is not None:
                     cap["rect"][bi] = (x1, y1, x2, y2)
                 if (bts[bi] - 1) & 2:  # motion (:388-405)
@@ -313,8 +335,10 @@ class ScreenPressor(VideoCodec):
                         mx = ec.decode_mx() - MSR_X
                         my = ec.decode_my() - MSR_Y
                     lastmx, lastmy = mx, my
-                    assert 0 <= y1 + my and y2 + my <= Y and 0 <= x1 + mx and x2 + mx <= X, \
-                        "motion vector out of bounds (invalid stream)"
+                    if not (0 <= y1 + my and y2 + my <= Y
+                            and 0 <= x1 + mx and x2 + mx <= X):
+                        raise ValueError(
+                            "motion vector out of bounds (invalid stream)")
                     if cap is not None:
                         cap["mv"][bi] = (mx, my)
                     d2[y1:y2, x1:x2] = p2[y1 + my : y2 + my, x1 + mx : x2 + mx]
@@ -322,6 +346,7 @@ class ScreenPressor(VideoCodec):
                     x = x1
                     y = y1
                     ptype = 0
+                    stall = 0  # corrupt stream: endless n==0 runs must not hang
                     while y < y2:
                         i = y * stride + x
                         di = i
@@ -329,23 +354,35 @@ class ScreenPressor(VideoCodec):
                         if ptype == 0:
                             clr = self._decode_rgb()
                         n = ec.decode_n(ptype)
+                        if n == 0:
+                            stall += 1
+                            if stall > 4096:
+                                raise ValueError("stalled stream (invalid)")
+                        else:
+                            stall = 0
                         for _ in range(n):
+                            # Up/left predictor reads with no neighbor (frame
+                            # row/col 0) are OOB; the reference's JS target
+                            # reads `undefined` from the Int32Array there,
+                            # which coerces to 0 — mirror that instead of
+                            # numpy's negative-index wrap (ScreenPressor.hx
+                            # :438-461 via js typed-array semantics).
                             if ptype == 1:
-                                clr = int(dst[di - 1])
+                                clr = int(dst[di - 1]) if di >= 1 else 0
                             elif ptype == 2:
-                                clr = int(dst[di + off + 1])
+                                clr = int(dst[di + off + 1]) if di + off + 1 >= 0 else 0
                             elif ptype == 3:
                                 clr = int(prev[i])
                             elif ptype == 4:
-                                L = int(dst[di - 1])
-                                U1 = int(dst[di + off + 1])
-                                U0 = int(dst[di + off])
+                                L = int(dst[di - 1]) if di >= 1 else 0
+                                U1 = int(dst[di + off + 1]) if di + off + 1 >= 0 else 0
+                                U0 = int(dst[di + off]) if di + off >= 0 else 0
                                 r = (L & 0xFF) + (U1 & 0xFF) - (U0 & 0xFF)
                                 g = ((L >> 8) & 0xFF) + ((U1 >> 8) & 0xFF) - ((U0 >> 8) & 0xFF)
                                 b = ((L >> 16) & 0xFF) + ((U1 >> 16) & 0xFF) - ((U0 >> 16) & 0xFF)
                                 clr = ((b & 0xFF) << 16) | ((g & 0xFF) << 8) | (r & 0xFF)
                             elif ptype == 5:
-                                clr = int(dst[di + off])
+                                clr = int(dst[di + off]) if di + off >= 0 else 0
                             dst[di] = clr
                             x += 1
                             if x >= x2:

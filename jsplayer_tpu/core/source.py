@@ -85,12 +85,37 @@ class HttpRangeSource(ByteSource):
     probe's Content-Range total (the reference instead parses riff_size
     from the first chunk, DataLoaderAVIIndexed.hx:81)."""
 
-    def __init__(self, url: str, protocol: str = "range", timeout: float = 30.0):
+    def __init__(self, url: str, protocol: str = "range", timeout: float = 30.0,
+                 accept_full_body: bool = False):
         assert protocol in ("range", "post")
         self._url = url
         self._protocol = protocol
         self._timeout = timeout
         self._size: Optional[int] = None
+        # A server that ignores Range returns 200 + the whole file; treating
+        # that as the requested slice silently corrupts every seek.  By
+        # default we reject; set accept_full_body=True to slice instead
+        # (read_range only — acceptable for small files).
+        self._accept_full_body = accept_full_body
+
+    @staticmethod
+    def _check_range_honored(r, start: int) -> bool:
+        """True when the response is the requested slice; False when the
+        server ignored Range and sent the whole entity (status 200)."""
+        status = getattr(r, "status", None) or r.getcode()
+        if status == 206:
+            cr = r.headers.get("Content-Range", "")
+            # "bytes s-e/total" — verify the slice starts where we asked
+            if cr.startswith("bytes "):
+                got = cr[6:].partition("-")[0]
+                if got.strip().isdigit() and int(got) != start:
+                    raise IOError(
+                        f"server returned Content-Range {cr!r}, "
+                        f"requested start {start}")
+            return True
+        if status == 200:
+            return False
+        raise IOError(f"unexpected HTTP status {status} for range request")
 
     def size(self) -> int:
         import urllib.request
@@ -122,7 +147,18 @@ class HttpRangeSource(ByteSource):
             rng = f"bytes={start}-" if end is None else f"bytes={start}-{end}"
             req = urllib.request.Request(self._url, headers={"Range": rng})
         with urllib.request.urlopen(req, timeout=self._timeout) as r:
-            return r.read()
+            body = r.read()
+            if self._protocol == "range" and not self._check_range_honored(r, start):
+                # whole-entity response: a full-file request (start=0, open
+                # end) is equivalent; otherwise slice only if allowed
+                if start == 0 and end is None:
+                    return body
+                if not self._accept_full_body:
+                    raise IOError(
+                        "server ignored Range header (status 200, full body); "
+                        "pass accept_full_body=True to slice client-side")
+                return body[start: None if end is None else end + 1]
+            return body
 
     def stream_range(self, start: int, end: Optional[int] = None,
                      chunk_size: int = 1 << 16) -> Iterator[bytes]:
@@ -136,6 +172,11 @@ class HttpRangeSource(ByteSource):
         rng = f"bytes={start}-" if end is None else f"bytes={start}-{end}"
         req = urllib.request.Request(self._url, headers={"Range": rng})
         with urllib.request.urlopen(req, timeout=self._timeout) as r:
+            if not self._check_range_honored(r, start) and not (
+                    start == 0 and end is None):
+                raise IOError(
+                    "server ignored Range header (status 200, full body) "
+                    "on a streaming range request")
             while True:
                 chunk = r.read(chunk_size)
                 if not chunk:

@@ -45,6 +45,8 @@ struct RangeDecoder {
   }
   uint8_t byte_at(size_t p) const { return p < len ? data[p] : 0; }
   void decode(uint64_t cum, uint64_t freq) {
+    if (freq == 0) freq = 1;  // corrupt stream: keep range nonzero (else the
+                              // renormalization loop below never terminates)
     code -= cum * range;
     range *= freq;
     while (range < RC_TOP) {
@@ -67,6 +69,14 @@ struct RangeDecoder {
       cnt_c = cnt[c];
       if (value >= cumfr + cnt_c) cumfr += cnt_c; else break;
       c++;
+    }
+    if (c == maxc) {
+      // corrupt stream: get_freq returned value >= totfr, so the scan ran
+      // off the table.  Clamp to the last symbol (its range keeps the
+      // decoder state consistent) instead of adapting cnt[maxc] (the total)
+      // and returning an out-of-range symbol.
+      c = maxc - 1;
+      cumfr -= cnt_c;
     }
     decode(cumfr, cnt_c);
     adapt_val(cnt, maxc, c, step, (uint32_t)totfr);
@@ -99,12 +109,20 @@ struct RangeDecoder {
       if (value >= cumfr + cnt_x) cumfr += cnt_x; else break;
       x++;
     }
+    if (x == 16) {  // corrupt stream (value >= totfr): clamp to last bucket
+      x = 15;
+      cumfr -= cnt_x;
+    }
     int c = x * 16;
     uint64_t cnt_c = 0;
     while (c < 256) {
       cnt_c = cnt[c + 17];
       if (value >= cumfr + cnt_c) cumfr += cnt_c; else break;
       c++;
+    }
+    if (c == 256) {  // corrupt stream: clamp to last symbol, keep in-bounds
+      c = 255;
+      cumfr -= cnt_c;
     }
     decode(cumfr, cnt_c);
     cnt[c + 17] += step;
@@ -152,6 +170,7 @@ struct Rans {
   uint32_t dec_get() const { return r & 4095; }
   void dec_advance(uint32_t start, uint32_t freq) {
     uint32_t x = freq * (r >> 12) + (r & 4095) - start;
+    if (x == 0) x = RANS_BYTE_L;  // corrupt stream: x<<8|0 would spin forever
     while (x < RANS_BYTE_L) x = (x << 8) | byte_at(pos++);
     r = x;
   }
@@ -300,6 +319,7 @@ struct SmallCtx {  // Cx4 (S=4) / Cx5 (S=16)
     totfr_tmp = totfr0;
     int shift = 0;
     int tot = totfr0;
+    if (tot <= 0) tot = 1;  // corrupt state: 0<<1 would spin forever
     while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
     sf >>= shift;
     int bonus = (int)(PROB_SCALE - tot) >> shift;
@@ -343,6 +363,7 @@ struct SmallCtx {  // Cx4 (S=4) / Cx5 (S=16)
     totfr_tmp = totfr0;
     int shift = 0;
     int tot = totfr0;
+    if (tot <= 0) tot = 1;  // corrupt state: 0<<1 would spin forever
     while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
     int bonus = (int)(PROB_SCALE - tot) >> shift;
     uint16_t max_freq = freqs[maxpos];
@@ -541,6 +562,7 @@ struct Cx6 {
     int totfr = 256 - oldd;
     for (int i = 0; i < oldd; i++) totfr += c5.freqs[i];
     int shift = 0, tot = totfr;
+    if (tot <= 0) tot = 1;  // corrupt state: 0<<1 would spin forever
     while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
     int cum = 0, last_symb = 0;
     for (int pos = 0; pos < oldd; pos++) {
@@ -596,6 +618,7 @@ struct Cx6 {
     int oldd = n;
     int totfr = 256 - oldd + oldd * f0 + f0;
     int shift = 0, tot = totfr;
+    if (tot <= 0) tot = 1;  // corrupt state: 0<<1 would spin forever
     while (tot <= (int)PROB_SCALE / 2) { tot <<= 1; shift++; }
     uint8_t ss[256];
     memcpy(ss, syms, n);
@@ -1182,9 +1205,11 @@ struct SpDecoder {
     size_t di = 0, lasti = 0;
     uint32_t clr = 0;
     int k = 0;
+    int stall = 0;  // corrupt stream: endless n==0 runs must not hang
     while (k < X + 1) {
       clr = decode_rgb();
       int n = dec_n(0);
+      if (n == 0) { if (++stall > 4096) return -1; } else stall = 0;
       k += n;
       for (int i = 0; i < n && di < end; i++) d[di++] = clr;
       lasti = di ? di - 1 : 0;
@@ -1193,7 +1218,9 @@ struct SpDecoder {
     cx_consts(&maskcx1, &shiftcx1, &shiftcx);
     long off = -(long)X - 1;
     int pt = 0;
+    stall = 0;
     while (di < end) {
+      size_t di0 = di;
       pt = dec_p(pt);
       if (pt == 0) clr = decode_rgb();
       int n = dec_n(pt);
@@ -1235,6 +1262,7 @@ struct SpDecoder {
         default:
           break;  // ptype 3 in I-frame: no-op (reference switch has no case)
       }
+      if (di == di0) { if (++stall > 4096) return -1; } else stall = 0;
       cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
       cx = (int)(clr >> shiftcx);
     }
@@ -1273,7 +1301,10 @@ struct SpDecoder {
       int block_type = dec_bt();
       int n = dec_bn();
       for (int i = 0; i < n && x < (int)nb; i++) bts[x++] = block_type;
-      if (n == 0) break;  // malformed stream guard
+      // malformed stream guards: zero-length run, or a corrupt xx2 beyond
+      // the block count (x can no longer advance — the reference's elastic
+      // JS array just grows there; we stop instead)
+      if (n == 0 || x >= (int)nb) break;
     }
 
     for (size_t i = insignificant_blocks; i < nb; i++)
@@ -1319,6 +1350,12 @@ struct SpDecoder {
           y1 = dec_sxy(1) + y16;
           x2 = dec_sxy(2) + x16 + 1;
           y2 = dec_sxy(3) + y16 + 1;
+          // A corrupt stream can place the subrect outside the frame (edge
+          // blocks are narrower than 16): frame buffers are exactly X*Y, so
+          // an unchecked data-type subrect writes d[yy*stride+xx] past the
+          // heap allocation.  Reject, mirroring the motion-vector check.
+          if (x2 > X || y2 > Y || x1 >= x2 || y1 >= y2)
+            return -1;  // invalid stream
         }
         if (cap_rect) {
           cap_rect[bi * 4 + 0] = x1;
@@ -1349,19 +1386,28 @@ struct SpDecoder {
         } else {  // data
           int xx = x1, yy = y1;
           int pt = 0;
+          // Up/left predictor reads with no neighbor (frame row/col 0) have
+          // a negative source index on a malformed stream; the reference's
+          // JS target reads `undefined` from the Int32Array there, which
+          // coerces to 0 — mirror that instead of reading out of bounds.
+          auto at = [&](long long idx) -> uint32_t {
+            return idx >= 0 ? d[idx] : 0u;
+          };
+          int stall = 0;  // corrupt stream: endless n==0 runs must not hang
           while (yy < y2) {
             size_t i = (size_t)yy * stride + xx;
-            size_t di = i;
+            long long di = (long long)i;
             pt = dec_p(pt);
             if (pt == 0) clr = decode_rgb();
             int n = dec_n(pt);
+            if (n == 0) { if (++stall > 4096) return -1; } else stall = 0;
             for (int c = 0; c < n; c++) {
               switch (pt) {
-                case 1: clr = d[di - 1]; break;
-                case 2: clr = d[di + off + 1]; break;
+                case 1: clr = at(di - 1); break;
+                case 2: clr = at(di + off + 1); break;
                 case 3: clr = pv[i]; break;
-                case 4: clr = grad(d[di - 1], d[di + off + 1], d[di + off]); break;
-                case 5: clr = d[di + off]; break;
+                case 4: clr = grad(at(di - 1), at(di + off + 1), at(di + off)); break;
+                case 5: clr = at(di + off); break;
                 default: break;
               }
               d[di] = clr;

@@ -224,7 +224,11 @@ class VideoIngestPipeline:
             return default
         try:
             return fn(*args)
-        except ValueError as e:
+        except (ValueError, AssertionError, IndexError) as e:
+            # malformed streams surface as ValueError from the native
+            # decoders, but the pure-Python fallback can also raise
+            # AssertionError/IndexError on corrupt data — quarantine all of
+            # them rather than failing the whole batch
             self.quarantined.add(b)
             self.quarantine_errors.append((b, repr(e)))
             return default
