@@ -4,6 +4,12 @@ Guards against silent semantic drift in the codecs/entropy stack across
 refactors (the SURVEY.md §4 'golden tests pin (stream bytes) → (frame hash)'
 item).  If an intentional format/semantic change breaks these, regenerate
 the digests in the same commit and say why.
+
+The SP v2/v3 and MSV1 frame digests are additionally *cross-implementation*
+pins: tests/test_ffmpeg_crossval.py decodes the same fixture streams with the
+system FFmpeg (independent scpr/msvideo1 decoders) and asserts the same
+digests, so the pins are not just this repo's own opinion of the formats.
+SP v4 is beyond FFmpeg's scpr support and remains a self-pinned canary.
 """
 
 import hashlib
