@@ -42,3 +42,23 @@ def with_garbage(stream: bytes, leading: bytes = b"\x01\x02junk",
     """Wrap a stream in non-sync garbage (exercises the resync scan,
     MP3Parser.hx:86-102)."""
     return leading + stream + trailing
+
+
+def make_silence_frames(n: int, bitrate_idx: int = 9, sampling_idx: int = 0,
+                        stereo: bool = False) -> tuple[bytes, int, int]:
+    """→ (stream bytes, frame_count, sample_rate) of *decodable* MPEG-1
+    Layer III silence.
+
+    Unlike :func:`make_frames` (dummy 0xAA payloads, parser-only fixtures),
+    these frames are valid for a real decoder: an all-zero side-info block
+    (17 bytes mono / 32 stereo) encodes part2_3_length=0 for every granule,
+    i.e. an empty spectrum, which any conformant Layer-III decoder
+    reconstructs as 1152 samples of silence.  Used by the av.pcm tests to
+    exercise the MP3→PCM path end-to-end."""
+    h = make_header(bitrate_idx, sampling_idx)
+    if not stereo:
+        h |= 0b11 << 6  # channel mode: single channel
+    size, rate = frame_size(h)
+    hdr = struct.pack(">I", h)
+    frame = hdr + b"\x00" * (size - 4)
+    return frame * n, n, rate

@@ -156,6 +156,7 @@ class VideoIngestPipeline:
         self._swap_rb = info0.codec != CodecType.SCREENPRESSOR
         #: per-stream AudioTrack (MP3 sections, PTS, time_loaded watermark)
         self.audio_tracks = [r.audio_track for r in self.readers]
+        self._pcm_cache = None
         # per-stream failure quarantine (SURVEY.md §5.3: a malformed frame
         # freezes that stream at its last good frame for the rest of the
         # run; other batch slots continue — DataLoaderAVIIndexed's
@@ -166,6 +167,18 @@ class VideoIngestPipeline:
 
     def _window_starts(self) -> list[int]:
         return list(range(0, self.nframes, self.cfg.window))
+
+    def audio_pcm(self):
+        """Per-stream time-aligned PCM tensors (or None where the stream has
+        no audio) — the decoded counterpart of :attr:`audio_tracks`, so A/V
+        consumers get ``[n_samples, ch]`` float32 next to the video model
+        tensors (SURVEY.md §7 step 9; the reference's WebAudio decode,
+        AudioTrack.hx:54-65, delegated here to the system codec backend).
+        Decoded once and cached; requires av.pcm.available()."""
+        if self._pcm_cache is None:
+            from ..av import pcm as _pcm
+            self._pcm_cache = _pcm.decode_tracks(self.audio_tracks)
+        return self._pcm_cache
 
     def __iter__(self) -> Iterator[dict]:
         """Host→device pipeline parallelism (SURVEY.md §2 PP row): the device
