@@ -112,7 +112,7 @@ def main() -> None:
     init = jnp.zeros((Y, X), jnp.uint32)
     dev = jax.device_put((init, bts, mv, rect, payload, changed))
 
-    def timed(fn, *args):
+    def timed(fn, *args, scale=1):
         # args ride as jit arguments: the axon tunnel's remote-compile POST
         # rejects closures over large device constants (HTTP 413).  nrep is
         # a DYNAMIC fori_loop bound so every rep count shares one compile.
@@ -143,7 +143,7 @@ def main() -> None:
         # a wide rep spread + best-of-6 damps tunnel jitter on the diff
         n_lo, n_hi = (1, 3) if t_lo > 0.5 else (4, 24)
         t1, t2 = t_at(n_lo), t_at(n_hi)
-        return T * (n_hi - n_lo) / max(t2 - t1, 1e-9)
+        return scale * T * (n_hi - n_lo) / max(t2 - t1, 1e-9)
 
     results = {}
     # strategy 1: general XLA compose (arbitrary-gather motion)
@@ -177,6 +177,22 @@ def main() -> None:
             sp_recon.decode_sequence_kmv_compact, *cdev)
     except Exception:  # noqa: BLE001
         results["kmv_still_elision"] = None
+    # strategy 2c: BATCHED kmv + still-elision (the batch serving shape):
+    # B streams, per-stream compaction padded to a shared bucketed length
+    # Cpad; delivered frames = B*T per rep while the device composes only
+    # B*Cpad (ingest._kmv_elided / sp_recon.compact_changed_batch).
+    try:
+        Bb = 2
+        pcc_b, mvkc_b, valid_b, _ = sp_recon.compact_changed_batch(
+            np.stack([np.asarray(pc)] * Bb),
+            np.stack([np.asarray(mvk)] * Bb),
+            np.stack([np.asarray(changed)] * Bb))
+        bdev = jax.device_put((jnp.zeros((Bb, Y, X), jnp.uint32),
+                               pcc_b, mvkc_b, valid_b))
+        results["kmv_batch_elision"] = timed(
+            sp_recon.decode_batch_kmv, *bdev, scale=Bb)
+    except Exception:  # noqa: BLE001
+        results["kmv_batch_elision"] = None
     # strategy 3: Pallas DMA/MXU paths (TPU only; may not compile everywhere)
     try:
         from jsplayer_tpu.kernels.sp_motion_pallas import decode_sequence_fused

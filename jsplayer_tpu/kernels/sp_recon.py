@@ -254,6 +254,52 @@ def compact_changed(paycode, mvk, changed):
     return paycode[idx], mvk[idx], outmap
 
 
+def _elision_bucket(n: int, cap: int, nbuckets: int = 8) -> int:
+    """Round n up to one of `nbuckets` linear bucket sizes (0 stays 0),
+    capped at `cap` — bounds the set of compacted scan lengths, and
+    therefore jit recompiles, to nbuckets+1 shapes per geometry while
+    wasting at most cap/nbuckets pad slots (power-of-two buckets would
+    waste up to 2x, erasing the elision win for half-changed windows)."""
+    if n <= 0:
+        return 0
+    step = -(-cap // nbuckets)
+    return min(-(-n // step) * step, cap)
+
+
+def compact_changed_batch(paycode, mvk, changed):
+    """Batched still-elision (host, numpy): per-stream compaction of the
+    changed frames, padded to a shared bucketed length so ONE masked scan
+    program serves the whole batch (and, under shard_map, every
+    device).  Returns (paycode' [B,Cpad,...], mvk' [B,Cpad,...],
+    valid [B,Cpad] bool, outmap [B,T] i32) where outmap[b,t] is the
+    compacted index holding stream b's original frame t (-1 → the window's
+    carry-in frame).  Pad slots have valid=False: the kmv scan's changed
+    mask passes the carry through them, so frames[:, -1] stays the correct
+    next-window carry for every stream, including all-stills ones.
+
+    This is the batch-scale analogue of the reference's identical-frame
+    buffer ranges (Manager.hx:568-578): stills never enter the device scan.
+    """
+    import numpy as _np
+
+    changed = _np.asarray(changed, dtype=bool)
+    B, T = changed.shape
+    counts = changed.sum(axis=1)
+    cpad = _elision_bucket(int(counts.max(initial=0)), T)
+    pcc = _np.zeros((B, cpad) + paycode.shape[2:], dtype=paycode.dtype)
+    mvkc = _np.zeros((B, cpad) + mvk.shape[2:], dtype=mvk.dtype)
+    valid = _np.zeros((B, cpad), dtype=bool)
+    outmap = _np.empty((B, T), dtype=_np.int32)
+    for b in range(B):
+        idx = _np.nonzero(changed[b])[0]
+        c = len(idx)
+        pcc[b, :c] = paycode[b, idx]
+        mvkc[b, :c] = mvk[b, idx]
+        valid[b, :c] = True
+        outmap[b] = _np.cumsum(changed[b]).astype(_np.int32) - 1
+    return pcc, mvkc, valid, outmap
+
+
 def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
     """kmv scan emitting ONLY fused model tensors (no full-res frame stack):
     the scan's ys are the downstream tensors, so per-frame HBM traffic drops

@@ -94,11 +94,15 @@ class IngestConfig:
     #   "general"    arbitrary-gather compose (any command mix).
     sp_device_path: str = "kmv"
     kmv_k: int = 2
-    # True (single-stream kmv only): unchanged frames never enter the
-    # device scan (the bench-headline path, ~40k delivered fps/chip).  The
-    # yielded dict gains "outmap": outmap[t] is the index into frames_u32
-    # holding original frame t's pixels (stills alias their predecessor;
-    # -1 = the window's carry-in frame).
+    # True (kmv paths): unchanged frames never enter the device scan (the
+    # bench-headline path, ~40k delivered fps/chip single-stream).  The
+    # yielded dict gains "outmap" mapping original frame t to its index in
+    # frames_u32 (stills alias their predecessor; -1 = the window's
+    # carry-in frame).  Single stream without a mesh: exact compaction,
+    # outmap is [T].  Batched (B>1) or sharded (mesh set): per-stream
+    # compaction padded to a bucketed length Cpad ≤ T — outmap
+    # is [B, T] and the dict gains "valid" [B, Cpad] (False = pad slot
+    # whose frame row is carry filler).
     still_elision: bool = False
     # Multi-chip: a jax.sharding.Mesh with a "dp" axis shards the stream
     # batch across devices through the shard_map kmv step (pipeline/batch);
@@ -298,41 +302,7 @@ class VideoIngestPipeline:
                         b, lambda: dec.decompress_kmv(
                             src, dec.is_key_frame(src), pc[b, t], mvk[b, t],
                             K=K), default=(False, False))
-            init = self._carry_init(B)
-            if self.cfg.mesh is not None:
-                frames = self._sharded_kmv_step(pc, mvk, changed)
-                self._carry = frames[:, -1]
-                _window_barrier(frames)
-                return self._emit(frames, jnp.array(sig), start)
-            if self.cfg.still_elision:
-                assert B == 1, "still_elision is single-stream"
-                pcc, mvkc, outmap = sp_recon.compact_changed(
-                    pc[0], mvk[0], changed[0])
-                frames = sp_recon.decode_sequence_kmv_compact(
-                    init[0], _put(pcc), _put(mvkc))[None]
-                self._carry = (frames[:, -1] if pcc.shape[0] else init)
-                _window_barrier(frames)
-                out = {"start_frame": start, "significant": jnp.array(sig),
-                       "frames_u32": frames, "outmap": outmap}
-                if self.cfg.emit_model_input:
-                    out["model_input"] = to_model_input(
-                        frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
-                return out
-            if not self.cfg.emit_frames and self.cfg.emit_model_input:
-                carry, model = sp_recon.decode_batch_kmv_model(
-                    init, _put(pc), _put(mvk), _put(changed),
-                    dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
-                self._carry = carry
-                _window_barrier(carry, model)
-                return {"start_frame": start, "significant": jnp.array(sig),
-                        "model_input": model}
-            frames = sp_recon.decode_batch_kmv(
-                init, _put(pc), _put(mvk), _put(changed))
-            self._carry = frames[:, -1]
-            _window_barrier(frames)
-            return self._emit(frames, jnp.array(sig), start)
+            return self._kmv_route(pc, mvk, changed, sig, start)
         # window-sized host buffers are reused across iterations: fresh
         # multi-hundred-MB allocations pay a page fault per 4KB on first
         # write, which measured 5x the decode itself at 1080p
@@ -389,10 +359,8 @@ class VideoIngestPipeline:
                     bts[b], mv[b], rect[b], payload[b], K=self.cfg.kmv_k)
                 pcs.append(pc_b)
                 mvks.append(mvk_b)
-            frames = sp_recon.decode_batch_kmv(
-                init, _put(np.stack(pcs)), _put(np.stack(mvks)),
-                _put(changed))
-            signif = jnp.array(sig)
+            return self._kmv_route(np.stack(pcs), np.stack(mvks), changed,
+                                   sig, start)
         else:
             frames, signif = sp_recon.decode_batch(
                 init, _put(bts), _put(mv), _put(rect),
@@ -597,6 +565,83 @@ class VideoIngestPipeline:
         self._carry = frames[:, -1]
         _window_barrier(frames)
         return self._emit(frames, jnp.array(sig), start)
+
+    def _kmv_route(self, pc, mvk, changed, sig, start) -> dict:
+        """Dispatch an assembled kmv window (pc [B,T,Y,X], mvk [B,T,K,2],
+        changed/sig [B,T]) to the right device path: sharded mesh step,
+        still-elided scans, fused model emission, or the dense batch scan.
+        Shared by the native fast path and the pure-Python host stage so the
+        two can never drift."""
+        B = pc.shape[0]
+        init = self._carry_init(B)
+        if self.cfg.still_elision and (self.cfg.mesh is not None or B > 1):
+            return self._kmv_elided(pc, mvk, changed, sig, init, start)
+        if self.cfg.mesh is not None:
+            frames = self._sharded_kmv_step(pc, mvk, changed)
+            self._carry = frames[:, -1]
+            _window_barrier(frames)
+            return self._emit(frames, jnp.array(sig), start)
+        if self.cfg.still_elision:  # single stream: exact compact scan
+            pcc, mvkc, outmap = sp_recon.compact_changed(
+                pc[0], mvk[0], changed[0])
+            frames = sp_recon.decode_sequence_kmv_compact(
+                init[0], _put(pcc), _put(mvkc))[None]
+            self._carry = (frames[:, -1] if pcc.shape[0] else init)
+            _window_barrier(frames)
+            out = {"start_frame": start, "significant": jnp.array(sig),
+                   "frames_u32": frames, "outmap": outmap}
+            if self.cfg.emit_model_input:
+                out["model_input"] = to_model_input(
+                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            return out
+        if not self.cfg.emit_frames and self.cfg.emit_model_input:
+            carry, model = sp_recon.decode_batch_kmv_model(
+                init, _put(pc), _put(mvk), _put(changed),
+                dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            self._carry = carry
+            _window_barrier(carry, model)
+            return {"start_frame": start, "significant": jnp.array(sig),
+                    "model_input": model}
+        frames = sp_recon.decode_batch_kmv(
+            init, _put(pc), _put(mvk), _put(changed))
+        self._carry = frames[:, -1]
+        _window_barrier(frames)
+        return self._emit(frames, jnp.array(sig), start)
+
+    def _kmv_elided(self, pc, mvk, changed, sig, init, start) -> dict:
+        """Batched/sharded still-elision (VERDICT round-1 #3): per-stream
+        compaction of changed frames, padded to a shared bucketed length,
+        then ONE masked kmv scan of length Cpad ≤ T — stills never enter the
+        device scan, at batch scale (the reference's identical-frame buffer
+        ranges, Manager.hx:568-578, applied to the whole batch).
+
+        The yielded dict carries "outmap" [B, T] (compacted index holding
+        original frame t; -1 = the window's carry-in) and "valid" [B, Cpad]
+        (False = pad slot; its frame/model row is carry filler)."""
+        B = pc.shape[0]
+        pcc, mvkc, valid, outmap = sp_recon.compact_changed_batch(
+            pc, mvk, changed)
+        cpad = pcc.shape[1]
+        if cpad == 0:  # all streams all-stills: nothing to decode
+            vi = self.info
+            frames = jnp.zeros((B, 0, vi.height, vi.width), dtype=jnp.uint32)
+        elif self.cfg.mesh is not None:
+            frames = self._sharded_kmv_step(pcc, mvkc, valid)
+            self._carry = frames[:, -1]
+        else:
+            frames = sp_recon.decode_batch_kmv(
+                init, _put(pcc), _put(mvkc), _put(valid))
+            self._carry = frames[:, -1]
+        _window_barrier(frames)
+        out = {"start_frame": start, "significant": jnp.array(sig),
+               "frames_u32": frames, "outmap": outmap, "valid": valid}
+        if self.cfg.emit_model_input and cpad:
+            out["model_input"] = to_model_input(
+                frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+        return out
 
     def _sharded_kmv_step(self, pc, mvk, changed):
         """Multi-chip window decode: streams shard over the mesh's dp axis

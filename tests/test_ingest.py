@@ -458,3 +458,113 @@ def test_ingest_legacy_sp_versions(version):
                 np.testing.assert_array_equal(
                     fr[0, t].reshape(-1), golds[gi],
                     err_msg=f"v{version} {path} frame {batch['start_frame']+t}")
+
+
+def sp_avi_stills(seed, nframes=12):
+    """Screencast-like stream: keyframe then mostly stills, sparse changes
+    at seed-dependent times — the content still-elision exists for."""
+    rng = np.random.default_rng(seed)
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(seed, 50, 90), dtype=np.uint32)
+    frames_px, streams = [], []
+    change_at = set(int(x) for x in rng.choice(
+        np.arange(1, nframes), size=max(1, nframes // 4), replace=False))
+    for t in range(nframes):
+        f = f.copy()
+        if t in change_at:
+            f[(t % 6) * 4 : (t % 6) * 4 + 4, 4:24] = pack_rgb(
+                *rng.integers(0, 256, 3))
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t == 0 else enc.encode_p(flat))
+        frames_px.append(flat)
+    keys = [t == 0 for t in range(nframes)]
+    return mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys), frames_px
+
+
+def _check_elided_stream(batches, gold, b):
+    """Reconstruct stream b's full timeline from elided windows, bit-exact."""
+    carry = None
+    for batch in batches:
+        fr = np.asarray(batch["frames_u32"])
+        outmap = np.asarray(batch["outmap"])
+        assert outmap.ndim == 2
+        start = batch["start_frame"]
+        valid = np.asarray(batch["valid"])
+        cpad = fr.shape[1]
+        assert cpad == valid.shape[1] and cpad >= int(valid.sum(1).max())
+        nvalid = int(valid[b].sum())
+        for t in range(outmap.shape[1]):
+            gi = start + t
+            if gi >= len(gold):
+                break
+            if outmap[b, t] >= 0:
+                assert outmap[b, t] < nvalid
+                got = fr[b, outmap[b, t]].reshape(-1)
+            else:
+                got = carry
+            np.testing.assert_array_equal(got, gold[gi],
+                                          err_msg=f"stream {b} frame {gi}")
+        if nvalid:
+            carry = fr[b, nvalid - 1].reshape(-1)
+
+
+def test_ingest_still_elision_batched():
+    """Batched still-elision (B>1, no mesh): per-stream compaction padded to
+    a power-of-two bucket; outmap/valid reconstruct every stream bit-exactly
+    and stills really are elided (Cpad < window for still-heavy content)."""
+    avis, golds = zip(*(sp_avi_stills(s) for s in (3, 7, 11)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=6, still_elision=True))
+    batches = list(pipe)
+    saw_elision = any(np.asarray(b["frames_u32"]).shape[1] < 6
+                      for b in batches)
+    assert saw_elision, "still-heavy content must compact below the window"
+    for b in range(3):
+        _check_elided_stream(batches, golds[b], b)
+
+
+def test_ingest_still_elision_sharded():
+    """Sharded still-elision: the compacted masked scan rides the same
+    shard_map kmv step over the dp mesh; bit-exact reconstruction."""
+    import jax
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    nd = len(jax.devices())
+    if nd < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(dp=nd, gop=1)
+    avis, golds = zip(*(sp_avi_stills(s + 20) for s in range(nd)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=6, still_elision=True, mesh=mesh))
+    batches = list(pipe)
+    assert any(np.asarray(b["frames_u32"]).shape[1] < 6 for b in batches)
+    for b in range(nd):
+        _check_elided_stream(batches, golds[b], b)
+
+
+def test_ingest_still_elision_all_stills_window():
+    """A window where every stream is all-stills: Cpad == 0, nothing hits
+    the device, the carry survives to the next window."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full(X * Y, pack_rgb(1, 2, 3), dtype=np.uint32)
+    streams = [enc.encode_i(f)]
+    gold = [f.copy()]
+    for t in range(7):  # 7 stills
+        streams.append(enc.encode_p(f))
+        gold.append(f.copy())
+    g = f.copy()
+    g[:X] = pack_rgb(9, 9, 9)
+    streams.append(enc.encode_p(g))  # change in the 3rd window
+    gold.append(g.copy())
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4",
+                  keyflags=[t == 0 for t in range(len(streams))])
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi), MemorySource(avi)],
+        IngestConfig(window=4, still_elision=True))
+    batches = list(pipe)
+    assert np.asarray(batches[1]["frames_u32"]).shape[1] == 0
+    assert np.all(np.asarray(batches[1]["outmap"]) == -1)
+    for b in range(2):
+        _check_elided_stream(batches, gold, b)
