@@ -229,7 +229,11 @@ def prepare_kmv(bts, mv, rect, payload, K: int = 4):
         is_motion = (gp >= 0) & in_rect  # bts 4: roll only inside the rect
         ptype = _np.where(is_data, 1, _np.where(is_motion, 2, 0)).astype(_np.uint32)
         kbits = _np.where(is_motion, gp, 0).astype(_np.uint32)
-        out_pc[t] = ((payload[t] & 0x00FFFFFF) | (ptype << 24) | (kbits << 26))
+        # pixel bits only where ptype==1 — compose_frame_kmv never reads
+        # them elsewhere, and the zero convention is what lets the native
+        # twin fill planes incrementally (spdec.cpp fill_paycode_p)
+        pix = _np.where(is_data, payload[t] & 0x00FFFFFF, 0).astype(_np.uint32)
+        out_pc[t] = pix | (ptype << 24) | (kbits << 26)
     return out_pc, mvk
 
 

@@ -67,6 +67,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sp_decompress_kmv2.restype = ctypes.c_int
+    lib.sp_decompress_kmv2.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+    ]
     lib.sp_decompress_kmv_sparse.restype = ctypes.c_int
     lib.sp_decompress_kmv_sparse.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
@@ -82,7 +88,7 @@ def load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
     ]
     lib.sp_decode_streams.restype = ctypes.c_int
     lib.sp_decode_streams.argtypes = [
@@ -208,19 +214,34 @@ class NativeScreenPressor:
         return r == 0, bool(signif.value), int(m_used.value)
 
     def decompress_kmv(self, data: bytes, is_key: bool, paycode: np.ndarray,
-                       mvk: np.ndarray, K: int = 2):
+                       mvk: np.ndarray, K: int = 2,
+                       dirty: Optional[np.ndarray] = None):
         """Decode one frame straight into kmv device transport: paycode
         [Y,X] u32 (written only when the frame changes) and mvk [K,2] i32.
         → (changed, signif).  Native twin of kernels/sp_recon.prepare_kmv
         fused into the decode pass (the numpy version costs ~170 ms/frame
-        at 1080p; this is free next to the decode)."""
+        at 1080p; this is free next to the decode).
+
+        dirty: optional [1 + nbx*nby] i32 incremental-fill state for this
+        paycode plane (start a ZEROED plane with dirty[0]=0); P-frames then
+        write only changed blocks instead of the full plane — the fill was
+        84% of the host stage at 1080p."""
         assert paycode.dtype == np.uint32 and paycode.size == self.X * self.Y
         assert mvk.dtype == np.int32 and mvk.size == K * 2
         signif = ctypes.c_int(0)
-        r = self._lib.sp_decompress_kmv(
-            self._h, data, len(data), 1 if is_key else 0, K,
-            paycode.ctypes.data_as(ctypes.c_void_p),
-            mvk.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif))
+        if dirty is not None:
+            assert (dirty.dtype == np.int32
+                    and dirty.size >= 1 + self.nbx * self.nby)
+            r = self._lib.sp_decompress_kmv2(
+                self._h, data, len(data), 1 if is_key else 0, K,
+                paycode.ctypes.data_as(ctypes.c_void_p),
+                mvk.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif),
+                dirty.ctypes.data_as(ctypes.c_void_p))
+        else:
+            r = self._lib.sp_decompress_kmv(
+                self._h, data, len(data), 1 if is_key else 0, K,
+                paycode.ctypes.data_as(ctypes.c_void_p),
+                mvk.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif))
         if r == -1:
             raise ValueError("invalid stream")
         return r == 0, bool(signif.value)
@@ -373,12 +394,17 @@ def native_sp_decode_streams_kmv(streams, width, height, bpp=24,
             offsets[b * T + t] = len(blob)
             lengths[b * T + t] = len(fr)
             blob += fr
+    nb1 = 1 + ((width + 15) // 16) * ((height + 15) // 16)
     if out is not None and out["paycode"].shape == (B, T, height, width) \
-            and out["mvk"].shape[-2] == K:
-        paycode, mvk = out["paycode"], out["mvk"]
+            and out["mvk"].shape[-2] == K and "dirty" in out \
+            and out["dirty"].shape == (B * T, nb1):
+        # buffer reuse: the dirty rows say what each plane already holds,
+        # so P-frames only clear+write changed blocks (fill_paycode_p)
+        paycode, mvk, dirty = out["paycode"], out["mvk"], out["dirty"]
     else:
         paycode = np.zeros((B, T, height, width), dtype=np.uint32)
         mvk = np.zeros((B, T, K, 2), dtype=np.int32)
+        dirty = np.zeros((B * T, nb1), dtype=np.int32)
     changed = np.zeros((B, T), dtype=np.uint8)
     signif = np.zeros((B, T), dtype=np.uint8)
     if nthreads <= 0:
@@ -391,9 +417,10 @@ def native_sp_decode_streams_kmv(streams, width, height, bpp=24,
         changed.ctypes.data_as(ctypes.c_void_p),
         signif.ctypes.data_as(ctypes.c_void_p),
         nthreads,
+        dirty.ctypes.data_as(ctypes.c_void_p),
     )
     return dict(paycode=paycode, mvk=mvk, changed=changed.astype(bool),
-                signif=signif.astype(bool), errors=errors)
+                signif=signif.astype(bool), dirty=dirty, errors=errors)
 
 
 class NativeScreenPressorEncoder:

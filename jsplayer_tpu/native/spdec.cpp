@@ -20,6 +20,9 @@
 #include <algorithm>
 #include <thread>
 #include <atomic>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -182,6 +185,12 @@ struct Rans {
 // ---------------------------------------------------------------------------
 
 constexpr int STEP_FX = 16;
+// dec_table bucket width, 32 buckets as in the reference (ANS.hx decTable).
+// The table is fully rebuilt on every renew/rescale and decode() scans
+// forward from the bucket's first symbol, so finer buckets would stay
+// bit-exact — but a 16x finer table measured net-SLOWER on entropy-bound
+// content (more L1 pressure from 256B/context tables + 16x costlier
+// rescale refills outweigh the shorter scans; BENCH_NOTES round 2).
 constexpr int DSHIFT = 7;
 constexpr int DVAL = 1 << DSHIFT;
 
@@ -483,6 +492,39 @@ struct Cx6 {
   }
   // returns c; *handled=false => upgrade to Cx7 with the set interval
   int decode(uint32_t sf, uint32_t* ofreq, uint32_t* ocum, bool* handled) {
+#if defined(__AVX2__)
+    // Hot path: the known-symbol hit.  Symbol intervals are disjoint, so
+    // at most one i satisfies cumfreq[i] <= sf < cumfreq[i]+freq[i]; a
+    // 16-wide epi16 compare finds it without the scalar loop's carried
+    // lower-neighbor bookkeeping (values < 8192, so signed compares are
+    // exact).  Lanes >= d hold stale table entries — candidates are
+    // re-checked scalar before use.  Misses (new-symbol escapes) fall
+    // through to the exact reference scan below.
+    {
+      const __m256i vsf = _mm256_set1_epi16((short)sf);
+      for (int i = 0; i < d; i += 16) {
+        __m256i cf = _mm256_loadu_si256((const __m256i*)&cumfreq[i]);
+        __m256i fr = _mm256_loadu_si256((const __m256i*)&freq[i]);
+        __m256i le = _mm256_cmpgt_epi16(cf, vsf);  // cf > sf (to negate)
+        __m256i gt = _mm256_cmpgt_epi16(_mm256_add_epi16(cf, fr), vsf);
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(
+            _mm256_andnot_si256(le, gt));
+        while (m) {
+          int idx = i + (int)(__builtin_ctz(m) >> 1);
+          if (idx < d && cumfreq[idx] <= sf
+              && cumfreq[idx] + (uint32_t)freq[idx] > sf) {
+            *ofreq = freq[idx]; *ocum = cumfreq[idx];
+            int c = symbols[idx];
+            incr(idx);
+            *handled = true;
+            return c;
+          }
+          m &= m - 1;
+          m &= m - 1;  // clear both bytes of the lane
+        }
+      }
+    }
+#endif
     uint32_t lfreq = 0, lcum = 0;
     int lower_sym = 0;
     for (int i = 0; i < d; i++) {
@@ -2316,10 +2358,81 @@ static void fill_paycode_i(int npix, const uint32_t* frame, uint32_t* pay) {
     pay[i] = (frame[i] & 0x00FFFFFFu) | (1u << 24);
 }
 
+// Paycode semantics (exact twin of kernels/sp_recon.prepare_kmv): pixel
+// bits (low 24) are meaningful ONLY where ptype==1 (data); copy and motion
+// pixels carry ZERO low bits — compose_frame_kmv never reads them.  That
+// zero convention is what makes dirty-block fills possible: a plane whose
+// untouched words are 0 is a valid all-copy frame, so a P-frame only has
+// to (a) clear the blocks the plane's PREVIOUS occupant wrote and (b)
+// write its own non-copy blocks.  At screencast change densities this cuts
+// the fill from 8.3 MB/frame (1080p) to the changed blocks only — the fill
+// measured 84% of the host stage before (BENCH_NOTES.md round 2).
+
+static void clear_pay_block(int X, int Y, int nbx, long bi, uint32_t* pay) {
+  int by = (int)(bi / nbx), bx = (int)(bi % nbx);
+  int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
+  int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
+  for (int y = yb1; y < yb2; y++)
+    memset(&pay[(size_t)y * X + xb1], 0, (size_t)(xb2 - xb1) * 4);
+}
+
+// Write one non-copy block's paycode words (zero-outside-data semantics).
+static void write_pay_block(int X, int Y, int nbx, size_t bi,
+                            const int32_t* bts, const int32_t* mv,
+                            const int32_t* rect, const uint32_t* frame,
+                            const int32_t* mvk, int kk, uint32_t* pay) {
+  int by = (int)(bi / nbx), bx = (int)(bi % nbx);
+  int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
+  int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
+  int b = bts[bi];
+  if (b == 3 || b == 4) {  // motion (4 = rect-limited: roll inside rect)
+    int mx = mv[bi * 2], my = mv[bi * 2 + 1];
+    int slot = -1;
+    for (int k = 0; k < kk; k++)
+      if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
+    if (slot >= 0) {
+      uint32_t v = (2u << 24) | ((uint32_t)slot << 26);
+      int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
+      int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+      for (int y = yb1; y < yb2; y++) {
+        uint32_t* row = &pay[(size_t)y * X + xb1];
+        for (int x = 0; x < xb2 - xb1; x++) {
+          int ax = xb1 + x;
+          row[x] = (y >= y1 && y < y2 && ax >= x1 && ax < x2) ? v : 0u;
+        }
+      }
+    } else {  // demoted: whole block rides as data
+      for (int y = yb1; y < yb2; y++) {
+        const uint32_t* f = &frame[(size_t)y * X + xb1];
+        uint32_t* row = &pay[(size_t)y * X + xb1];
+        for (int x = 0; x < xb2 - xb1; x++)
+          row[x] = (f[x] & 0x00FFFFFFu) | (1u << 24);
+      }
+    }
+  } else {  // data / subrect
+    int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
+    int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+    for (int y = yb1; y < yb2; y++) {
+      const uint32_t* f = &frame[(size_t)y * X + xb1];
+      uint32_t* row = &pay[(size_t)y * X + xb1];
+      for (int x = 0; x < xb2 - xb1; x++) {
+        int ax = xb1 + x;
+        row[x] = (y >= y1 && y < y2 && ax >= x1 && ax < x2)
+                     ? ((f[x] & 0x00FFFFFFu) | (1u << 24)) : 0u;
+      }
+    }
+  }
+}
+
+// dirty_io: [0] = count of block indices (following) that the plane's
+// previous occupant wrote (-1 = whole plane may be nonzero, e.g. after an
+// I-frame), or NULL for the stateless full-plane fill.  On return (when
+// non-NULL) it lists this frame's non-copy blocks.
 static void fill_paycode_p(int X, int Y, int nbx, int nby,
                            const int32_t* bts, const int32_t* mv,
                            const int32_t* rect, const uint32_t* frame,
-                           int K, uint32_t* pay, int32_t* mvk) {
+                           int K, uint32_t* pay, int32_t* mvk,
+                           int32_t* dirty_io) {
   size_t nb = (size_t)nbx * nby;
   struct V { int mx, my, cnt; };
   std::vector<V> vs;
@@ -2345,59 +2458,32 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
     mvk[k * 2] = vs[k].mx;
     mvk[k * 2 + 1] = vs[k].my;
   }
-  for (int by = 0; by < nby; by++)
-    for (int bx = 0; bx < nbx; bx++) {
-      size_t bi = (size_t)by * nbx + bx;
-      int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
-      int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
-      int b = bts[bi];
-      if (b == 3 || b == 4) {  // motion (4 = rect-limited: roll inside rect)
-        int mx = mv[bi * 2], my = mv[bi * 2 + 1];
-        int slot = -1;
-        for (int k = 0; k < kk; k++)
-          if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
-        if (slot >= 0) {
-          uint32_t v = (2u << 24) | ((uint32_t)slot << 26);
-          int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
-          int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
-          for (int y = yb1; y < yb2; y++) {
-            const uint32_t* f = &frame[(size_t)y * X + xb1];
-            uint32_t* row = &pay[(size_t)y * X + xb1];
-            for (int x = 0; x < xb2 - xb1; x++) {
-              int ax = xb1 + x;
-              uint32_t t = (y >= y1 && y < y2 && ax >= x1 && ax < x2) ? v : 0u;
-              row[x] = (f[x] & 0x00FFFFFFu) | t;
-            }
-          }
-        } else {  // demoted: whole block rides as data
-          for (int y = yb1; y < yb2; y++) {
-            const uint32_t* f = &frame[(size_t)y * X + xb1];
-            uint32_t* row = &pay[(size_t)y * X + xb1];
-            for (int x = 0; x < xb2 - xb1; x++)
-              row[x] = (f[x] & 0x00FFFFFFu) | (1u << 24);
-          }
-        }
-      } else if (b > 0) {  // data / subrect
-        int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
-        int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
-        for (int y = yb1; y < yb2; y++) {
-          const uint32_t* f = &frame[(size_t)y * X + xb1];
-          uint32_t* row = &pay[(size_t)y * X + xb1];
-          for (int x = 0; x < xb2 - xb1; x++) {
-            int ax = xb1 + x;
-            uint32_t t = (y >= y1 && y < y2 && ax >= x1 && ax < x2)
-                             ? (1u << 24) : 0u;
-            row[x] = (f[x] & 0x00FFFFFFu) | t;
-          }
-        }
-      } else {  // copy: pixel bits carried for the exact-twin invariant
-        for (int y = yb1; y < yb2; y++) {
-          const uint32_t* f = &frame[(size_t)y * X + xb1];
-          uint32_t* row = &pay[(size_t)y * X + xb1];
-          for (int x = 0; x < xb2 - xb1; x++) row[x] = f[x] & 0x00FFFFFFu;
-        }
-      }
+
+  if (dirty_io != nullptr && dirty_io[0] >= 0) {
+    // incremental: clear the previous occupant's blocks, write ours
+    int nprev = dirty_io[0];
+    for (int i = 0; i < nprev; i++)
+      clear_pay_block(X, Y, nbx, dirty_io[1 + i], pay);
+    int nnew = 0;
+    for (size_t bi = 0; bi < nb; bi++) {
+      if (bts[bi] <= 0) continue;
+      write_pay_block(X, Y, nbx, bi, bts, mv, rect, frame, mvk, kk, pay);
+      dirty_io[1 + nnew++] = (int32_t)bi;
     }
+    dirty_io[0] = nnew;
+    return;
+  }
+  // full-plane fill (stateless callers, or plane in unknown state)
+  int nnew = 0;
+  for (size_t bi = 0; bi < nb; bi++) {
+    if (bts[bi] <= 0) {
+      clear_pay_block(X, Y, nbx, (long)bi, pay);
+    } else {
+      write_pay_block(X, Y, nbx, bi, bts, mv, rect, frame, mvk, kk, pay);
+      if (dirty_io != nullptr) dirty_io[1 + nnew++] = (int32_t)bi;
+    }
+  }
+  if (dirty_io != nullptr) dirty_io[0] = nnew;
 }
 
 extern "C" {
@@ -2591,8 +2677,12 @@ int sp_decode_streams(int nstreams, int frames_per_stream, int width,
 // Per-frame kmv decode on a persistent handle (window-based ingest: the
 // decoder's entropy/context state spans windows).  Returns 0 decoded-new /
 // 1 no-change (paycode NOT written) / -1 error.
-int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
-                      int K, uint32_t* paycode, int32_t* mvk, int* signif) {
+// dirty_io: optional per-plane incremental-fill state (see fill_paycode_p);
+// must have room for 1 + nbx*nby int32s.  Callers start a freshly ZEROED
+// plane with dirty_io[0] = 0.  NULL keeps the stateless full-plane fill.
+int sp_decompress_kmv2(void* p, const uint8_t* src, long len, int is_key,
+                       int K, uint32_t* paycode, int32_t* mvk, int* signif,
+                       int32_t* dirty_io) {
   SpDecoder* d = (SpDecoder*)p;
   size_t nb = (size_t)d->nbx * d->nby;
   size_t npix = (size_t)d->X * d->Y;
@@ -2603,15 +2693,22 @@ int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
     *signif = 1;
     fill_paycode_i((int)npix, d->latest(), paycode);
     memset(mvk, 0, (size_t)K * 8);
+    if (dirty_io != nullptr) dirty_io[0] = -1;  // whole plane nonzero
     return 0;
   }
   std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
   int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
                           cm.data(), cr.data());
-  if (r != 0) return r;
+  if (r != 0) return r;  // incl. r==1 no-change: plane untouched, dirty kept
   fill_paycode_p(d->X, d->Y, d->nbx, d->nby, cb.data(), cm.data(), cr.data(),
-                 d->latest(), K, paycode, mvk);
+                 d->latest(), K, paycode, mvk, dirty_io);
   return 0;
+}
+
+int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
+                      int K, uint32_t* paycode, int32_t* mvk, int* signif) {
+  return sp_decompress_kmv2(p, src, len, is_key, K, paycode, mvk, signif,
+                            nullptr);
 }
 
 // Per-frame SPARSE kmv transport on a persistent handle (the serving shape
@@ -2749,13 +2846,17 @@ int sp_decompress_kmv_sparse(void* h, const uint8_t* src, long len,
 
 // Batch variant of sp_decode_streams emitting kmv transport directly:
 // paycode [B*T*npix] u32 (undefined where changed==0), mvk [B*T*K*2] i32.
+// dirty: optional [nstreams*frames_per_stream rows x (1 + nbx*nby)] i32 —
+// per-plane incremental-fill state persisting across calls that reuse the
+// same paycode buffers (see fill_paycode_p).  NULL = full-plane fills.
 int sp_decode_streams_kmv(int nstreams, int frames_per_stream, int width,
                           int height, int bpp, const uint8_t* blob,
                           const long* offsets, const long* lengths,
                           int insign_lines, int K, uint32_t* paycode,
                           int32_t* mvk, uint8_t* changed, uint8_t* signif,
-                          int nthreads) {
+                          int nthreads, int32_t* dirty) {
   const size_t npix = (size_t)width * height;
+  const size_t nb1 = 1 + (size_t)((width + 15) / 16) * ((height + 15) / 16);
   std::atomic<int> next{0};
   std::atomic<int> errors{0};
   auto work = [&]() {
@@ -2769,10 +2870,12 @@ int sp_decode_streams_kmv(int nstreams, int frames_per_stream, int width,
         const uint8_t* src = blob + offsets[fi];
         long len = lengths[fi];
         int sg = 0;
-        int r = sp_decompress_kmv(&dec, src, len,
+        int r = sp_decompress_kmv2(&dec, src, len,
                                   sp_is_key_frame(src, len), K,
                                   &paycode[fi * npix], &mvk[fi * (size_t)K * 2],
-                                  &sg);
+                                  &sg,
+                                  dirty != nullptr ? &dirty[fi * nb1]
+                                                   : nullptr);
         if (r == -1) {
           errors.fetch_add(1);
           for (int g = f; g < frames_per_stream; g++) {

@@ -288,11 +288,19 @@ class VideoIngestPipeline:
             # numpy re-pack (which costs ~170 ms/frame at 1080p)
             K = self.cfg.kmv_k
             if getattr(self, "_kmvbuf", None) is None:
+                # dirty rows carry each pooled plane's incremental-fill
+                # state across windows AND pipelines (they live with the
+                # buffer): P-frames only clear+write changed blocks
                 self._kmvbuf = _pool_acquire(
                     ("kmv",) + self._buf_key, lambda: dict(
                         pc=np.zeros((B, T, Y, X), dtype=np.uint32),
-                        mvk=np.zeros((B, T, K, 2), dtype=np.int32)))
+                        mvk=np.zeros((B, T, K, 2), dtype=np.int32),
+                        dirty=np.zeros((B, T, nb + 1), dtype=np.int32)))
+            if "dirty" not in self._kmvbuf:  # pooled buffer from older shape
+                self._kmvbuf["dirty"] = np.full((B, T, nb + 1), -1,
+                                                dtype=np.int32)
             pc, mvk = self._kmvbuf["pc"], self._kmvbuf["mvk"]
+            dirty = self._kmvbuf["dirty"]
             changed = np.zeros((B, T), dtype=bool)
             sig = np.zeros((B, T), dtype=bool)
             for b, frames in enumerate(chunk):
@@ -301,7 +309,7 @@ class VideoIngestPipeline:
                     changed[b, t], sig[b, t] = self._guard(
                         b, lambda: dec.decompress_kmv(
                             src, dec.is_key_frame(src), pc[b, t], mvk[b, t],
-                            K=K), default=(False, False))
+                            K=K, dirty=dirty[b, t]), default=(False, False))
             return self._kmv_route(pc, mvk, changed, sig, start)
         # window-sized host buffers are reused across iterations: fresh
         # multi-hundred-MB allocations pay a page fault per 4KB on first

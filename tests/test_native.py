@@ -392,3 +392,56 @@ def test_gop_split_kmv_decode_matches_continuous():
                                           b["paycode"][0, t],
                                           err_msg=f"frame {t}")
             np.testing.assert_array_equal(a["mvk"][0, t], b["mvk"][0, t])
+
+
+def test_native_kmv_dirty_incremental_fill_matches_full():
+    """Incremental paycode fills (dirty-block tracking) must leave the
+    plane bitwise-identical to a stateless full fill, across plane reuse
+    with DIFFERENT content, I→P transitions, and stills (spdec.cpp
+    fill_paycode_p; the fill measured 84% of the host stage at 1080p)."""
+    from jsplayer_tpu import native
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    X, Y = 64, 48
+    nb = ((X + 15) // 16) * ((Y + 15) // 16)
+    rng = np.random.default_rng(11)
+
+    def make_stream(seed):
+        enc = native.NativeScreenPressorEncoder(4, X, Y)
+        r = np.random.default_rng(seed)
+        f = np.full((Y, X), 0x0A0B0C + seed, dtype=np.uint32)
+        out = [enc.encode_i(f.reshape(-1))]
+        for t in range(7):
+            nf = f.copy()
+            if t % 3 == 0:
+                nf[2:, :] = nf[:-2, :]
+            elif t % 3 == 1:
+                y0, x0 = int(r.integers(0, Y - 8)), int(r.integers(0, X - 8))
+                nf[y0:y0 + 6, x0:x0 + 6] = int(r.integers(0, 1 << 24))
+            # t%3==2: still
+            f = nf
+            out.append(enc.encode_p(f.reshape(-1)))
+        return out
+
+    # ONE plane + dirty row reused across two different streams back-to-back
+    plane = np.zeros((Y, X), np.uint32)
+    dirty = np.zeros(nb + 1, np.int32)
+    mvk = np.zeros((2, 2), np.int32)
+    for seed in (1, 2):
+        d_inc = native.NativeScreenPressor(X, Y, 24)
+        d_inc.preinit(0)
+        d_full = native.NativeScreenPressor(X, Y, 24)
+        d_full.preinit(0)
+        for t, s in enumerate(make_stream(seed)):
+            chg, _ = d_inc.decompress_kmv(s, d_inc.is_key_frame(s), plane,
+                                          mvk, K=2, dirty=dirty)
+            ref_plane = np.zeros((Y, X), np.uint32)
+            ref_mvk = np.zeros((2, 2), np.int32)
+            chg2, _ = d_full.decompress_kmv(s, d_full.is_key_frame(s),
+                                            ref_plane, ref_mvk, K=2)
+            assert chg == chg2
+            if chg:
+                np.testing.assert_array_equal(
+                    plane, ref_plane, err_msg=f"seed {seed} frame {t}")
+                np.testing.assert_array_equal(mvk, ref_mvk)
