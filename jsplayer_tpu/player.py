@@ -62,6 +62,7 @@ class Player:
         self.on_next_change: Optional[Callable[[float], None]] = None  # ≙ on_next_btn
         self._auto_paused = False
         self._pending_skip = False
+        self._pcm_cache = None
         self._clock = _time.monotonic
 
     # -- loading ----------------------------------------------------------------
@@ -81,6 +82,7 @@ class Player:
         else:
             loader = DataLoaderAVISeq()
         self.manager = Manager(loader, num_buffers=self.config.num_buffers)
+        self._pcm_cache = None  # re-decoded lazily per loaded stream
         self.manager.open(source, self._on_open)
         if self.video_info is None:
             raise ValueError(
@@ -95,6 +97,7 @@ class Player:
         if self.manager is not None:
             self.manager.stop_and_clean()
             self.manager = None
+        self._pcm_cache = None
 
     # -- transport control (ExternalInterface parity, Main.hx:1025-1034) --------
 
@@ -248,6 +251,36 @@ class Player:
         return res
 
     # -- status surfaces (UI bars, Main.hx:1110-1125) ----------------------------
+
+    def audio_pcm(self):
+        """Decoded audio as one time-aligned float32 tensor (av.pcm.
+        AlignedPcm), or None when the stream has no audio.  The decoded
+        counterpart of the PlaybackPlan surface — what the reference gets
+        from WebAudio decodeAudioData (AudioTrack.hx:54-65), here via the
+        system codec backend.  Decoded lazily once per loaded stream;
+        raises RuntimeError if the codec backend is unavailable."""
+        if self._pcm_cache is None:
+            from .av import pcm as _pcm
+            # drain the MP3 scanner over everything loaded so far — the
+            # worker only piggybacks ParseSound under buffer pressure
+            # (Manager.hx:478-481), which a short stream may never create
+            loader = self.manager.loader
+            for _ in range(100000):
+                mp = loader.mp3_parser
+                before = (mp.frames_processed, len(mp.sections),
+                          mp.parsing_complete)
+                loader.parse_sound()
+                if (mp.frames_processed, len(mp.sections),
+                        mp.parsing_complete) == before:
+                    break
+            self._pcm_cache = _pcm.decode_track(loader.audio_track)
+        return self._pcm_cache
+
+    def audio_slice(self, t0: float, t1: float):
+        """PCM samples covering [t0, t1) seconds, or None without audio —
+        the playback-backend convenience over :meth:`audio_pcm`."""
+        pcm = self.audio_pcm()
+        return None if pcm is None else pcm.slice_seconds(t0, t1)
 
     def loaded_range(self) -> tuple[float, float]:
         m = self.manager

@@ -112,3 +112,39 @@ def test_av_ingest_alignment():
     assert a.slice_for_frames(40, 4, fps).shape[0] == 0
     # audio outlives video (time_loaded watermark covers the video span)
     assert pipe.audio_tracks[0].time_loaded >= 8 / fps
+
+
+def test_player_audio_pcm_surface():
+    """Player.audio_pcm/audio_slice: the decoded-audio surface next to the
+    PlaybackPlan (the WebAudio role, AudioTrack.hx:54-65)."""
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.player import Player, PlayerConfig
+
+    W, H, fps = 32, 24, 15.0
+    prev = None
+    pkts = []
+    for i in range(6):
+        f = np.full(W * H, from_rgb15(0x0421), dtype=np.uint32)
+        f[: W * (i + 1)] = from_rgb15(0x7C00)
+        pkts.append(encode_frame_16(f, prev, W, H))
+        prev = f
+    mp3, n_mp3, rate = make_silence_frames(20)
+    avi = mux_avi(pkts, W, H, 16, codec="CRAM", fps=fps,
+                  keyflags=[i == 0 for i in range(6)],
+                  sound_chunks=[(0, mp3)])
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    # drive a few ticks so the worker drains the MP3 side
+    for _ in range(200):
+        p.tick()
+    a = p.audio_pcm()
+    assert a is not None and a.sample_rate == rate
+    assert a.samples.shape[0] == n_mp3 * 1152
+    assert p.audio_pcm() is a  # cached per load
+    sl = p.audio_slice(0.0, 0.25)
+    assert sl.shape[0] == round(0.25 * rate)
+    # reload resets the cache
+    p.load(MemorySource(avi))
+    for _ in range(200):
+        p.tick()
+    assert p.audio_pcm() is not a
