@@ -99,12 +99,17 @@ def cmd_ingest(args) -> int:
         IngestConfig(window=args.window, sp_device_path=args.path,
                      model_downscale=args.downscale,
                      emit_frames=not args.model_only,
-                     still_elision=args.elide and len(args.files) == 1),
+                     sparse_lane_payload=args.lane_payload,
+                     still_elision=args.elide),
     )
     t0 = time.monotonic()
     n = 0
     for batch in pipe:
-        mi = batch["model_input"]
+        mi = batch.get("model_input")
+        if mi is None:  # all-stills elided window: nothing hit the device
+            print(f"window @{batch['start_frame']}: all stills (elided)",
+                  file=sys.stderr)
+            continue
         n += mi.shape[0] * mi.shape[1]
         print(f"window @{batch['start_frame']}: model_input "
               f"{tuple(mi.shape)} {mi.dtype}", file=sys.stderr)
@@ -149,7 +154,11 @@ def main(argv=None) -> int:
     a.add_argument("--model-only", action="store_true",
                    help="fused model emission; skip full-res frame stacks")
     a.add_argument("--elide", action="store_true",
-                   help="still-elision (single stream)")
+                   help="still-elision (single-stream exact or batched"
+                        " bucketed compaction)")
+    a.add_argument("--lane-payload", action="store_true",
+                   help="kmv_sparse: lane-rANS-coded tile payload decoded"
+                        " on device (link-fed serving)")
     a.set_defaults(fn=cmd_ingest)
 
     args = ap.parse_args(argv)

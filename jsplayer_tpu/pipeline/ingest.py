@@ -94,6 +94,10 @@ class IngestConfig:
     #   "general"    arbitrary-gather compose (any command mix).
     sp_device_path: str = "kmv"
     kmv_k: int = 2
+    # kmv_sparse only: entropy-code the tile payload with multi-lane rANS
+    # and decode it ON DEVICE (kernels/lane_transport, packed layout) — the
+    # link carries ~compressed-size tiles instead of raw 1 KB rows.
+    sparse_lane_payload: bool = False
     # True (kmv paths): unchanged frames never enter the device scan (the
     # bench-headline path, ~40k delivered fps/chip single-stream).  The
     # yielded dict gains "outmap" mapping original frame t to its index in
@@ -563,9 +567,19 @@ class VideoIngestPipeline:
                 off += take
         flat = (np.concatenate(flat_rows, axis=0) if flat_rows
                 else np.zeros((1, 256), np.uint32))
+        if self.cfg.sparse_lane_payload and flat.shape[0] > 1:
+            # tile pixels cross the link entropy-coded and are lane-decoded
+            # ON DEVICE (kernels/lane_transport) — stacks on the ragged
+            # transport's size win for link-fed serving
+            from ..kernels import lane_transport as _lt
+
+            pack = _lt.encode_tiles(flat & np.uint32(0x00FFFFFF))
+            flat_dev = _lt.decode_tiles_device(pack)
+        else:
+            flat_dev = _put(flat)
         frames = sp_recon.decode_batch_kmv_sparse_ragged(
             init, _put(bc[:, t0:]), _put(mvk[:, t0:]),
-            _put(flat), _put(tile_idx),
+            flat_dev, _put(tile_idx),
             _put(tyx[:, t0:, :m_pad]),
             _put(changed[:, t0:]))
         if skip0:

@@ -568,3 +568,23 @@ def test_ingest_still_elision_all_stills_window():
     assert np.all(np.asarray(batches[1]["outmap"]) == -1)
     for b in range(2):
         _check_elided_stream(batches, gold, b)
+
+
+def test_ingest_sparse_lane_payload_bit_exact():
+    """kmv_sparse + lane-entropy-coded tile payload (device-side rANS
+    decode, kernels/lane_transport) matches golds exactly — same windows
+    as the raw-tile sparse test."""
+    avis, golds = zip(*(sp_avi(s) for s in (1, 2)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, sp_device_path="kmv_sparse",
+                     sparse_lane_payload=True))
+    for batch in pipe:
+        frames = np.asarray(batch["frames_u32"])
+        start = batch["start_frame"]
+        for b in range(2):
+            for t in range(frames.shape[1]):
+                gi = min(start + t, len(golds[b]) - 1)
+                np.testing.assert_array_equal(
+                    frames[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {start + t}")
