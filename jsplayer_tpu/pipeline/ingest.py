@@ -646,20 +646,36 @@ class VideoIngestPipeline:
         pcc, mvkc, valid, outmap = sp_recon.compact_changed_batch(
             pc, mvk, changed)
         cpad = pcc.shape[1]
+        out = {"start_frame": start, "significant": jnp.array(sig),
+               "outmap": outmap, "valid": valid}
         if cpad == 0:  # all streams all-stills: nothing to decode
             vi = self.info
-            frames = jnp.zeros((B, 0, vi.height, vi.width), dtype=jnp.uint32)
-        elif self.cfg.mesh is not None:
+            if self.cfg.emit_frames:
+                out["frames_u32"] = jnp.zeros(
+                    (B, 0, vi.height, vi.width), dtype=jnp.uint32)
+            return out
+        if (self.cfg.mesh is None and not self.cfg.emit_frames
+                and self.cfg.emit_model_input):
+            # fused: the compacted masked scan emits ONLY model tensors —
+            # the full-res frame stack is never written (same HBM saving
+            # as the dense fused path, now at batch+elision scale)
+            carry, model = sp_recon.decode_batch_kmv_model(
+                init, _put(pcc), _put(mvkc), _put(valid),
+                dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            self._carry = carry
+            _window_barrier(carry, model)
+            out["model_input"] = model
+            return out
+        if self.cfg.mesh is not None:
             frames = self._sharded_kmv_step(pcc, mvkc, valid)
-            self._carry = frames[:, -1]
         else:
             frames = sp_recon.decode_batch_kmv(
                 init, _put(pcc), _put(mvkc), _put(valid))
-            self._carry = frames[:, -1]
+        self._carry = frames[:, -1]
         _window_barrier(frames)
-        out = {"start_frame": start, "significant": jnp.array(sig),
-               "frames_u32": frames, "outmap": outmap, "valid": valid}
-        if self.cfg.emit_model_input and cpad:
+        out["frames_u32"] = frames
+        if self.cfg.emit_model_input:
             out["model_input"] = to_model_input(
                 frames, dtype=jnp.dtype(self.cfg.model_dtype),
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)

@@ -588,3 +588,28 @@ def test_ingest_sparse_lane_payload_bit_exact():
                 np.testing.assert_array_equal(
                     frames[b, t].reshape(-1), golds[b][gi],
                     err_msg=f"stream {b} frame {start + t}")
+
+
+def test_ingest_elided_fused_model_only():
+    """emit_frames=False + batched still-elision: the compacted masked scan
+    emits only model tensors, matching the frames+epilogue path exactly."""
+    from jsplayer_tpu.kernels.rgb_convert import to_model_input
+
+    avis, golds = zip(*(sp_avi_stills(s) for s in (3, 7)))
+    full = list(VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=6, still_elision=True)))
+    fused = list(VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=6, still_elision=True, emit_frames=False)))
+    assert len(full) == len(fused)
+    for bf, bz in zip(full, fused):
+        assert "frames_u32" not in bz
+        np.testing.assert_array_equal(np.asarray(bf["outmap"]),
+                                      np.asarray(bz["outmap"]))
+        if "model_input" in bf:
+            np.testing.assert_array_equal(
+                np.asarray(bf["model_input"], dtype=np.float32),
+                np.asarray(bz["model_input"], dtype=np.float32))
+        else:
+            assert "model_input" not in bz
