@@ -100,6 +100,7 @@ def cmd_ingest(args) -> int:
                      model_downscale=args.downscale,
                      emit_frames=not args.model_only,
                      sparse_lane_payload=args.lane_payload,
+                     streaming=args.streaming,
                      still_elision=args.elide),
     )
     t0 = time.monotonic()
@@ -156,6 +157,9 @@ def main(argv=None) -> int:
     a.add_argument("--elide", action="store_true",
                    help="still-elision (single-stream exact or batched"
                         " bucketed compaction)")
+    a.add_argument("--streaming", action="store_true",
+                   help="windowed-memory demux: O(window) host residency"
+                        " for multi-hour streams")
     a.add_argument("--lane-payload", action="store_true",
                    help="kmv_sparse: lane-rANS-coded tile payload decoded"
                         " on device (link-fed serving)")

@@ -112,15 +112,45 @@ class IngestConfig:
     # batch across devices through the shard_map kmv step (pipeline/batch);
     # B must be divisible by the dp size.  None = single-device unrolled.
     mesh: object = None
+    # Long-stream mode (SURVEY.md §5.7): demux windows on demand and EVICT
+    # consumed compressed bytes, keeping host residency O(window) instead
+    # of whole-file.  Window count is then discovered at EOF.
+    streaming: bool = False
 
 
 class StreamReader:
-    """Demux one AVI source fully into frame bytes (host)."""
+    """Demux one AVI source into frame bytes (host).
 
-    def __init__(self, source: ByteSource):
+    Default mode demuxes the whole file up front (simple, right for short
+    clips).  ``streaming=True`` is the long-stream mode (SURVEY.md §5.7):
+    the demuxer is pumped only as far as the pipeline's current window,
+    and consumed compressed bytes are EVICTED — frame slots are nulled and
+    both chunk buffers drop everything below their readers' positions
+    (the batch analogue of the reference's 50 MB window + clear_memory,
+    DataLoaderAVIIndexed.hx:41, :656-673) — so residency stays
+    O(window), independent of stream length."""
+
+    def __init__(self, source: ByteSource, streaming: bool = False):
         self.loader = DataLoaderAVISeq()
         self.loader.open(source)
+        self.streaming = streaming
+        self.eof = False
+        self._released = 0
+        if streaming:
+            # pump only until the header yields the geometry
+            while self.loader.video_info is None:
+                if not self.loader.pump():
+                    self.eof = True
+                    break
+            if self.loader.video_info is None:
+                raise ValueError(
+                    "no video header found (file truncated before avih/strf?)")
+            self.info: VideoInfo = self.loader.video_info
+            self.frames = _StreamingFrames(self)
+            self.audio_track = self.loader.audio_track
+            return
         self.loader.pump_all()
+        self.eof = True
         # drain the MP3 side (the Player drives this from its worker tick,
         # Manager.hx:478-481; batch ingest drains it once up front)
         for _ in range(100000):
@@ -139,6 +169,73 @@ class StreamReader:
         # downstream audio model or A/V alignment (AudioTrack parity)
         self.audio_track = self.loader.audio_track
 
+    # -- streaming mode ------------------------------------------------------
+
+    def fetch_upto(self, hi: int) -> None:
+        """Pump the demuxer until frame `hi` (exclusive) is parsed or EOF;
+        the MP3 scanner rides along so audio sections keep materializing.
+        Progress is the PARSE watermark (loaded_frames_end): the loader
+        pre-sizes the frames list from the avih header, so len(frames) says
+        nothing about how far demux has actually gotten."""
+        while not self.eof and self.loader.loaded_frames_end() < hi:
+            if not self.loader.pump():
+                self.eof = True
+            self.loader.parse_sound()
+        if self.eof and not self.loader.mp3_parser.parsing_complete:
+            self.loader.parse_sound()
+
+    def available(self) -> int:
+        return self.loader.loaded_frames_end()
+
+    def window_bytes(self, lo: int, hi: int) -> list[bytes]:
+        self.fetch_upto(hi)
+        assert lo >= self._released, "window re-read after eviction"
+        out = []
+        for i in range(lo, hi):
+            f = (self.loader.frames[i]
+                 if i < len(self.loader.frames) else None)
+            out.append(f.data if f is not None and f.data is not None
+                       else b"")
+        return out
+
+    def release_upto(self, lo: int) -> None:
+        """Evict everything below frame `lo`: null the frame slots and drop
+        chunk-buffer bytes below the demuxer's / MP3 scanner's read floors."""
+        ld = self.loader
+        for i in range(self._released, min(lo, len(ld.frames))):
+            if ld.frames[i] is not None:
+                ld.frames[i].data = None
+        self._released = max(self._released, lo)
+        if ld.demuxer is not None:
+            ld.buffer.drop_before(ld.demuxer._pos)
+        mp = ld.mp3_parser
+        floor = mp.position
+        for lst in (mp.frames, mp.long_frames):
+            if lst:
+                floor = min(floor, lst[0][0])
+        ld.sound_buffer.drop_before(floor)
+
+    def resident_bytes(self) -> int:
+        """Compressed bytes currently held (observability for the window)."""
+        ld = self.loader
+        frames_b = sum(
+            len(f.data) for f in ld.frames
+            if f is not None and f.data is not None)
+        return (ld.buffer.bytes_available(getattr(ld.buffer, "_base", 0))
+                + ld.sound_buffer.bytes_available(
+                    getattr(ld.sound_buffer, "_base", 0)) + frames_b)
+
+
+class _StreamingFrames:
+    """Minimal sequence facade over a streaming reader (len = frames parsed
+    so far) — keeps non-streaming call sites (`len(r.frames)`) working."""
+
+    def __init__(self, reader: StreamReader):
+        self._r = reader
+
+    def __len__(self) -> int:
+        return self._r.loader.loaded_frames_end()
+
 
 class VideoIngestPipeline:
     """Iterate model-tensor windows over a batch of same-geometry streams."""
@@ -146,13 +243,15 @@ class VideoIngestPipeline:
     def __init__(self, sources: Sequence[ByteSource],
                  config: Optional[IngestConfig] = None):
         self.cfg = config or IngestConfig()
-        self.readers = [StreamReader(s) for s in sources]
+        self.readers = [StreamReader(s, streaming=self.cfg.streaming)
+                        for s in sources]
         info0 = self.readers[0].info
         for r in self.readers:
             assert (r.info.width, r.info.height, r.info.codec) == (
                 info0.width, info0.height, info0.codec
             ), "streams in a batch must share geometry and codec"
         self.info = info0
+        # streaming mode: a lower bound that grows as windows demux
         self.nframes = max(len(r.frames) for r in self.readers)
         # 16bpp ScreenPressor decodes to 5-bit channels in the byte slots
         # (scaled <<3 for display/model, Manager.hx:363-370); MSV1 16-bit
@@ -199,6 +298,33 @@ class VideoIngestPipeline:
         W = self.cfg.window
         pending = None
         try:
+            if self.cfg.streaming:
+                start = 0
+                while True:
+                    chunk = []
+                    got_any = False
+                    for r in self.readers:
+                        frames = r.window_bytes(start, start + W)
+                        got_any |= any(len(f) > 0 for f in frames) or \
+                            r.available() > start
+                        chunk.append(frames)
+                    if not got_any:
+                        break
+                    if vi.codec == CodecType.SCREENPRESSOR:
+                        out = self._decode_sp_window(chunk, start)
+                    else:
+                        out = self._decode_msv1_window(chunk, start)
+                    for r in self.readers:
+                        r.release_upto(start + W)  # O(window) residency
+                    self.nframes = max(self.nframes,
+                                       *(r.available() for r in self.readers))
+                    if pending is not None:
+                        yield pending
+                    pending = out
+                    start += W
+                if pending is not None:
+                    yield pending
+                return
             for start in self._window_starts():
                 chunk = []
                 for r in self.readers:
