@@ -116,17 +116,25 @@ def main() -> None:
         # args ride as jit arguments: the axon tunnel's remote-compile POST
         # rejects closures over large device constants (HTTP 413).  nrep is
         # a DYNAMIC fori_loop bound so every rep count shares one compile.
+        #
+        # Probe discipline (round-2 fix): the loop body must be (a) loop-
+        # DEPENDENT — the carry is XORed into the first input, so XLA can't
+        # hoist the computation out of the fori_loop — and (b) fully
+        # output-dependent — the carry folds a FULL reduction of the
+        # output, so no stream/step can be dead-code-eliminated.  The
+        # round-1 probe read one element of the last stream only; at B≥4
+        # XLA eliminated the other streams' scans entirely and "measured"
+        # >2 TB/s of phantom traffic.  The full-sum probe costs one extra
+        # output read pass (numbers are accordingly slightly conservative).
         @jax.jit
         def loop(nrep, *a):
             def body(i, carry):
-                frames = fn(*a)
-                # fold a probe element into the carry whatever the
-                # dtype/rank (static multi-index: a flattening reshape
-                # would force a full relayout copy of the tiled output)
-                probe = frames[(-1,) + (0,) * (frames.ndim - 1)]
-                probe = probe.astype(jnp.float32)
-                return carry ^ jax.lax.bitcast_convert_type(probe, jnp.uint32) \
-                    ^ jnp.uint32(i)
+                a0 = a[0] ^ carry  # inject the loop dependence (u32 input)
+                frames = fn(a0, *a[1:])
+                if frames.dtype != jnp.uint32:
+                    frames = jax.lax.bitcast_convert_type(
+                        frames.astype(jnp.float32), jnp.uint32)
+                return frames.sum(dtype=jnp.uint32) ^ jnp.uint32(i)
             return jax.lax.fori_loop(0, nrep, body, jnp.uint32(0))
 
         def t_at(nrep, tries=6):
@@ -183,8 +191,12 @@ def main() -> None:
     # B*Cpad (ingest._kmv_elided / sp_recon.compact_changed_batch).
     try:
         Bb = 2
+        # DISTINCT per-stream pixel bits: identical copies invite XLA CSE
+        # across the unrolled stream scans, which inflates the number
+        pc_np = np.asarray(pc)
         pcc_b, mvkc_b, valid_b, _ = sp_recon.compact_changed_batch(
-            np.stack([np.asarray(pc)] * Bb),
+            np.stack([pc_np ^ np.uint32((b * 0x030507) & 0xFFFFFF)
+                      for b in range(Bb)]),
             np.stack([np.asarray(mvk)] * Bb),
             np.stack([np.asarray(changed)] * Bb))
         bdev = jax.device_put((jnp.zeros((Bb, Y, X), jnp.uint32),
