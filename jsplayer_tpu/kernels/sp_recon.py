@@ -384,6 +384,40 @@ def decode_sequence_kmv_compact(init_frame, paycode, mvk):
     return frames
 
 
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def decode_sequence_kmv_compact_unrolled(init_frame, paycode, mvk,
+                                         unroll: int = 4):
+    """Compact kmv scan with `unroll` composes per scan step.
+
+    MEASURED NEGATIVE RESULT (kept as documentation): the theory was that
+    chaining U composes per step would keep intermediate frames in VMEM
+    and drop traffic from 3 planes/frame toward 2 + 1/U.  On v5e at 1080p
+    it is SLOWER (U=1: 32.2k, U=2: 24.9k, U=4: 22.7k delivered fps,
+    honest probe) — an 8.3 MB frame plus the K-roll temporaries exceeds
+    the VMEM working set, so XLA spills the intermediates to HBM anyway
+    and the grouped ys writes only add overhead.  The 1-frame-per-step
+    scan (decode_sequence_kmv_compact) is the production path.  T must
+    divide by `unroll`; zero paycode pads are exact pass-throughs
+    (ptype==copy everywhere)."""
+    T = paycode.shape[0]
+    assert T % unroll == 0, (T, unroll)
+
+    def step(prev, inp):
+        pcs, mks = inp  # [U, Y, X], [U, K, 2]
+        outs = []
+        cur = prev
+        for u in range(unroll):
+            cur = compose_frame_kmv(cur, pcs[u], mks[u])
+            outs.append(cur)
+        return cur, jnp.stack(outs)
+
+    _, frames = jax.lax.scan(
+        step, init_frame,
+        (paycode.reshape(T // unroll, unroll, *paycode.shape[1:]),
+         mvk.reshape(T // unroll, unroll, *mvk.shape[1:])))
+    return frames.reshape(T, *paycode.shape[1:])
+
+
 # ---------------------------------------------------------------------------
 # kmv-sparse: kmv motion + sparse payload tiles.
 #

@@ -361,3 +361,31 @@ def test_kmv_compact_model_matches_expand():
         if outmap[t] >= 0:
             np.testing.assert_array_equal(model[outmap[t]], want[t],
                                           err_msg=f"frame {t}")
+
+
+def test_kmv_compact_unrolled_parity():
+    """Unrolled compact scan (U composes per scan step, VMEM-resident
+    intermediates) is bit-exact vs the 1-frame-per-step scan, including
+    zero-paycode pad slots (all-copy planes = exact pass-throughs)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    Y, X, T, K = 32, 64, 8, 2
+    init = jnp.array(rng.integers(0, 1 << 24, (Y, X)).astype(np.uint32))
+    ptype = rng.choice([0, 1, 2], (T, Y, X), p=[0.5, 0.3, 0.2]).astype(np.uint32)
+    kslot = rng.integers(0, K, (T, Y, X)).astype(np.uint32)
+    pix = rng.integers(0, 1 << 24, (T, Y, X)).astype(np.uint32)
+    pc_np = (np.where(ptype == 1, pix, 0) | (ptype << 24)
+             | np.where(ptype == 2, kslot << 26, 0))
+    pc_np[5] = 0  # an all-copy (pad-style) plane mid-stream
+    pc = jnp.array(pc_np)
+    mvk = jnp.array(rng.integers(-4, 5, (T, K, 2)).astype(np.int32))
+    a = np.asarray(decode_sequence_kmv(init, pc, mvk, jnp.ones(T, bool)))
+    from jsplayer_tpu.kernels.sp_recon import (
+        decode_sequence_kmv_compact, decode_sequence_kmv_compact_unrolled)
+    b = np.asarray(decode_sequence_kmv_compact(init, pc, mvk))
+    np.testing.assert_array_equal(a, b)
+    for u in (2, 4):
+        c = np.asarray(decode_sequence_kmv_compact_unrolled(init, pc, mvk,
+                                                            unroll=u))
+        np.testing.assert_array_equal(a, c, err_msg=f"unroll={u}")
