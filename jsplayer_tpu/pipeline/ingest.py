@@ -325,6 +325,29 @@ class VideoIngestPipeline:
                 if pending is not None:
                     yield pending
                 return
+            G = self._gop_group
+            from .. import native as _nat
+            if (G > 1 and vi.codec == CodecType.SCREENPRESSOR
+                    and self.cfg.sp_device_path == "kmv"
+                    and _nat.available()):
+                # gop-axis grouping: G keyframe-led windows per sharded
+                # [B, G, T] dispatch (sequence-parallel, SURVEY §2 SP row)
+                starts_all = self._window_starts()
+                for i in range(0, len(starts_all), G):
+                    grp = starts_all[i : i + G]
+                    chunks = []
+                    for st in grp:
+                        chunk = []
+                        for r in self.readers:
+                            frames = r.frames[st : st + W]
+                            frames += [b""] * (W - len(frames))
+                            chunk.append(frames)
+                        chunks.append(chunk)
+                    while len(chunks) < G:  # stream-end padding (discarded)
+                        chunks.append([[b""] * W for _ in self.readers])
+                    for out in self._decode_sp_window_group(chunks, grp):
+                        yield out
+                return
             for start in self._window_starts():
                 chunk = []
                 for r in self.readers:
@@ -346,15 +369,16 @@ class VideoIngestPipeline:
     def _release_buffers(self):
         import jax as _jax
 
-        for attr, key in (("_spbuf", "sp"), ("_kmvbuf", "kmv"),
-                          ("_sparsebuf", "sparse")):
+        for attr, key in (("_spbuf", ("sp",)), ("_kmvbuf", ("kmv",)),
+                          ("_kmvgbuf", ("kmvg", self._gop_group)),
+                          ("_sparsebuf", ("sparse",))):
             buf = getattr(self, attr, None)
             if buf is not None:
                 # the last window's device computation may still be reading
                 # transfers staged from these pages
                 if getattr(self, "_carry", None) is not None:
                     _jax.block_until_ready(self._carry)
-                _pool_release((key,) + self._buf_key, buf)
+                _pool_release(key + self._buf_key, buf)
                 setattr(self, attr, None)
 
     @property
@@ -807,6 +831,84 @@ class VideoIngestPipeline:
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)
         return out
 
+    @property
+    def _gop_group(self) -> int:
+        """Windows per device dispatch = the mesh's gop-axis size.  >1 turns
+        keyframe-led windows into the sequence-parallel unit (SURVEY.md §2
+        SP/CP row): G windows of one stream decode CONCURRENTLY on G
+        devices — the scaling axis for a single long stream."""
+        mesh = self.cfg.mesh
+        if mesh is None:
+            return 1
+        return dict(zip(mesh.axis_names, mesh.devices.shape)).get("gop", 1)
+
+    def _decode_sp_window_group(self, chunks, starts) -> list[dict]:
+        """Decode G keyframe-led windows in ONE sharded [B, G, T] dispatch
+        over the (dp, gop) mesh.  Every window after the first must start
+        with a keyframe (or be stream-end padding): keyframes make windows
+        independent decode chains, so the gop axis carries no cross-device
+        dependency.  → one output dict per real window."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .batch import DecodeConfig, make_sp_decode_step_kmv
+
+        vi = self.info
+        X, Y = vi.width, vi.height
+        mesh = self.cfg.mesh
+        G = self._gop_group
+        B, T = len(chunks[0]), self.cfg.window
+        K = self.cfg.kmv_k
+        decs = self._sp_decoders()
+        assert self._sp_native, "gop-grouped ingest needs the native decoder"
+        assert not self.cfg.still_elision, \
+            "still_elision with a gop>1 mesh is not supported yet"
+        nb = ((X + 15) // 16) * ((Y + 15) // 16)
+        if getattr(self, "_kmvgbuf", None) is None:
+            self._kmvgbuf = _pool_acquire(
+                ("kmvg", G) + self._buf_key, lambda: dict(
+                    pc=np.zeros((B, G, T, Y, X), dtype=np.uint32),
+                    mvk=np.zeros((B, G, T, K, 2), dtype=np.int32),
+                    dirty=np.zeros((B, G, T, nb + 1), dtype=np.int32)))
+        buf = self._kmvgbuf
+        pc, mvk, dirty = buf["pc"], buf["mvk"], buf["dirty"]
+        changed = np.zeros((B, G, T), dtype=bool)
+        sig = np.zeros((B, G, T), dtype=bool)
+        n_real = len(starts)
+        for g, chunk in enumerate(chunks):
+            for b, frames in enumerate(chunk):
+                dec = decs[b]
+                if g > 0 and frames[0]:
+                    assert dec.is_key_frame(frames[0]), (
+                        "gop>1 mesh requires keyframe-led windows "
+                        f"(window @{starts[g]} stream {b} starts mid-GOP); "
+                        "align IngestConfig.window with the keyframe cadence")
+                for t, src in enumerate(frames):
+                    changed[b, g, t], sig[b, g, t] = self._guard(
+                        b, lambda: dec.decompress_kmv(
+                            src, dec.is_key_frame(src), pc[b, g, t],
+                            mvk[b, g, t], K=K, dirty=dirty[b, g, t]),
+                        default=(False, False))
+        if getattr(self, "_sharded_gstep", None) is None:
+            cfg = DecodeConfig(height=Y, width=X, emit_model_input=False)
+            self._sharded_gstep = make_sp_decode_step_kmv(mesh, cfg)
+        put = lambda a, spec: jax.device_put(
+            np.ascontiguousarray(a), NamedSharding(mesh, spec))
+        # g=0 continues the previous group's carry; g>0 windows are
+        # keyframe-led, so zeros are exact (the I-frame paints every pixel)
+        init = np.zeros((B, G, Y, X), dtype=np.uint32)
+        if getattr(self, "_carry", None) is not None:
+            init[:, 0] = np.asarray(self._carry)
+        frames = self._sharded_gstep(
+            put(init, P("dp", "gop")), put(pc, P("dp", "gop")),
+            put(mvk, P("dp", "gop")), put(changed, P("dp", "gop")))
+        self._carry = frames[:, n_real - 1, -1]
+        _window_barrier(frames)
+        outs = []
+        for g in range(n_real):
+            outs.append(self._emit(frames[:, g], jnp.array(sig[:, g]),
+                                   starts[g]))
+        return outs
+
     def _sharded_kmv_step(self, pc, mvk, changed):
         """Multi-chip window decode: streams shard over the mesh's dp axis
         (each device scans its own P-chains; no cross-device traffic —
@@ -817,7 +919,8 @@ class VideoIngestPipeline:
 
         mesh = self.cfg.mesh
         assert dict(zip(mesh.axis_names, mesh.devices.shape)).get("gop", 1) \
-            == 1, "ingest shards streams on dp; use a mesh with gop=1"
+            == 1, ("gop>1 meshes route through the window-grouping path "
+                   "(kmv + native host stage); this transport shards dp only")
         vi = self.info
         if getattr(self, "_sharded_step", None) is None:
             cfg = DecodeConfig(height=vi.height, width=vi.width,

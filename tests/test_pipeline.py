@@ -206,3 +206,61 @@ def test_sp_decode_step_kmv_matches_general():
         jnp.array(mvks), jnp.array(cmds["changed"]))
     np.testing.assert_array_equal(np.asarray(kout, dtype=np.float32),
                                   np.asarray(out, dtype=np.float32))
+
+
+def test_ingest_gop_axis_grouped_windows():
+    """(dp, gop) mesh through VideoIngestPipeline: G keyframe-led windows
+    decode in ONE sharded [B, G, T] dispatch — the sequence-parallel axis
+    for long streams (SURVEY §2 SP/CP row).  Bit-exact vs golds, including
+    the carry into the next group and stream-end padding."""
+    import jax
+    from jsplayer_tpu import native as _nat
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    if not _nat.available():
+        pytest.skip("native decoder unavailable")
+    nd = len(jax.devices())
+    if nd < 8:
+        pytest.skip("needs 8 devices")
+    X = Y = 32
+    W = 4  # window == keyframe cadence → keyframe-led windows
+    mesh = make_mesh(dp=2, gop=4)
+    rng = np.random.default_rng(9)
+
+    def build(seed):
+        enc = ScreenPressorEncoder(4, X, Y)
+        f = np.full((Y, X), pack_rgb(seed, 3, 5), dtype=np.uint32)
+        streams, golds = [], []
+        for t in range(22):  # 6 windows (last two partial/padded)
+            f = f.copy()
+            if t % 3 == 1:
+                f[2:, :] = f[:-2, :]
+            f[(t % 5) * 5 : (t % 5) * 5 + 4, 6:26] = pack_rgb(
+                *rng.integers(0, 256, 3))
+            flat = f.reshape(-1)
+            streams.append(enc.encode_i(flat) if t % W == 0
+                           else enc.encode_p(flat))
+            golds.append(flat)
+        return mux_avi(streams, X, Y, 24, codec="SPV4",
+                       keyflags=[t % W == 0 for t in range(22)]), golds
+
+    avis, golds = zip(*(build(s) for s in (1, 2)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=W, mesh=mesh))
+    n_windows = 0
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        start = batch["start_frame"]
+        for b in range(2):
+            for t in range(fr.shape[1]):
+                gi = min(start + t, len(golds[b]) - 1)
+                np.testing.assert_array_equal(
+                    fr[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {start + t}")
+        n_windows += 1
+    assert n_windows == 6
