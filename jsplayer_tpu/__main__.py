@@ -1,4 +1,4 @@
-"""Command-line surface: info / play / transcode / ingest.
+"""Command-line surface: info / play / transcode / ingest / render.
 
 Headless counterparts of the reference's browser embed (readme.txt:1-6):
 
@@ -6,6 +6,7 @@ Headless counterparts of the reference's browser embed (readme.txt:1-6):
   python -m jsplayer_tpu play file.avi          # headless playback stats
   python -m jsplayer_tpu transcode in.avi out.avi --version 4
   python -m jsplayer_tpu ingest a.avi b.avi     # batched decode → tensor shapes
+  python -m jsplayer_tpu render file.avi out/   # PNG/PPM frames + WAV audio
 """
 
 from __future__ import annotations
@@ -90,6 +91,79 @@ def cmd_transcode(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """Materialize the stream: decoded frames as PNG (cv2) or PPM
+    (pure-Python fallback) plus decoded audio as WAV — the headless
+    rendering surface standing in for the reference's canvas + WebAudio."""
+    import os
+
+    import numpy as np
+
+    from .core.source import open_source
+    from .pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    os.makedirs(args.outdir, exist_ok=True)
+    pipe = VideoIngestPipeline(
+        [open_source(args.file)],
+        IngestConfig(window=args.window, emit_model_input=False))
+    vi = pipe.info
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    written = 0
+    for batch in pipe:
+        frames = np.asarray(batch["frames_u32"])  # [1, T, Y, X] u32
+        start = batch["start_frame"]
+        for t in range(frames.shape[1]):
+            gi = start + t
+            if gi >= vi.nframes or gi % args.every:
+                continue
+            # stored bottom-up (AVI order; Main.hx:318 displays negative-Y);
+            # u32 channel order: HIGH byte is displayed RED for both codecs
+            # (reference canvas swizzle, Manager.hx:377-380; see
+            # kernels/rgb_convert.split_channels)
+            img = frames[0, t][::-1]
+            b = (img & 0xFF).astype(np.uint8)
+            g = ((img >> 8) & 0xFF).astype(np.uint8)
+            r = ((img >> 16) & 0xFF).astype(np.uint8)
+            from .core.types import CodecType
+            if vi.bpp == 16 and vi.codec == CodecType.SCREENPRESSOR:
+                b, g, r = b << 3, g << 3, r << 3  # 5-bit display scaling
+            rgb = np.stack([r, g, b], axis=-1)
+            bgr = np.stack([b, g, r], axis=-1)
+            if cv2 is not None:
+                cv2.imwrite(os.path.join(args.outdir, f"frame_{gi:06d}.png"),
+                            bgr)
+            else:  # PPM: portable, zero-dependency
+                with open(os.path.join(args.outdir, f"frame_{gi:06d}.ppm"),
+                          "wb") as f:
+                    f.write(b"P6\n%d %d\n255\n" % (vi.width, vi.height))
+                    f.write(rgb.tobytes())
+            written += 1
+    wav = None
+    if args.wav:
+        from .av import pcm as _pcm
+
+        if _pcm.available():
+            aligned = pipe.audio_pcm()[0]
+            if aligned is not None:
+                import wave
+
+                wav = os.path.join(args.outdir, "audio.wav")
+                s16 = np.clip(aligned.samples * 32767.0,
+                              -32768, 32767).astype("<i2")
+                with wave.open(wav, "wb") as w:
+                    w.setnchannels(aligned.channels)
+                    w.setsampwidth(2)
+                    w.setframerate(aligned.sample_rate)
+                    w.writeframes(s16.tobytes())
+    print(json.dumps({"frames_written": written, "outdir": args.outdir,
+                      "format": "png" if cv2 is not None else "ppm",
+                      "wav": wav}))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from .core.source import open_source
     from .pipeline.ingest import IngestConfig, VideoIngestPipeline
@@ -143,6 +217,16 @@ def main(argv=None) -> int:
     a.add_argument("--jobs", type=int, default=0,
                    help="GOP-parallel workers (0 = all cores)")
     a.set_defaults(fn=cmd_transcode)
+
+    a = sub.add_parser("render", help="decode to image files (+WAV audio)")
+    a.add_argument("file")
+    a.add_argument("outdir")
+    a.add_argument("--every", type=int, default=1,
+                   help="write every Nth frame")
+    a.add_argument("--window", type=int, default=16)
+    a.add_argument("--wav", action="store_true",
+                   help="also decode audio to audio.wav")
+    a.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("ingest", help="batched decode to model tensors")
     a.add_argument("files", nargs="+")

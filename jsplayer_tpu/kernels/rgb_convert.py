@@ -48,18 +48,25 @@ def rgb_to_opaque(frame: jax.Array) -> jax.Array:
 
 
 def split_channels(frame: jax.Array, bpp16: bool = False) -> jax.Array:
-    """u32-packed [..., H, W] → [..., H, W, 3] uint8 (r, g, b).
+    """u32-packed [..., H, W] → [..., H, W, 3] uint8 in TRUE (R, G, B).
 
-    Packing is the decode-loop layout (b<<16)|(g<<8)|r for ScreenPressor
-    (ScreenPressor.hx:189) and (r<<16)|(g<<8)|b for MSVideo1's fromRGB15
-    (MSVideo1.hx:211-214) — pass the matching channel order downstream; for
-    16bpp SP content the 5-bit values are scaled <<3 like the display path.
+    Ground truth for the channel order (round 2): the reference's canvas
+    blit writes dst = 0xFF000000 | ((c&0xFF)<<16) | (c&0xFF00) |
+    ((c>>16)&0xFF) into an ImageData whose little-endian u32 layout is
+    A<<24|B<<16|G<<8|R (Manager.hx:377-380) — i.e. the u32's HIGH byte is
+    displayed RED and the LOW byte BLUE, for BOTH codecs (MSVideo1's
+    fromRGB15 packs the RGB555 R field high too, MSVideo1.hx:211-214).
+    FFmpeg's independent scpr/msvideo1 decoders agree
+    (tests/test_ffmpeg_crossval.py byte mappings).  The reference's
+    *variable names* in the SP decode loop call the first coded channel
+    "r" — misleading; it lands in the blue display channel.  For 16bpp SP
+    content the 5-bit values are scaled <<3 like the display path.
     """
     c = frame
-    ch0 = (c & 0xFF).astype(jnp.uint8)
-    ch1 = ((c >> 8) & 0xFF).astype(jnp.uint8)
-    ch2 = ((c >> 16) & 0xFF).astype(jnp.uint8)
-    out = jnp.stack([ch0, ch1, ch2], axis=-1)
+    r = ((c >> 16) & 0xFF).astype(jnp.uint8)
+    g = ((c >> 8) & 0xFF).astype(jnp.uint8)
+    b = (c & 0xFF).astype(jnp.uint8)
+    out = jnp.stack([r, g, b], axis=-1)
     if bpp16:
         out = out << 3
     return out
@@ -108,7 +115,10 @@ def to_model_input(
                                    "VALID")
         denom *= 4
         d >>= 1
-    x = jnp.stack([p0 & 0xFFFF, p1, p0 >> 16], axis=-3)
+    # channel order (R, G, B): the u32 HIGH byte is displayed red — see
+    # split_channels' ground-truth note (Manager.hx canvas swizzle; both
+    # codecs pack R high, so no per-codec flip exists downstream)
+    x = jnp.stack([p0 >> 16, p1, p0 & 0xFFFF], axis=-3)
     if bpp16:
         x = x << 3
     if flip_vertical:

@@ -258,9 +258,10 @@ class VideoIngestPipeline:
         # already resolves to 8-bit channels at parse (fromRGB15)
         self._bpp16 = (info0.bpp == 16
                        and info0.codec == CodecType.SCREENPRESSOR)
-        # channel order: SP packs (b<<16)|(g<<8)|r, MSV1's fromRGB15 packs
-        # (r<<16)|(g<<8)|b — flip MSV1 so model_input is always RGB
-        self._swap_rb = info0.codec != CodecType.SCREENPRESSOR
+        # channel order: BOTH codecs pack displayed-RED in the u32 high
+        # byte (reference canvas swizzle, Manager.hx:377-380; the SP
+        # decode-loop variable names are misleading) — to_model_input
+        # extracts true RGB directly, no per-codec flip
         #: per-stream AudioTrack (MP3 sections, PTS, time_loaded watermark)
         self.audio_tracks = [r.audio_track for r in self.readers]
         self._pcm_cache = None
@@ -985,8 +986,7 @@ class VideoIngestPipeline:
         out = {"start_frame": start, "frames_u32": frames,
                "significant": signif}
         if self.cfg.emit_model_input:
-            mi = to_model_input(
+            out["model_input"] = to_model_input(
                 frames, dtype=jnp.dtype(self.cfg.model_dtype),
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)
-            out["model_input"] = mi[..., ::-1] if self._swap_rb else mi
         return out

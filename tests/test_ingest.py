@@ -390,23 +390,27 @@ def test_ingest_16bpp_sp_model_channels():
     fr = np.asarray(batch["frames_u32"])
     for t, g in enumerate(golds):
         np.testing.assert_array_equal(fr[0, t].reshape(-1), g)
-        # channel 0 of the model tensor == (g & 0xFF) << 3, normalized, flipped
-        want = (((g.reshape(Ys, Xs) & 0xFF) << 3)[::-1] / 255.0)
+        # channel 0 (R) == the high byte << 3, normalized, flipped
+        want = ((((g.reshape(Ys, Xs) >> 16) & 0xFF) << 3)[::-1] / 255.0)
         np.testing.assert_allclose(mi[0, t, :, :, 0], want, atol=0.01)
 
 
 def test_ingest_model_channels_are_rgb_for_both_codecs():
-    """model_input channel order is RGB regardless of codec packing (SP
-    low-byte=r; MSV1 fromRGB15 low-byte=b)."""
+    """model_input channel order is true RGB for both codecs.  Ground
+    truth: the u32 HIGH byte is displayed RED (the reference's canvas
+    swizzle, Manager.hx:377-380, writes c>>16 into ImageData's R byte for
+    neither... for BOTH codecs; FFmpeg's independent decoders agree via
+    tests/test_ffmpeg_crossval.py).  Round 2 fixed an R/B swap here: the
+    SP decode loop's variable names call the first coded (low) byte "r",
+    but it is displayed BLUE."""
     from jsplayer_tpu.codecs.msvideo1 import from_rgb15
 
-    # MSV1: a pure-red RGB555 pixel
+    # MSV1: a pure-red RGB555 pixel — fromRGB15 puts R in the HIGH byte
     red15 = 0x7C00  # r=31,g=0,b=0
-    avi, _ = msv1_avi(1)
-    # build a dedicated red frame stream
     from jsplayer_tpu.encode.avi_mux import mux_avi
     from jsplayer_tpu.encode.msv1_enc import encode_frame_16
 
+    assert from_rgb15(red15) >> 16 == 0xF8  # R lands high
     f = np.full(Y * X, from_rgb15(red15), dtype=np.uint32)
     avi = mux_avi([encode_frame_16(f, None, X, Y)], X, Y, 16, codec="CRAM",
                   keyflags=[True])
@@ -414,11 +418,14 @@ def test_ingest_model_channels_are_rgb_for_both_codecs():
     mi = np.asarray(next(iter(pipe))["model_input"], dtype=np.float32)
     assert mi[0, 0, 0, 0, 0] > 0.9 and mi[0, 0, 0, 0, 2] < 0.1, \
         f"MSV1 red pixel: {mi[0, 0, 0, 0]}"
-    # SP: a pure-red 24bpp pixel (pack_rgb(r,g,b) = (b<<16)|(g<<8)|r)
+    # SP: displayed-red = u32 high byte (pack_rgb's THIRD arg lands high:
+    # pack_rgb(r,g,b) = (b<<16)|(g<<8)|r follows the reference's
+    # misleading variable naming, so "b" is the displayed-red slot)
     from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
 
     enc = ScreenPressorEncoder(4, X, Y)
-    f = np.full(Y * X, pack_rgb(255, 0, 0), dtype=np.uint32)
+    f = np.full(Y * X, pack_rgb(0, 0, 255), dtype=np.uint32)
+    assert int(f[0]) >> 16 == 255
     avi = mux_avi([enc.encode_i(f)], X, Y, 24, codec="SPV4", keyflags=[True])
     pipe = VideoIngestPipeline([MemorySource(avi)], IngestConfig(window=1))
     mi = np.asarray(next(iter(pipe))["model_input"], dtype=np.float32)

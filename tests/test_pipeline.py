@@ -146,13 +146,13 @@ def test_sharded_msv1_decode_with_model_epilogue():
     )
     assert out.shape == (B, G, Tg, Y, X, 3)
     assert out.dtype == jnp.bfloat16
-    # verify a pixel against golden (channel order r,g,b from packed
-    # (r<<16)|(g<<8)|b — MSV1 packing puts r in the high byte)
+    # verify a pixel against golden: channel 0 is true RED = the u32 HIGH
+    # byte (reference canvas swizzle, Manager.hx:377-380)
     out = np.asarray(out.astype(jnp.float32))
     for b in range(B):
         g0 = golds[b][-1].reshape(Y, X)
         px = int(g0[5, 5])
-        want_ch0 = (px & 0xFF) / 255.0  # low byte
+        want_ch0 = ((px >> 16) & 0xFF) / 255.0  # high byte = R
         got = out[b, 0, -1, Y - 1 - 5, 5, 0]  # flipped vertically
         np.testing.assert_allclose(got, want_ch0, atol=1 / 128)
 

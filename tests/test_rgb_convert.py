@@ -44,27 +44,28 @@ def test_rgb15_paths():
 
 
 def test_split_channels_and_model_input():
-    # packed (b<<16)|(g<<8)|r  (SP decode-loop packing)
+    # u32 HIGH byte = displayed RED for both codecs (Manager.hx:377-380
+    # canvas swizzle; FFmpeg crossval agrees) — split order is true RGB
     src = np.array([[(3 << 16) | (2 << 8) | 1, (255 << 16) | (128 << 8) | 0]],
                    dtype=np.uint32)
     ch = np.asarray(split_channels(jnp.array(src)))
-    np.testing.assert_array_equal(ch[0, 0], [1, 2, 3])
-    np.testing.assert_array_equal(ch[0, 1], [0, 128, 255])
+    np.testing.assert_array_equal(ch[0, 0], [3, 2, 1])
+    np.testing.assert_array_equal(ch[0, 1], [255, 128, 0])
     # 16bpp scaling <<3
     ch16 = np.asarray(split_channels(jnp.array(src), bpp16=True))
-    np.testing.assert_array_equal(ch16[0, 0], [8, 16, 24])
+    np.testing.assert_array_equal(ch16[0, 0], [24, 16, 8])
 
     mi = to_model_input(jnp.array(np.tile(src, (4, 2))), dtype=jnp.float32,
                         layout="NCHW", flip_vertical=False)
     assert mi.shape == (3, 4, 4)
-    assert float(mi[0, 0, 0]) == pytest.approx(1 / 255.0)
+    assert float(mi[0, 0, 0]) == pytest.approx(3 / 255.0)
 
     # vertical flip maps stored bottom-up rows to top-down tensors
     two = np.zeros((2, 1), dtype=np.uint32)
     two[0, 0] = 10  # stored bottom row
     mi = to_model_input(jnp.array(two), dtype=jnp.float32)
-    assert float(mi[1, 0, 0]) == pytest.approx(10 / 255.0)
-    assert float(mi[0, 0, 0]) == 0.0
+    assert float(mi[1, 0, 2]) == pytest.approx(10 / 255.0)  # low byte = B
+    assert float(mi[0, 0, 2]) == 0.0
 
 
 def test_resize_half():
@@ -104,7 +105,7 @@ def test_to_model_input_downscale_exact():
     assert out.shape == (4, 8, 3)
     # exact box mean (integer window sum, single float divide) of the
     # flipped u8 channels
-    ch = np.stack([(f & 0xFF), (f >> 8) & 0xFF, (f >> 16) & 0xFF], -1)
+    ch = np.stack([(f >> 16) & 0xFF, (f >> 8) & 0xFF, (f & 0xFF)], -1)
     ch = ch[::-1]  # flip_vertical
     want = ch.reshape(4, 2, 8, 2, 3).sum(axis=(1, 3)).astype(np.float32)
     np.testing.assert_allclose(out, want * (1.0 / 255.0 / 4), rtol=1e-6)
