@@ -142,12 +142,35 @@ def _epilogue(frames: jax.Array, cfg: DecodeConfig):
                           bpp16=cfg.bpp16)
 
 
-def make_msv1_decode_step(mesh: Mesh, cfg: DecodeConfig):
+def make_msv1_decode_step(mesh: Mesh, cfg: DecodeConfig,
+                          with_carry: bool = False):
     """Build the jitted sharded decode step for MSV1 command stacks.
 
     Inputs [B, G, T, ...] sharded (dp, gop); per-program lax.scan over its
-    GOP slice (init = zeros: every GOP starts at a keyframe)."""
+    GOP slice.  Default: init = zeros / invalid (every row starts at a
+    keyframe).  with_carry=True adds leading (init [B,G,Y,X] u32,
+    valid [B,G] bool) inputs so window pipelines can thread the previous
+    window's last frame through (ingest's per-window carry)."""
     nbx = cfg.width // 4
+
+    def decode(init, valid, btype, sel, colors, changes):
+        fn = functools.partial(msv1_paint._decode_sequence_novmap, nbx=nbx)
+        fn = jax.vmap(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None)),
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        frames, signif = fn(
+            init, valid, btype, sel, colors, changes,
+            jnp.int32(cfg.insignificant_blocks),
+            jnp.int32(cfg.insignificant_lines),
+        )
+        return _epilogue(frames, cfg), signif
+
+    if with_carry:
+        sharded = jax.shard_map(
+            decode, mesh=mesh,
+            in_specs=(P("dp", "gop"),) * 6,
+            out_specs=(P("dp", "gop"), P("dp", "gop")),
+        )
+        return jax.jit(sharded)
 
     def per_shard(btype, sel, colors, changes):
         # shapes: [b, g, T, ...] local shards
@@ -157,14 +180,7 @@ def make_msv1_decode_step(mesh: Mesh, cfg: DecodeConfig):
             changes[:, :, :1] * 0
         ).astype(jnp.uint32).reshape(b, g, 1, 1)
         valid = (changes[:, :, 0] & False)
-        fn = functools.partial(msv1_paint._decode_sequence_novmap, nbx=nbx)
-        fn = jax.vmap(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None)),
-                      in_axes=(0, 0, 0, 0, 0, 0, None, None))
-        frames, signif = fn(
-            init, valid, btype, sel, colors, changes,
-            jnp.int32(cfg.insignificant_blocks), jnp.int32(cfg.insignificant_lines),
-        )
-        return _epilogue(frames, cfg), signif
+        return decode(init, valid, btype, sel, colors, changes)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,

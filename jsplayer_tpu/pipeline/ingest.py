@@ -964,15 +964,50 @@ class VideoIngestPipeline:
         init = self._carry_init(B)
         valid = jnp.array([start > 0] * B)
         sel = msv1_paint.sel_to_plane(sel, Y, X)  # device wants plane order
-        frames, signif = msv1_paint.decode_batch(
-            init, valid, _put(bt), _put(sel), _put(col),
-            _put(chg),
-            jnp.int32((self.cfg.insignificant_lines + 3) >> 2),
-            jnp.int32(self.cfg.insignificant_lines), X // 4,
-        )
+        if self.cfg.mesh is not None:
+            frames, signif = self._sharded_msv1_window(
+                init, valid, bt, sel, col, chg)
+        else:
+            frames, signif = msv1_paint.decode_batch(
+                init, valid, _put(bt), _put(sel), _put(col),
+                _put(chg),
+                jnp.int32((self.cfg.insignificant_lines + 3) >> 2),
+                jnp.int32(self.cfg.insignificant_lines), X // 4,
+            )
         self._carry = frames[:, -1]  # device-resident carry
         _window_barrier(frames)
         return self._emit(frames, signif, start)
+
+    def _sharded_msv1_window(self, init, valid, bt, sel, col, chg):
+        """MSV1 windows over the mesh's dp axis (streams sharded), with the
+        per-window carry threaded through the sharded step."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .batch import DecodeConfig, make_msv1_decode_step
+
+        mesh = self.cfg.mesh
+        assert self._gop_group == 1, \
+            "gop>1 grouping is implemented for the SP kmv path only"
+        vi = self.info
+        if getattr(self, "_sharded_msv1_step", None) is None:
+            cfg = DecodeConfig(
+                height=vi.height, width=vi.width, emit_model_input=False,
+                insignificant_blocks=(self.cfg.insignificant_lines + 3) >> 2,
+                insignificant_lines=self.cfg.insignificant_lines)
+            self._sharded_msv1_step = make_msv1_decode_step(
+                mesh, cfg, with_carry=True)
+        put = lambda a, spec: jax.device_put(
+            np.ascontiguousarray(a), NamedSharding(mesh, spec))
+        frames, signif = self._sharded_msv1_step(
+            put(np.asarray(init)[:, None], P("dp", "gop")),
+            put(np.asarray(valid)[:, None], P("dp", "gop")),
+            put(bt[:, None], P("dp", "gop")),
+            put(np.asarray(sel)[:, None], P("dp", "gop")),
+            put(col[:, None], P("dp", "gop")),
+            put(chg[:, None], P("dp", "gop")))
+        if jax.default_backend() == "cpu":
+            jax.block_until_ready((frames, signif))
+        return frames[:, 0], signif[:, 0]
 
     # -- shared ----------------------------------------------------------------
 

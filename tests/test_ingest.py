@@ -620,3 +620,28 @@ def test_ingest_elided_fused_model_only():
                 np.asarray(bz["model_input"], dtype=np.float32))
         else:
             assert "model_input" not in bz
+
+
+def test_ingest_msv1_mesh_sharded_dp():
+    """MSV1 ingest over a dp mesh: streams sharded, window carry threaded
+    through the sharded step (round 2 — mesh was silently ignored for
+    MSV1 before)."""
+    import jax
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    nd = len(jax.devices())
+    if nd < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(dp=nd, gop=1)
+    avis, golds = zip(*(msv1_avi(s) for s in range(1, nd + 1)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, mesh=mesh))
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for b in range(nd):
+            for t in range(fr.shape[1]):
+                gi = min(batch["start_frame"] + t, len(golds[b]) - 1)
+                np.testing.assert_array_equal(
+                    fr[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {batch['start_frame']+t}")
