@@ -33,6 +33,28 @@ namespace {
 constexpr uint32_t RC_TOP = 1u << 24;
 constexpr uint32_t RC_BOT = 1u << 16;
 
+// calloc-backed u32 frame buffer: fresh zero PAGES fault lazily (~20x
+// cheaper than vector's explicit zero-fill of 8.3 MB at 1080p — measured
+// 2.5 ms/buffer, 25% of short-GOP workloads where decoders are created
+// per GOP row, e.g. gop_split).
+struct ZBuf {
+  uint32_t* p = nullptr;
+  size_t n = 0;
+  void alloc_zero(size_t count) {
+    free(p);
+    p = (uint32_t*)calloc(count, 4);
+    n = count;
+  }
+  ~ZBuf() { free(p); }
+  ZBuf() = default;
+  ZBuf(const ZBuf&) = delete;
+  ZBuf& operator=(const ZBuf&) = delete;
+  uint32_t& operator[](size_t i) { return p[i]; }
+  uint32_t operator[](size_t i) const { return p[i]; }
+  uint32_t* data() { return p; }
+  const uint32_t* data() const { return p; }
+};
+
 struct RangeDecoder {
   uint64_t range = 0, code = 0;
   const uint8_t* data = nullptr;
@@ -1130,7 +1152,7 @@ struct SpDecoder {
   // holds the frame before it.  touched[] marks blocks painted by the latest
   // frame so only stale blocks need copying (sparse-copy optimization over
   // the reference's per-block copy loops, ScreenPressor.hx:376-380,469-473).
-  std::vector<uint32_t> buf0, buf1;
+  ZBuf buf0, buf1;
   std::vector<uint8_t> touched;
   int cur = 0;
   bool has_prev = false, decoded_i = false, has_flat = false;
@@ -1145,8 +1167,8 @@ struct SpDecoder {
     nbx = (w + 15) / 16;
     nby = (h + 15) / 16;
     bts.assign((size_t)nbx * nby, 0);
-    buf0.assign((size_t)w * h, 0);
-    buf1.assign((size_t)w * h, 0);
+    buf0.alloc_zero((size_t)w * h);
+    buf1.alloc_zero((size_t)w * h);
     touched.assign((size_t)nbx * nby, 1);
   }
   uint32_t* latest() { return cur == 0 ? buf0.data() : buf1.data(); }
@@ -2187,7 +2209,7 @@ struct Msv1Decoder {
   int X, Y, nbx, nby;
   bool is8 = false;
   uint32_t pal[256] = {0};
-  std::vector<uint32_t> buf0, buf1;
+  ZBuf buf0, buf1;
   std::vector<uint8_t> block_changes;  // per block row
   int cur = 0;
   bool has_prev = false;
@@ -2199,8 +2221,8 @@ struct Msv1Decoder {
       is8 = true;
       memcpy(pal, palette, 256 * 4);
     }
-    buf0.assign((size_t)w * h, 0);
-    buf1.assign((size_t)w * h, 0);
+    buf0.alloc_zero((size_t)w * h);
+    buf1.alloc_zero((size_t)w * h);
     block_changes.assign(nby, 0);
   }
   uint32_t* latest() { return cur == 0 ? buf0.data() : buf1.data(); }
@@ -2385,6 +2407,12 @@ static void write_pay_block(int X, int Y, int nbx, size_t bi,
   int xb1 = bx * 16, xb2 = xb1 + 16 > X ? X : xb1 + 16;
   int yb1 = by * 16, yb2 = yb1 + 16 > Y ? Y : yb1 + 16;
   int b = bts[bi];
+  int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
+  int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+  // full-rect blocks (the common case away from change-region edges) take
+  // branch-free row fills — the per-pixel rect compare was 30% of the
+  // whole host stage on scroll-heavy content
+  bool full = (x1 <= xb1 && y1 <= yb1 && x2 >= xb2 && y2 >= yb2);
   if (b == 3 || b == 4) {  // motion (4 = rect-limited: roll inside rect)
     int mx = mv[bi * 2], my = mv[bi * 2 + 1];
     int slot = -1;
@@ -2392,8 +2420,13 @@ static void write_pay_block(int X, int Y, int nbx, size_t bi,
       if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
     if (slot >= 0) {
       uint32_t v = (2u << 24) | ((uint32_t)slot << 26);
-      int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
-      int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+      if (full) {
+        for (int y = yb1; y < yb2; y++) {
+          uint32_t* row = &pay[(size_t)y * X + xb1];
+          for (int x = 0; x < xb2 - xb1; x++) row[x] = v;
+        }
+        return;
+      }
       for (int y = yb1; y < yb2; y++) {
         uint32_t* row = &pay[(size_t)y * X + xb1];
         for (int x = 0; x < xb2 - xb1; x++) {
@@ -2410,8 +2443,15 @@ static void write_pay_block(int X, int Y, int nbx, size_t bi,
       }
     }
   } else {  // data / subrect
-    int x1 = rect[bi * 4 + 0], y1 = rect[bi * 4 + 1];
-    int x2 = rect[bi * 4 + 2], y2 = rect[bi * 4 + 3];
+    if (full) {
+      for (int y = yb1; y < yb2; y++) {
+        const uint32_t* f = &frame[(size_t)y * X + xb1];
+        uint32_t* row = &pay[(size_t)y * X + xb1];
+        for (int x = 0; x < xb2 - xb1; x++)
+          row[x] = (f[x] & 0x00FFFFFFu) | (1u << 24);
+      }
+      return;
+    }
     for (int y = yb1; y < yb2; y++) {
       const uint32_t* f = &frame[(size_t)y * X + xb1];
       uint32_t* row = &pay[(size_t)y * X + xb1];
