@@ -232,8 +232,9 @@ def main(argv=None) -> int:
     a.add_argument("files", nargs="+")
     a.add_argument("--window", type=int, default=16)
     a.add_argument("--path", default="kmv",
-                   choices=("kmv", "kmv_sparse", "general"),
-                   help="SP device compose (kmv_sparse for link-fed hosts)")
+                   choices=("kmv", "kmv_sparse", "general", "pallas"),
+                   help="SP device compose (kmv_sparse for link-fed hosts;"
+                        " pallas = fused general compose)")
     a.add_argument("--downscale", type=int, default=1,
                    help="power-of-two box downsample in the model epilogue")
     a.add_argument("--model-only", action="store_true",

@@ -148,12 +148,25 @@ def pack_to_bytes(pack: LanePack) -> bytes:
 
 
 def pack_from_bytes(data: bytes) -> LanePack:
+    """Parse a serialized pack.  Untrusted input: every size field is
+    validated against the actual payload length before any allocation, so
+    a malformed blob raises ValueError instead of allocating gigabytes or
+    over-reading (same adversarial-stream discipline as the codecs)."""
     import struct
 
+    head_sz = struct.calcsize("<4sBIII")
+    if len(data) < head_sz:
+        raise ValueError("lane pack truncated (header)")
     magic, aligned, S, N, dim = struct.unpack_from("<4sBIII", data, 0)
     if magic != _MAGIC:
         raise ValueError("not a lane pack")
-    off = struct.calcsize("<4sBIII")
+    if not (0 < N <= 1 << 16) or S > 1 << 24 or dim > 1 << 28:
+        raise ValueError(f"implausible lane pack header S={S} N={N} d={dim}")
+    payload = (dim * N * 2) if aligned else (N * dim)
+    need = head_sz + 256 * 4 + N * 4 + payload
+    if len(data) < need:
+        raise ValueError(f"lane pack truncated ({len(data)} < {need})")
+    off = head_sz
     freq = np.frombuffer(data, dtype="<i4", count=256, offset=off).copy()
     off += 256 * 4
     states = np.frombuffer(data, dtype="<u4", count=N, offset=off).copy()

@@ -214,13 +214,30 @@ def decode_sequence_fused(
     """
     Y, X = init_frame.shape
     ypad = (-Y) % 16
-    if ypad:
-        init_frame = jnp.pad(init_frame, ((0, ypad), (0, 0)))
-        payload = jnp.pad(payload, ((0, 0), (0, ypad), (0, 0)))
+    xpad = (-X) % 128 if X >= 128 else 128 - X  # lane-tile alignment
+    if ypad or xpad:
+        init_frame = jnp.pad(init_frame, ((0, ypad), (0, xpad)))
+        payload = jnp.pad(payload, ((0, 0), (0, ypad), (0, xpad)))
+        if xpad:
+            # widen the block grid: pad block-columns become copy blocks
+            # (bts 0, zero rect) — motion sources stay inside the real X
+            T = bts.shape[0]
+            nby = (Y + 15) // 16
+            nbx = (X + 15) // 16
+            nbx_p = (X + xpad) // 16
+
+            def padg(a, fill=0):
+                a = a.reshape(T, nby, nbx, *a.shape[2:])
+                pw = [(0, 0), (0, 0), (0, nbx_p - nbx)] + [(0, 0)] * (
+                    a.ndim - 3)
+                a = jnp.pad(a, pw, constant_values=fill)
+                return a.reshape(T, nby * nbx_p, *a.shape[3:])
+
+            bts, mv, rect = padg(bts), padg(mv), padg(rect)
     frames, signif = _scan_decode_fused(
         init_frame, bts, mv, rect, payload, changed,
         insignificant_blocks, interpret=interpret)
-    return (frames[:, :Y] if ypad else frames), signif
+    return frames[:, :Y, :X] if (ypad or xpad) else frames, signif
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -228,7 +245,12 @@ def decode_batch_fused(
     init_frames, bts, mv, rect, payload, changed, insignificant_blocks,
     interpret: bool = False,
 ):
-    fn = functools.partial(_scan_decode_fused, interpret=interpret)
-    return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
-        init_frames, bts, mv, rect, payload, changed, insignificant_blocks
-    )
+    """Batched fused decode — unrolled over streams (not vmapped: the
+    Pallas call's serial per-block loop doesn't batch) and routed through
+    decode_sequence_fused so the pad/crop alignment handling applies."""
+    outs = [decode_sequence_fused(init_frames[b], bts[b], mv[b], rect[b],
+                                  payload[b], changed[b],
+                                  insignificant_blocks, interpret=interpret)
+            for b in range(init_frames.shape[0])]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))

@@ -91,7 +91,9 @@ class IngestConfig:
     #   "kmv_sparse" block codes + payload tiles (~50 KB/frame typical vs
     #                8.3 MB dense) — for PCIe/network-fed serving where the
     #                host->device link dominates;
-    #   "general"    arbitrary-gather compose (any command mix).
+    #   "general"    arbitrary-gather XLA compose (any command mix);
+    #   "pallas"     same command semantics via the fused select +
+    #                aligned-DMA motion patch (~16x "general" on hardware).
     sp_device_path: str = "kmv"
     kmv_k: int = 2
     # kmv_sparse only: entropy-code the tile payload with multi-lane rANS
@@ -524,6 +526,16 @@ class VideoIngestPipeline:
                 mvks.append(mvk_b)
             return self._kmv_route(np.stack(pcs), np.stack(mvks), changed,
                                    sig, start)
+        elif self.cfg.sp_device_path == "pallas":
+            # fused select + aligned-DMA motion patch (the general command
+            # semantics at ~16x the XLA gather compose on hardware;
+            # interpret mode keeps CPU CI exact)
+            from ..kernels.sp_motion_pallas import decode_batch_fused
+
+            frames, signif = decode_batch_fused(
+                init, _put(bts), _put(mv), _put(rect), _put(payload),
+                _put(changed), jnp.int32(0),
+                interpret=jax.default_backend() == "cpu")
         else:
             frames, signif = sp_recon.decode_batch(
                 init, _put(bts), _put(mv), _put(rect),

@@ -477,3 +477,115 @@ def test_msv1_soak_ffmpeg_encoder_random(seed):
             assert np.array_equal(
                 V15(arr.astype(np.uint32)),
                 ours.previous_frame().reshape(H, W)[::-1]), f"frame {i}"
+
+
+@pytest.mark.parametrize("version", [2])
+def test_sp_16bpp_soak_random_chains(version):
+    """16bpp random chains (5-bit lattice) through FFmpeg's rgb0 output.
+
+    v2 (range coder) only: FFmpeg's v3-16bpp path deviates — see
+    test_sp_v3_16bpp_ffmpeg_deviation."""
+    W, H = 64, 48
+    rng = np.random.default_rng(7000 + version)
+    enc = ScreenPressorEncoder(version, W, H, bpp=16)
+    f = np.zeros((H, W), dtype=np.uint32)
+    f[:, :] = int(rng.integers(0, 1 << 24)) & 0x1F1F1F
+    pkts = [enc.encode_i(f.reshape(-1).copy())]
+    for t in range(15):
+        g = f.copy()
+        k = int(rng.integers(0, 4))
+        if k == 0:
+            g = np.roll(g, 2, axis=0)
+        elif k == 1:
+            y0, x0 = int(rng.integers(0, H - 6)), int(rng.integers(0, W - 6))
+            g[y0:y0 + 5, x0:x0 + 9] = int(rng.integers(0, 1 << 24)) & 0x1F1F1F
+        elif k == 2:
+            y0, x0 = int(rng.integers(0, H - 8)), int(rng.integers(0, W - 8))
+            g[y0:y0 + 8, x0:x0 + 8] = rng.integers(0, 1 << 24, (8, 8)) \
+                & 0x1F1F1F
+        f = g
+        if t % 6 == 5:
+            pkts.append(enc.encode_i(f.reshape(-1).copy()))
+        else:
+            pkts.append(enc.encode_p(f.reshape(-1).copy()))
+    ours = decode_ours_sp(pkts, W, H, bpp=16)
+    ffs = decode_ffmpeg_sp(pkts, W, H, bpp=16)
+    for i, (a, b) in enumerate(zip(ours, ffs)):
+        assert np.array_equal(a, b), f"v{version} 16bpp frame {i}"
+
+
+def test_msv1_8bit_soak_ours_vs_ffmpeg():
+    """8-bit palette chains (skip runs, 1/2/8-color opcodes, palette
+    churn regions) through FFmpeg's pal8 output."""
+    W, H = 48, 32
+    rng = np.random.default_rng(81)
+    pal = bytes(rng.integers(0, 256, 1024, dtype=np.uint8))
+    prev = None
+    with ffshim.FFVideoDecoder("msvideo1", W, H, 8, "CRAM") as ffdec:
+        idx = np.kron(rng.integers(0, 256, (H // 4, W // 4), dtype=np.uint8),
+                      np.ones((4, 4), np.uint8)).reshape(-1)
+        for t in range(14):
+            if t:
+                g = idx.reshape(H, W).copy()
+                k = int(rng.integers(0, 3))
+                if k == 0:
+                    g[:] = np.roll(g, 4, axis=int(rng.integers(0, 2)))
+                    g[:] = np.kron(  # keep 4x4 block structure after roll
+                        g[::4, ::4], np.ones((4, 4), np.uint8))
+                elif k == 1:
+                    by, bx = int(rng.integers(0, H // 4)), int(
+                        rng.integers(0, W // 4))
+                    g[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = rng.integers(
+                        0, 256)
+                idx = g.reshape(-1)
+            pkt = encode_frame_8(idx, prev, W, H)
+            arr, fmt, _ = ffdec.decode(pkt, prev is None, palette_rgba=pal)
+            assert fmt == "pal8"
+            assert np.array_equal(arr, idx.reshape(H, W)[::-1]), f"frame {t}"
+            prev = idx
+
+
+def test_sp_v3_16bpp_ffmpeg_deviation():
+    """Second pinned FFmpeg deviation: for the ANS coders (v3/v4) the
+    reference has NO 16bpp-specific entropy constants —
+    EntroCoderANS.differentConstantsFor16bbp() is false
+    (EntroCoders.hx:214; only the v2 range coder returns true, :72), so a
+    v3 stream's bytes are identical whether the container says 16 or 24
+    bpp.  Proof below: our encoder emits byte-identical streams for both
+    depths, and FFmpeg decodes those bytes fine at 24 bpp but REJECTS the
+    noise-bearing P frame at 16 bpp — scpr applies 16bpp-special handling
+    the reference reserves for the RC coder.  Our decoders follow the
+    reference at both depths."""
+    W, H = 64, 48
+    rng = np.random.default_rng(7003)
+    base = int(rng.integers(0, 1 << 24)) & 0x1F1F1F
+    rng.integers(0, 4)
+    rng.integers(0, H - 8), rng.integers(0, W - 8)
+    noise = rng.integers(0, 1 << 24, (8, 8)) & 0x1F1F1F
+    f = np.full((H, W), base, dtype=np.uint32)
+    g = f.copy()
+    g[30:38, 8:16] = noise
+
+    def encode(bpp):
+        enc = ScreenPressorEncoder(3, W, H, bpp=bpp)
+        return [enc.encode_i(f.reshape(-1).copy()),
+                enc.encode_p(g.reshape(-1).copy())]
+
+    p16, p24 = encode(16), encode(24)
+    assert p16 == p24  # no 16bpp constants for ANS — reference semantics
+    # our oracle decodes at both depths to the expected pixels
+    for bpp in (16, 24):
+        got = decode_ours_sp(p16, W, H, bpp=bpp)
+        np.testing.assert_array_equal(got[1], g.reshape(-1))
+    # ffmpeg: fine at 24bpp, rejects the identical bytes at 16bpp
+    ff24 = decode_ffmpeg_sp(p24, W, H, bpp=24)
+    np.testing.assert_array_equal(ff24[1], g.reshape(-1))
+    with ffshim.FFVideoDecoder("scpr", W, H, 16, "SCPR") as dec:
+        assert dec.decode(p16[0], True) is not None
+        try:
+            r = dec.decode(p16[1], False)
+            diverged = r is None or not np.array_equal(
+                ff_u32_16(r[0])[::-1].reshape(-1), g.reshape(-1))
+        except ValueError:
+            diverged = True
+        assert diverged, "ffmpeg unexpectedly matched (fixed upstream?)"

@@ -53,6 +53,7 @@ def msv1_avi(seed, nframes=11):
 @pytest.mark.parametrize("maker,cfg", [
     (sp_avi, IngestConfig(window=4)),                          # kmv default
     (sp_avi, IngestConfig(window=4, sp_device_path="general")),
+    (sp_avi, IngestConfig(window=4, sp_device_path="pallas")),
     (msv1_avi, IngestConfig(window=4)),
 ])
 def test_ingest_windows_bit_exact(maker, cfg):
