@@ -118,6 +118,14 @@ class IngestConfig:
     # consumed compressed bytes, keeping host residency O(window) instead
     # of whole-file.  Window count is then discovered at EOF.
     streaming: bool = False
+    # Clip decode [t0, t1): windows start at the nearest keyframe ≤ t0 (the
+    # reference's seek unit, Manager.hx:244-249 / GetNearestKeyframe) and
+    # stop once t1 is covered.  Leading warm-up frames (keyframe..t0) ride
+    # in the first window's output — start_frame tells the consumer where
+    # it is.  Every stream must share a keyframe at the chosen start
+    # (asserted); not supported with streaming=True (no random access in
+    # the forward-only reader).
+    frame_range: Optional[tuple] = None
 
 
 class StreamReader:
@@ -276,7 +284,51 @@ class VideoIngestPipeline:
         self.quarantine_errors: list[tuple[int, str]] = []
 
     def _window_starts(self) -> list[int]:
+        if self.cfg.frame_range is not None:
+            assert not self.cfg.streaming, \
+                "frame_range needs random access (streaming=False)"
+            t0, t1 = self.cfg.frame_range
+            t0 = max(0, min(int(t0), self.nframes))
+            t1 = max(t0, min(int(t1), self.nframes))
+            k0 = self._range_keyframe(t0)
+            return list(range(k0, t1, self.cfg.window))
         return list(range(0, self.nframes, self.cfg.window))
+
+    def _range_keyframe(self, t0: int) -> int:
+        """Nearest common keyframe ≤ t0 across the batch (the seek reset
+        point, DataLoader.GetNearestKeyframe ≙ Manager.hx:244-249).
+        Probed from the frame BYTES (decoder IsKeyFrame, the seq loader's
+        no-index path, DataLoaderAVISeq.hx:32-49) — ingest demux does not
+        populate index key flags."""
+        vi = self.info
+        if vi.codec == CodecType.SCREENPRESSOR:
+            from ..codecs.screenpressor import ScreenPressor
+
+            prober = ScreenPressor(vi.width, vi.height, vi.bpp)
+        elif vi.codec == CodecType.MSVC8:
+            from ..codecs.msvideo1 import MSVideo1_8bit
+
+            prober = MSVideo1_8bit(vi.width, vi.height, vi.palette or b"")
+        else:
+            from ..codecs.msvideo1 import MSVideo1_16bit
+
+            prober = MSVideo1_16bit(vi.width, vi.height)
+
+        def nearest(frames, n):
+            n = min(n, len(frames) - 1)
+            while n > 0 and not (frames[n]
+                                 and prober.is_key_frame(frames[n])):
+                n -= 1
+            return n
+
+        k0 = nearest(self.readers[0].frames, t0)
+        for b, r in enumerate(self.readers[1:], 1):
+            kb = nearest(r.frames, t0)
+            assert kb == k0, (
+                f"frame_range needs a shared keyframe at the window start: "
+                f"stream 0 rewinds to {k0}, stream {b} to {kb} — align the "
+                f"batch's keyframe cadence or decode streams separately")
+        return k0
 
     def audio_pcm(self):
         """Per-stream time-aligned PCM tensors (or None where the stream has

@@ -646,3 +646,54 @@ def test_ingest_msv1_mesh_sharded_dp():
                 np.testing.assert_array_equal(
                     fr[b, t].reshape(-1), golds[b][gi],
                     err_msg=f"stream {b} frame {batch['start_frame']+t}")
+
+
+def test_ingest_frame_range_clip():
+    """frame_range=(t0, t1): decode starts at the nearest keyframe ≤ t0
+    (seek semantics, Manager.hx:244-249) and stops once t1 is covered —
+    bit-exact against the full decode over the same frames."""
+    avis, golds = zip(*(sp_avi(s) for s in (1, 2)))
+    t0, t1 = 6, 10  # keyframes every 5 → rewind to 5
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=4, frame_range=(t0, t1)))
+    batches = list(pipe)
+    starts = [b["start_frame"] for b in batches]
+    assert starts[0] == 5  # nearest keyframe ≤ 6
+    seen = set()
+    for batch in batches:
+        fr = np.asarray(batch["frames_u32"])
+        for b in range(2):
+            for t in range(fr.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi >= len(golds[b]):
+                    continue
+                np.testing.assert_array_equal(
+                    fr[b, t].reshape(-1), golds[b][gi],
+                    err_msg=f"stream {b} frame {gi}")
+                seen.add(gi)
+    # the requested clip is fully covered
+    assert set(range(t0, t1)) <= seen
+
+
+def test_ingest_frame_range_misaligned_batch_raises():
+    """Streams whose keyframe cadences disagree at the rewind point are
+    rejected with a clear error instead of silently mis-decoding."""
+    a1, _ = sp_avi(1)  # keys every 5
+    # build a stream with keys every 3
+    rng = np.random.default_rng(4)
+    enc = ScreenPressorEncoder(4, X, Y)
+    streams = []
+    f = np.full((Y, X), pack_rgb(1, 2, 3), dtype=np.uint32)
+    for t in range(11):
+        f = f.copy()
+        f[(t % 6) * 4 : (t % 6) * 4 + 4, :8] = pack_rgb(*rng.integers(0, 256, 3))
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t % 3 == 0 else enc.encode_p(flat))
+    a2 = mux_avi(streams, X, Y, 24, codec="SPV4",
+                 keyflags=[t % 3 == 0 for t in range(11)])
+    pipe = VideoIngestPipeline(
+        [MemorySource(a1), MemorySource(a2)],
+        IngestConfig(window=4, frame_range=(7, 10)))
+    with pytest.raises(AssertionError, match="shared keyframe"):
+        list(pipe)
