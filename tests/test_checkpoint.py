@@ -117,3 +117,57 @@ def test_batch_decode_quarantines_bad_stream():
     np.testing.assert_array_equal(
         out["payload"][0, 1].reshape(-1), f1.reshape(-1))
     assert out["payload"].shape == (2, 3, Y, X)
+
+
+def test_ingest_resume_via_frame_range():
+    """Batch-pipeline resume: a StreamCursor's keyframe restart point maps
+    straight onto IngestConfig.frame_range — re-decoding from the cursor
+    reproduces the remaining frames bit-exactly (the keyframe is the
+    durable boundary, SURVEY.md §5.4)."""
+    import numpy as np
+
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.pipeline.checkpoint import (PipelineCheckpoint,
+                                                  StreamCursor)
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    X = Y = 32
+    rng = np.random.default_rng(6)
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(6, 6, 6), dtype=np.uint32)
+    streams, golds = [], []
+    for t in range(14):
+        f = f.copy()
+        f[(t % 7) * 4 : (t % 7) * 4 + 4, 2:30] = pack_rgb(
+            *rng.integers(0, 256, 3))
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t % 5 == 0 else enc.encode_p(flat))
+        golds.append(flat)
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4",
+                  keyflags=[t % 5 == 0 for t in range(14)])
+
+    # "crash" after frame 7 → cursor at next_frame=8, keyframe 5
+    ckpt = PipelineCheckpoint(cursors=[
+        StreamCursor(stream_id="s0", next_frame=8, keyframe=5, byte_offset=0)
+    ], width=X, height=Y, codec="screenpressor")
+    blob = ckpt.to_json()
+    restored = PipelineCheckpoint.from_json(blob)
+    cur = restored.cursors[0]
+
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi)],
+        IngestConfig(window=4,
+                     frame_range=(cur.next_frame, len(streams))))
+    seen = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            gi = batch["start_frame"] + t
+            if gi < len(golds):
+                seen[gi] = fr[0, t].reshape(-1)
+    assert min(seen) == cur.keyframe  # rewound to the durable boundary
+    for gi in range(cur.next_frame, len(streams)):
+        np.testing.assert_array_equal(seen[gi], golds[gi],
+                                      err_msg=f"frame {gi}")
