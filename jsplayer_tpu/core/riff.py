@@ -63,12 +63,30 @@ class IndxData:
     std_offset: int = 0
 
 
+# Header sanity bounds (untrusted input): a corrupted avih once drove a
+# 134 GiB frame-buffer allocation in the fuzz suite.  The reference's JS
+# would OOM the tab just as silently; a server-side framework must reject.
+MAX_DIM = 32768           # per-axis pixels
+MAX_PIXELS = 1 << 27      # ~134 M px ≈ 8K×16K frame buffer (512 MB u32)
+MAX_NFRAMES = 1 << 24
+
+
+def _check_geometry(width: int, height: int, nframes: int) -> None:
+    if not (0 < width <= MAX_DIM and 0 < height <= MAX_DIM
+            and width * height <= MAX_PIXELS):
+        raise ValueError(
+            f"implausible AVI geometry {width}x{height} (corrupt header?)")
+    if not (0 <= nframes <= MAX_NFRAMES):
+        raise ValueError(f"implausible AVI frame count {nframes}")
+
+
 def parse_avih(payload: bytes, file_size: int) -> VideoInfo:
     """Main AVI header → VideoInfo (got_avih, AVIParser.hx:42-62)."""
     (microsec, _maxbps, _padgran, _flags, totalframes, _initial, _nstreams,
      _suggbuf, width, height) = struct.unpack_from("<10i", payload, 0)
     if microsec == 0:
         microsec = 66666  # default 15 fps, AVIParser.hx:59
+    _check_geometry(width, height, totalframes)
     return VideoInfo(
         width=width, height=height, bpp=32, fps=1_000_000 / microsec,
         nframes=totalframes, codec=CodecType.SCREENPRESSOR,
@@ -80,6 +98,7 @@ def parse_strf_video(payload: bytes, vi: VideoInfo, strh_fourcc: int,
                      strh_nframes: int) -> VideoInfo:
     """BITMAPINFOHEADER → codec select + palette (got_vstream_format,
     AVIParser.hx:64-88)."""
+    _check_geometry(vi.width, vi.height, strh_nframes)
     vi.nframes = strh_nframes
     bits = struct.unpack_from("<H", payload, 14)[0]
     vi.bpp = bits
@@ -237,6 +256,11 @@ class AviDemuxer:
         except (StopIteration, _Truncated):
             self._complete()
             return False
+        except struct.error as e:
+            # corrupt header: a mutated size field delivered a payload
+            # shorter than its fixed-layout struct — the defined failure
+            # mode for untrusted containers is ValueError
+            raise ValueError(f"corrupt AVI header chunk: {e}") from e
 
     def signal_eof(self) -> None:
         """Driver marks that no further chunks will arrive (XHR COMPLETE,

@@ -1209,12 +1209,30 @@ struct SpDecoder {
   int dec_mx() { return rc ? rc->mx() : ans->mx(); }
   int dec_my() { return rc ? rc->my() : ans->my(); }
 
+  // cntab index guard: the RC coder at 16bpp uses SC_CXSHIFT=0
+  // (ScreenPressor.hx:59), so an ADVERSARIAL 8-bit symbol can push
+  // cx+cx1 past the 4096-entry channel bank.  The reference's typed
+  // arrays make that read harmless (undefined → garbage pixels); in C++
+  // it walked into the neighboring bank and, for channel 2, off the heap
+  // (found by the fuzz suite under ASan — deferred heap corruption).
+  // The oracle raises for such streams; mirror via the error flag.
+  // Well-formed 16bpp v2 content codes 5-bit values → cx+cx1 ≤ 2015.
+  bool cx_err = false;
+  int clr_guarded(int chan) {
+    int ci = cx + cx1;
+    if ((unsigned)ci > 4095u) {
+      cx_err = true;
+      return 0;
+    }
+    return dec_clr(chan * 4096 + ci);
+  }
+
   uint32_t decode_rgb() {
-    int r = dec_clr(cx + cx1);
+    int r = clr_guarded(0);
     cx1 = (cx << 6) & 0xFC0; cx = r >> sc_cxshift;
-    int g = dec_clr(4096 + cx + cx1);
+    int g = clr_guarded(1);
     cx1 = (cx << 6) & 0xFC0; cx = g >> sc_cxshift;
-    int b = dec_clr(2 * 4096 + cx + cx1);
+    int b = clr_guarded(2);
     cx1 = (cx << 6) & 0xFC0; cx = b >> sc_cxshift;
     return ((uint32_t)b << 16) | ((uint32_t)g << 8) | (uint32_t)r;
   }
@@ -1264,6 +1282,7 @@ struct SpDecoder {
     if (rc) rc->begin(src, len, 1);
     else ans->begin(src, len, 1);
 
+    cx_err = false;
     cx = cx1 = 0;
     uint32_t* d = older();
     size_t di = 0, lasti = 0;
@@ -1330,6 +1349,7 @@ struct SpDecoder {
       cx1 = (int)((clr & (uint32_t)maskcx1) >> shiftcx1);
       cx = (int)(clr >> shiftcx);
     }
+    if (cx_err) return -1;  // adversarial cntab index (see clr_guarded)
     cur ^= 1;
     std::fill(touched.begin(), touched.end(), 1);
     if (dst) memcpy(dst, d, end * 4);
@@ -1348,6 +1368,7 @@ struct SpDecoder {
     if (cap_mv) memset(cap_mv, 0, nb * 8);
     if (cap_rect) memset(cap_rect, 0, nb * 16);
     if (len == 0 || !decoded_i || src[0] == 0) return 1;
+    cx_err = false;
 
     int maskcx1, shiftcx1, shiftcx;
     cx_consts(&maskcx1, &shiftcx1, &shiftcx);
@@ -1494,6 +1515,7 @@ struct SpDecoder {
           }
         }
       }
+    if (cx_err) return -1;  // adversarial cntab index (see clr_guarded)
     for (size_t i = 0; i < nb; i++) touched[i] = bts[i] > 0 ? 1 : 0;
     cur ^= 1;
     if (dst) memcpy(dst, d, end * 4);

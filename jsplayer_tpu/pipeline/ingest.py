@@ -170,6 +170,9 @@ class StreamReader:
                 break
         self.loader.mp3_parser.on_data_end()
         self.loader.parse_sound()
+        if self.loader.video_info is None:
+            raise ValueError(
+                "no video header found (file truncated before avih/strf?)")
         self.info: VideoInfo = self.loader.video_info
         self.frames: list[bytes] = [
             (f.data if f is not None and f.data is not None else b"")

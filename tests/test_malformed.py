@@ -191,3 +191,83 @@ def test_http_source_rejects_range_ignoring_server():
         assert lax.read_range(100, 199) == payload[100:200]
     finally:
         srv.shutdown()
+
+
+def test_demux_fuzz_mutated_avi_never_hangs():
+    """Adversarial container bytes: random mutations of a valid AVI must
+    either load or raise ValueError — never hang, crash, or leak another
+    exception class (the transport/demux analogue of the decoder
+    hardening; the reference only ever logged IO errors,
+    DataLoaderAVIIndexed.hx:233-247)."""
+    import numpy as np
+
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+    from jsplayer_tpu.player import Player, PlayerConfig
+
+    X = Y = 32
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full(X * Y, pack_rgb(1, 2, 3), dtype=np.uint32)
+    pkts = [enc.encode_i(f)]
+    g = f.copy()
+    g[:X] = pack_rgb(9, 9, 9)
+    pkts.append(enc.encode_p(g))
+    avi = bytearray(mux_avi(pkts, X, Y, 24, codec="SPV4",
+                            keyflags=[True, False]))
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        bad = bytearray(avi)
+        kind = trial % 4
+        if kind == 0:  # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                bad[int(rng.integers(0, len(bad)))] = int(rng.integers(256))
+        elif kind == 1:  # truncate
+            bad = bad[: int(rng.integers(1, len(bad)))]
+        elif kind == 2:  # corrupt a size field region
+            off = int(rng.integers(4, min(64, len(bad) - 4)))
+            bad[off:off + 4] = rng.integers(0, 256, 4, dtype=np.uint8) \
+                .tobytes()
+        else:  # splice garbage into the middle
+            off = int(rng.integers(0, len(bad)))
+            bad = bad[:off] + bytes(rng.integers(0, 256, 16,
+                                                 dtype=np.uint8)) + bad[off:]
+        p = Player(PlayerConfig(indexed=False))
+        try:
+            p.load(MemorySource(bytes(bad)))
+            for _ in range(50):  # a few playback ticks over corrupt frames
+                p.tick()
+        except ValueError:
+            pass  # the defined failure mode
+        finally:
+            p.unload()
+
+
+def test_ingest_fuzz_mutated_avi_never_hangs():
+    """Same mutations through the batch ingest construction path."""
+    import numpy as np
+
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    X = Y = 32
+    f = np.full(X * Y, from_rgb15(0x0421), dtype=np.uint32)
+    avi = bytearray(mux_avi([encode_frame_16(f, None, X, Y)], X, Y, 16,
+                            codec="CRAM", keyflags=[True]))
+    rng = np.random.default_rng(1)
+    for trial in range(60):
+        bad = bytearray(avi)
+        if trial % 2 == 0:
+            for _ in range(int(rng.integers(1, 6))):
+                bad[int(rng.integers(0, len(bad)))] = int(rng.integers(256))
+        else:
+            bad = bad[: int(rng.integers(1, len(bad)))]
+        try:
+            pipe = VideoIngestPipeline([MemorySource(bytes(bad))],
+                                       IngestConfig(window=2))
+            list(pipe)
+        except (ValueError, AssertionError):
+            pass  # construction may reject headerless/garbage files
