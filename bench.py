@@ -185,24 +185,27 @@ def main() -> None:
             sp_recon.decode_sequence_kmv_compact, *cdev)
     except Exception:  # noqa: BLE001
         results["kmv_still_elision"] = None
-    # strategy 2c: BATCHED kmv + still-elision (the batch serving shape):
-    # B streams, per-stream compaction padded to a shared bucketed length
-    # Cpad; delivered frames = B*T per rep while the device composes only
-    # B*Cpad (ingest._kmv_elided / sp_recon.compact_changed_batch).
+    # strategy 2c: BATCHED kmv + still-elision, CONCAT layout (the
+    # production batch shape, ingest._kmv_elided): keyframe-led streams'
+    # compacted frames run back to back in ONE sequential scan — zero
+    # padding, full single-stream throughput.  (The earlier unrolled
+    # per-stream batch scan measured 2x slower: TPU executes the B scans
+    # sequentially through the same HBM with worse scheduling.)
     try:
         Bb = 2
         # DISTINCT per-stream pixel bits: identical copies invite XLA CSE
-        # across the unrolled stream scans, which inflates the number
-        pc_np = np.asarray(pc)
-        pcc_b, mvkc_b, valid_b, _ = sp_recon.compact_changed_batch(
-            np.stack([pc_np ^ np.uint32((b * 0x030507) & 0xFFFFFF)
-                      for b in range(Bb)]),
-            np.stack([np.asarray(mvk)] * Bb),
-            np.stack([np.asarray(changed)] * Bb))
-        bdev = jax.device_put((jnp.zeros((Bb, Y, X), jnp.uint32),
-                               pcc_b, mvkc_b, valid_b))
+        pc_np, mvk_np = np.asarray(pc), np.asarray(mvk)
+        ch_np = np.asarray(changed)
+        pccs, mvkcs = [], []
+        for b in range(Bb):
+            pcc_b, mvkc_b, _ = sp_recon.compact_changed(
+                pc_np ^ np.uint32((b * 0x030507) & 0xFFFFFF), mvk_np, ch_np)
+            pccs.append(pcc_b)
+            mvkcs.append(mvkc_b)
+        cat = jax.device_put((init, jnp.array(np.concatenate(pccs)),
+                              jnp.array(np.concatenate(mvkcs))))
         results["kmv_batch_elision"] = timed(
-            sp_recon.decode_batch_kmv, *bdev, scale=Bb)
+            sp_recon.decode_sequence_kmv_compact, *cat, scale=Bb)
     except Exception:  # noqa: BLE001
         results["kmv_batch_elision"] = None
     # strategy 3: Pallas DMA/MXU paths (TPU only; may not compile everywhere)

@@ -185,7 +185,10 @@ def cmd_ingest(args) -> int:
             print(f"window @{batch['start_frame']}: all stills (elided)",
                   file=sys.stderr)
             continue
-        n += mi.shape[0] * mi.shape[1]
+        om = batch.get("outmap")
+        # delivered frames: every timeline slot for elided windows (stills
+        # alias decoded rows via outmap), window length otherwise
+        n += om.size if om is not None else mi.shape[0] * mi.shape[1]
         print(f"window @{batch['start_frame']}: model_input "
               f"{tuple(mi.shape)} {mi.dtype}", file=sys.stderr)
     dt = time.monotonic() - t0

@@ -101,14 +101,15 @@ class IngestConfig:
     # link carries ~compressed-size tiles instead of raw 1 KB rows.
     sparse_lane_payload: bool = False
     # True (kmv paths): unchanged frames never enter the device scan (the
-    # bench-headline path, ~40k delivered fps/chip single-stream).  The
-    # yielded dict gains "outmap" mapping original frame t to its index in
-    # frames_u32 (stills alias their predecessor; -1 = the window's
-    # carry-in frame).  Single stream without a mesh: exact compaction,
-    # outmap is [T].  Batched (B>1) or sharded (mesh set): per-stream
-    # compaction padded to a bucketed length Cpad ≤ T — outmap
-    # is [B, T] and the dict gains "valid" [B, Cpad] (False = pad slot
-    # whose frame row is carry filler).
+    # bench-headline path, ~30k delivered fps/chip @1080p).  The yielded
+    # dict gains "outmap" mapping original frame t to a row of the decoded
+    # stack (stills alias their predecessor; -1 = the window's carry-in
+    # frame).  Single stream without a mesh: frames_u32 is [1, C, Y, X]
+    # and outmap is [T] (the round-1 contract).  Batched (B>1) or sharded
+    # (mesh set): frames_u32/model_input is a FLAT row stack and outmap is
+    # [B, T] indexing its first axis — fed by either the zero-padding
+    # concat scan (keyframe-led windows) or the bucketed per-stream scans
+    # flattened with offsets (see _kmv_elided).
     still_elision: bool = False
     # Multi-chip: a jax.sharding.Mesh with a "dp" axis shards the stream
     # batch across devices through the shard_map kmv step (pipeline/batch);
@@ -851,39 +852,91 @@ class VideoIngestPipeline:
         return self._emit(frames, jnp.array(sig), start)
 
     def _kmv_elided(self, pc, mvk, changed, sig, init, start) -> dict:
-        """Batched/sharded still-elision (VERDICT round-1 #3): per-stream
-        compaction of changed frames, padded to a shared bucketed length,
-        then ONE masked kmv scan of length Cpad ≤ T — stills never enter the
-        device scan, at batch scale (the reference's identical-frame buffer
-        ranges, Manager.hx:568-578, applied to the whole batch).
+        """Batched/sharded still-elision (VERDICT round-1 #3): stills never
+        enter the device scan, at batch scale (the reference's
+        identical-frame buffer ranges, Manager.hx:568-578).
 
-        The yielded dict carries "outmap" [B, T] (compacted index holding
-        original frame t; -1 = the window's carry-in) and "valid" [B, Cpad]
-        (False = pad slot; its frame/model row is carry filler)."""
+        Output contract: "frames_u32" (or "model_input" when fused) is a
+        FLAT stack of decoded rows and "outmap" [B, T] indexes its first
+        axis (-1 = the window's carry-in frame).  Two device layouts feed
+        it, chosen per window:
+
+          * CONCAT — when every stream's first compacted slot fully
+            overwrites the frame (keyframe/flat-led windows, checked on
+            the paycode ptype plane), all streams' compacted frames
+            concatenate into ONE sequential scan: zero padding and full
+            single-stream throughput (the unrolled per-stream batch scan
+            measured 2× slower — TPU executes the B scans sequentially
+            through the same HBM with worse scheduling);
+          * PADDED — otherwise, the per-stream masked scans of bucketed
+            length Cpad run unrolled (or shard over the dp mesh) and the
+            [B, Cpad] result is flattened with per-stream offsets."""
         B = pc.shape[0]
+        vi = self.info
         pcc, mvkc, valid, outmap = sp_recon.compact_changed_batch(
             pc, mvk, changed)
         cpad = pcc.shape[1]
-        out = {"start_frame": start, "significant": jnp.array(sig),
-               "outmap": outmap, "valid": valid}
+        counts = valid.sum(axis=1).astype(np.int64)
+        out = {"start_frame": start, "significant": jnp.array(sig)}
         if cpad == 0:  # all streams all-stills: nothing to decode
-            vi = self.info
+            out["outmap"] = outmap  # all -1
             if self.cfg.emit_frames:
                 out["frames_u32"] = jnp.zeros(
-                    (B, 0, vi.height, vi.width), dtype=jnp.uint32)
+                    (0, vi.height, vi.width), dtype=jnp.uint32)
             return out
+
+        full_first = self.cfg.mesh is None and all(
+            counts[b] == 0
+            or bool((((pcc[b, 0] >> 24) & 3) == 1).all())
+            for b in range(B))
+        if full_first:
+            # concat layout: per-stream compacted runs back to back
+            offsets = np.zeros(B, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            cat_pc = np.concatenate(
+                [pcc[b, : counts[b]] for b in range(B)] or
+                [np.zeros((0,) + pcc.shape[2:], pcc.dtype)])
+            cat_mv = np.concatenate(
+                [mvkc[b, : counts[b]] for b in range(B)])
+            outmap_flat = np.where(
+                outmap >= 0, outmap + offsets[:, None], -1).astype(np.int32)
+            # (fused model-only emission still decodes the frame stack here:
+            # the per-stream pixel carries come from frame rows, and the
+            # concat layout's throughput win dwarfs the saved stack write)
+            frames = sp_recon.decode_sequence_kmv_compact(
+                init[0], _put(cat_pc), _put(cat_mv))
+            ends = offsets + counts  # exclusive
+            carry_rows = jnp.stack([
+                frames[int(ends[b]) - 1] if counts[b] else init[b]
+                for b in range(B)])
+            self._carry = carry_rows
+            _window_barrier(frames)
+            out["outmap"] = outmap_flat
+            if self.cfg.emit_frames:
+                out["frames_u32"] = frames
+            if self.cfg.emit_model_input:
+                out["model_input"] = to_model_input(
+                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            return out
+
+        # padded layout (mid-GOP windows or mesh): [B, Cpad] → flat
+        outmap_flat = np.where(
+            outmap >= 0,
+            outmap + (np.arange(B, dtype=np.int32) * cpad)[:, None],
+            -1).astype(np.int32)
+        out["outmap"] = outmap_flat
         if (self.cfg.mesh is None and not self.cfg.emit_frames
                 and self.cfg.emit_model_input):
             # fused: the compacted masked scan emits ONLY model tensors —
-            # the full-res frame stack is never written (same HBM saving
-            # as the dense fused path, now at batch+elision scale)
+            # the full-res frame stack is never written
             carry, model = sp_recon.decode_batch_kmv_model(
                 init, _put(pcc), _put(mvkc), _put(valid),
                 dtype=jnp.dtype(self.cfg.model_dtype),
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)
             self._carry = carry
             _window_barrier(carry, model)
-            out["model_input"] = model
+            out["model_input"] = model.reshape((B * cpad,) + model.shape[2:])
             return out
         if self.cfg.mesh is not None:
             frames = self._sharded_kmv_step(pcc, mvkc, valid)
@@ -892,10 +945,12 @@ class VideoIngestPipeline:
                 init, _put(pcc), _put(mvkc), _put(valid))
         self._carry = frames[:, -1]
         _window_barrier(frames)
-        out["frames_u32"] = frames
+        flat = frames.reshape((B * cpad,) + frames.shape[2:])
+        if self.cfg.emit_frames:
+            out["frames_u32"] = flat
         if self.cfg.emit_model_input:
             out["model_input"] = to_model_input(
-                frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                flat, dtype=jnp.dtype(self.cfg.model_dtype),
                 downscale=self.cfg.model_downscale, bpp16=self._bpp16)
         return out
 

@@ -490,30 +490,31 @@ def sp_avi_stills(seed, nframes=12):
 
 
 def _check_elided_stream(batches, gold, b):
-    """Reconstruct stream b's full timeline from elided windows, bit-exact."""
+    """Reconstruct stream b's full timeline from elided windows (FLAT row
+    stack + outmap [B, T] contract), bit-exact."""
     carry = None
     for batch in batches:
-        fr = np.asarray(batch["frames_u32"])
+        fr = np.asarray(batch["frames_u32"])  # [S, Y, X] flat rows
         outmap = np.asarray(batch["outmap"])
-        assert outmap.ndim == 2
+        assert outmap.ndim == 2 and fr.ndim == 3
         start = batch["start_frame"]
-        valid = np.asarray(batch["valid"])
-        cpad = fr.shape[1]
-        assert cpad == valid.shape[1] and cpad >= int(valid.sum(1).max())
-        nvalid = int(valid[b].sum())
+        last_row = -1
         for t in range(outmap.shape[1]):
             gi = start + t
             if gi >= len(gold):
                 break
             if outmap[b, t] >= 0:
-                assert outmap[b, t] < nvalid
-                got = fr[b, outmap[b, t]].reshape(-1)
+                assert outmap[b, t] < fr.shape[0]
+                got = fr[outmap[b, t]].reshape(-1)
+                last_row = max(last_row, int(outmap[b, t]))
             else:
                 got = carry
             np.testing.assert_array_equal(got, gold[gi],
                                           err_msg=f"stream {b} frame {gi}")
-        if nvalid:
-            carry = fr[b, nvalid - 1].reshape(-1)
+        rows = [int(outmap[b, t]) for t in range(outmap.shape[1])
+                if outmap[b, t] >= 0]
+        if rows:
+            carry = fr[max(rows)].reshape(-1)
 
 
 def test_ingest_still_elision_batched():
@@ -525,7 +526,7 @@ def test_ingest_still_elision_batched():
         [MemorySource(a) for a in avis],
         IngestConfig(window=6, still_elision=True))
     batches = list(pipe)
-    saw_elision = any(np.asarray(b["frames_u32"]).shape[1] < 6
+    saw_elision = any(np.asarray(b["frames_u32"]).shape[0] < 6 * 3
                       for b in batches)
     assert saw_elision, "still-heavy content must compact below the window"
     for b in range(3):
@@ -547,7 +548,8 @@ def test_ingest_still_elision_sharded():
         [MemorySource(a) for a in avis],
         IngestConfig(window=6, still_elision=True, mesh=mesh))
     batches = list(pipe)
-    assert any(np.asarray(b["frames_u32"]).shape[1] < 6 for b in batches)
+    assert any(np.asarray(b["frames_u32"]).shape[0] < 6 * nd
+               for b in batches)
     for b in range(nd):
         _check_elided_stream(batches, golds[b], b)
 
@@ -572,7 +574,7 @@ def test_ingest_still_elision_all_stills_window():
         [MemorySource(avi), MemorySource(avi)],
         IngestConfig(window=4, still_elision=True))
     batches = list(pipe)
-    assert np.asarray(batches[1]["frames_u32"]).shape[1] == 0
+    assert np.asarray(batches[1]["frames_u32"]).shape[0] == 0
     assert np.all(np.asarray(batches[1]["outmap"]) == -1)
     for b in range(2):
         _check_elided_stream(batches, gold, b)
