@@ -78,16 +78,22 @@ def cmd_play(args) -> int:
 
 
 def cmd_transcode(args) -> int:
-    from .transcode import transcode_sp
-
     with open(args.infile, "rb") as f:
         data = f.read()
-    out = transcode_sp(data, target_version=args.version,
-                       jobs=getattr(args, 'jobs', 1))
+    if getattr(args, "format", "avi") == "lane":
+        from .transcode import transcode_to_lane
+
+        out = transcode_to_lane(data, window=args.window, K=args.kmv_k)
+        desc = {"format": "lane", "window": args.window}
+    else:
+        from .transcode import transcode_sp
+
+        out = transcode_sp(data, target_version=args.version,
+                           jobs=getattr(args, 'jobs', 1))
+        desc = {"version": args.version}
     with open(args.outfile, "wb") as f:
         f.write(out)
-    print(json.dumps({"in_bytes": len(data), "out_bytes": len(out),
-                      "version": args.version}))
+    print(json.dumps({"in_bytes": len(data), "out_bytes": len(out), **desc}))
     return 0
 
 
@@ -219,6 +225,12 @@ def main(argv=None) -> int:
     a.add_argument("--version", type=int, default=4, choices=(2, 3, 4))
     a.add_argument("--jobs", type=int, default=0,
                    help="GOP-parallel workers (0 = all cores)")
+    a.add_argument("--format", choices=("avi", "lane"), default="avi",
+                   help="lane = device-entropy lane container "
+                        "(ingest --path lane)")
+    a.add_argument("--window", type=int, default=64,
+                   help="lane container frames per window")
+    a.add_argument("--kmv-k", type=int, default=2, dest="kmv_k")
     a.set_defaults(fn=cmd_transcode)
 
     a = sub.add_parser("render", help="decode to image files (+WAV audio)")
@@ -235,9 +247,11 @@ def main(argv=None) -> int:
     a.add_argument("files", nargs="+")
     a.add_argument("--window", type=int, default=16)
     a.add_argument("--path", default="kmv",
-                   choices=("kmv", "kmv_sparse", "general", "pallas"),
+                   choices=("kmv", "kmv_sparse", "lane", "general", "pallas"),
                    help="SP device compose (kmv_sparse for link-fed hosts;"
-                        " pallas = fused general compose)")
+                        " lane = device-entropy lane containers from"
+                        " `transcode --format lane`; pallas = fused general"
+                        " compose)")
     a.add_argument("--downscale", type=int, default=1,
                    help="power-of-two box downsample in the model epilogue")
     a.add_argument("--model-only", action="store_true",

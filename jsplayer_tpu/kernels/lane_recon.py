@@ -1,0 +1,124 @@
+"""Device-side lane-container decode: fused lane-rANS entropy + kmv recon.
+
+BASELINE config 4 end-to-end: ONE jitted program per window does
+  1. renorm-aligned multi-lane rANS decode of the window's payload symbols
+     (rans_lanes.decode_lanes_aligned, ~376 Msym/s on v5e),
+  2. three free reshapes + an elementwise combine → the window's payload
+     UNITS [U, 128] u32 (codecs/lane_format's byte-triplet symbol order),
+  3. a lax.scan over frames where each step row-GATHERS its units into the
+     padded data plane and composes with block-broadcast types/rects and
+     K motion rolls — the same pixel semantics as sp_recon's dense-paycode
+     compose (ScreenPressor.hx:302-484 block model), with the 8.3 MB/frame
+     dense plane replaced by `units` + free structured broadcasts.
+
+No dynamic_update_slice chains (serial, ~2.8 us/tile) and no 16x16 block
+relayouts — the two measured TPU anti-patterns the sparse transport paid.
+Row gathers of 512 B rows are ~free (BENCH_NOTES ragged transport).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import rans_lanes
+from .sp_recon import block_broadcast
+
+
+def units_from_pack(refills: jax.Array, states: jax.Array, freq: jax.Array,
+                    U: int) -> jax.Array:
+    """Lane decode + per-unit byte-triplet unpack → [U, 128] u32 units.
+
+    Symbol order (lane_format.derive_window): [U, 3, 128] byte planes per
+    unit — a middle-dim reshape/slice here (lane dim intact), and correct
+    for any padded U because unit u's bytes always live at flat[384*u:]."""
+    syms = rans_lanes.decode_lanes_aligned(refills, states, freq)
+    flat = syms.reshape(-1)
+    m = flat[: U * 384].reshape(U, 3, 128).astype(jnp.uint32)
+    return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+
+
+def compose_frame_lane(prev: jax.Array, units: jax.Array,
+                       inv_idx: jax.Array, btype: jax.Array,
+                       rect: jax.Array, mvk: jax.Array) -> jax.Array:
+    """One frame: block types/rects broadcast to pixels + unit row gather.
+
+    prev [Y, X] u32, units [U, 128] u32, inv_idx [R] i32 (R = Y * Xp/128),
+    btype [NB] u8 (0 copy / 1 data / 2+k motion), rect [NB, 4] u8 in
+    block-local coords, mvk [K, 2] i32."""
+    Y, X = prev.shape
+    nbx, nby = (X + 15) // 16, (Y + 15) // 16
+    Xp = inv_idx.shape[0] * 128 // Y
+    rows = jnp.take(units, inv_idx, axis=0)          # [R, 128]
+    tp = rows.reshape(Y, Xp)[:, :X]
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    ly, lx = yy & 15, xx & 15
+    btb = block_broadcast(btype.astype(jnp.int32), nby, nbx, Y, X)
+    r = block_broadcast(rect.astype(jnp.int32), nby, nbx, Y, X)
+    in_rect = ((lx >= r[..., 0]) & (lx < r[..., 2])
+               & (ly >= r[..., 1]) & (ly < r[..., 3]))
+    out = jnp.where((btb == 1) & in_rect, tp, prev)
+    K = mvk.shape[0]
+    for k in range(K):
+        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
+        out = jnp.where((btb == 2 + k) & in_rect, shifted, out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("U",))
+def decode_window_lane(init, refills, states, freq, btype, rect, mvk,
+                       inv_idx, changed, U: int):
+    """One stream window: entropy + recon in one program.
+
+    init [Y, X] u32; refills [steps, N, 2] u8; states [N] u32;
+    freq [256] i32; btype [T, NB]; rect [T, NB, 4]; mvk [T, K, 2];
+    inv_idx [T, R]; changed [T] bool → frames [T, Y, X] u32."""
+    units = units_from_pack(refills, states, freq, U)
+
+    def step(prev, inp):
+        bt, r, mk, idx, chg = inp
+        out = jnp.where(chg, compose_frame_lane(prev, units, idx, bt, r, mk),
+                        prev)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init, (btype, rect, mvk, inv_idx, changed))
+    return frames
+
+
+@functools.partial(jax.jit, static_argnames=("U",))
+def decode_batch_lane(init, refills, states, freq, btype, rect, mvk,
+                      inv_idx, changed, U: int):
+    """Batched lane decode, leading [B] axis on every input (same U bucket
+    per stream).  Unrolled over B like every kmv scan (vmapped dynamic
+    rolls lower to gathers — sp_recon.decode_batch_kmv's lesson)."""
+    outs = [decode_window_lane(init[b], refills[b], states[b], freq[b],
+                               btype[b], rect[b], mvk[b], inv_idx[b],
+                               changed[b], U)
+            for b in range(btype.shape[0])]
+    return jnp.stack(outs)
+
+
+def make_lane_decode_step(mesh, U: int):
+    """Sharded lane decode: streams on the mesh's dp axis (each device
+    entropy-decodes and reconstructs its own streams; no cross-device
+    traffic — SURVEY.md §2 DP row, with device entropy per shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(init, refills, states, freq, btype, rect, mvk, inv_idx,
+                  changed):
+        outs = [decode_window_lane(init[b], refills[b], states[b], freq[b],
+                                   btype[b], rect[b], mvk[b], inv_idx[b],
+                                   changed[b], U)
+                for b in range(btype.shape[0])]
+        return jnp.stack(outs)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp"),) * 9,
+        out_specs=P("dp"),
+    )
+    return jax.jit(sharded)

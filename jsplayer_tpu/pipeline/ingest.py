@@ -91,6 +91,12 @@ class IngestConfig:
     #   "kmv_sparse" block codes + payload tiles (~50 KB/frame typical vs
     #                8.3 MB dense) — for PCIe/network-fed serving where the
     #                host->device link dominates;
+    #   "lane"       lane-container sources (transcode.transcode_to_lane):
+    #                payload entropy is decoded ON DEVICE by the multi-lane
+    #                rANS and fused into the recon scan — after demux the
+    #                host never touches entropy (BASELINE config 4 e2e;
+    #                codecs/lane_format + kernels/lane_recon).  Sources
+    #                must be lane containers, not AVIs;
     #   "general"    arbitrary-gather XLA compose (any command mix);
     #   "pallas"     same command semantics via the fused select +
     #                aligned-DMA motion patch (~16x "general" on hardware).
@@ -257,6 +263,9 @@ class VideoIngestPipeline:
     def __init__(self, sources: Sequence[ByteSource],
                  config: Optional[IngestConfig] = None):
         self.cfg = config or IngestConfig()
+        if self.cfg.sp_device_path == "lane":
+            self._init_lane(sources)
+            return
         self.readers = [StreamReader(s, streaming=self.cfg.streaming)
                         for s in sources]
         info0 = self.readers[0].info
@@ -346,6 +355,133 @@ class VideoIngestPipeline:
             self._pcm_cache = _pcm.decode_tracks(self.audio_tracks)
         return self._pcm_cache
 
+    # -- lane containers -------------------------------------------------------
+
+    def _init_lane(self, sources) -> None:
+        """Lane-container batch: parse headers, check shared geometry."""
+        from ..codecs import lane_format
+
+        self.containers = []
+        for s in sources:
+            data = s.read_range(0)
+            if not lane_format.is_lane_container(data):
+                raise ValueError(
+                    "sp_device_path='lane' needs lane-container sources "
+                    "(transcode.transcode_to_lane), not AVIs")
+            self.containers.append(lane_format.container_from_bytes(data))
+        c0 = self.containers[0]
+        for c in self.containers:
+            assert (c.X, c.Y, c.K, c.n_lanes, c.window) == (
+                c0.X, c0.Y, c0.K, c0.n_lanes, c0.window), \
+                "lane batch must share geometry, K, lanes, and window size"
+        self.info = VideoInfo(width=c0.X, height=c0.Y, bpp=c0.bpp,
+                              fps=c0.fps, nframes=c0.n_frames,
+                              codec=CodecType.SCREENPRESSOR)
+        self.nframes = max(c.n_frames for c in self.containers)
+        self._bpp16 = c0.bpp == 16
+        self.audio_tracks = [None] * len(self.containers)
+        self.quarantined = set()
+        self.quarantine_errors = []
+
+    def _iter_lane(self) -> Iterator[dict]:
+        """Device-entropy ingest: per window, pad streams to shared
+        (U, steps) buckets and run ONE fused entropy+recon program per
+        stream (kernels/lane_recon), sharded over the mesh's dp axis when
+        configured.  The host's only per-frame work is array slicing."""
+        from ..codecs.lane_format import plane_cols
+        from ..kernels import lane_recon, rans_lanes as _rl
+
+        c0 = self.containers[0]
+        B = len(self.containers)
+        Y, X, K, N = c0.Y, c0.X, c0.K, c0.n_lanes
+        R = Y * (plane_cols(X) // 128)
+        nb = ((X + 15) // 16) * ((Y + 15) // 16)
+        Tw = c0.window
+        n_windows = max(len(c.windows) for c in self.containers)
+        mesh = self.cfg.mesh
+        carry = None
+        pending = None
+        for wi in range(n_windows):
+            btype = np.zeros((B, Tw, nb), dtype=np.uint8)
+            rect = np.zeros((B, Tw, nb, 4), dtype=np.uint8)
+            mvk = np.zeros((B, Tw, K, 2), dtype=np.int32)
+            inv = np.zeros((B, Tw, R), dtype=np.int32)
+            changed = np.zeros((B, Tw), dtype=bool)
+            sig = np.zeros((B, Tw), dtype=bool)
+            u_real = [0] * B
+            wins = []
+            for b, c in enumerate(self.containers):
+                w = c.windows[wi] if wi < len(c.windows) else None
+                wins.append(w)
+                if w is None:
+                    continue
+                btype[b, : w.T] = w.btype
+                rect[b, : w.T] = w.rect
+                mvk[b, : w.T] = w.mvk
+                inv[b, : w.T] = w.inv_index(R)
+                changed[b, : w.T] = w.changed
+                sig[b, : w.T] = w.signif
+                u_real[b] = w.n_units
+            # shared buckets: U to a power of two, steps to cover 3*U*128
+            # symbols — both derived deterministically so jit keys stay
+            # bounded; padded refills decode garbage symbols into unit rows
+            # nothing references (inv_idx only maps real units)
+            u_pad = 1
+            while u_pad < max(max(u_real), 1):
+                u_pad <<= 1
+            need_steps = -(-3 * u_pad * 128 // N)
+            steps = 1
+            while steps < need_steps:
+                steps <<= 1
+            steps = max(steps, max((w.refills.shape[0] for w in wins
+                                    if w is not None), default=1))
+            refills = np.zeros((B, steps, N, 2), dtype=np.uint8)
+            states = np.zeros((B, N), dtype=np.uint32)
+            freq = np.ones((B, 256), dtype=np.int32)
+            freq[:, 0] += _rl.PROB_SCALE - 256  # valid table for absent rows
+            for b, w in enumerate(wins):
+                if w is None:
+                    continue
+                refills[b, : w.refills.shape[0]] = w.refills
+                states[b] = w.states
+                freq[b] = w.freq
+            if carry is None:
+                carry = jnp.zeros((B, Y, X), dtype=jnp.uint32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                key = (u_pad, steps)
+                steps_cache = getattr(self, "_lane_steps", None)
+                if steps_cache is None:
+                    steps_cache = self._lane_steps = {}
+                if key not in steps_cache:
+                    steps_cache[key] = lane_recon.make_lane_decode_step(
+                        mesh, u_pad)
+                put = lambda a: jax.device_put(
+                    np.ascontiguousarray(a), NamedSharding(mesh, P("dp")))
+                frames = steps_cache[key](
+                    jax.device_put(carry, NamedSharding(mesh, P("dp"))),
+                    put(refills), put(states), put(freq), put(btype),
+                    put(rect), put(mvk), put(inv), put(changed))
+            else:
+                frames = lane_recon.decode_batch_lane(
+                    carry, _put(refills), _put(states), _put(freq),
+                    _put(btype), _put(rect), _put(mvk), _put(inv),
+                    _put(changed), u_pad)
+            carry = frames[:, -1]
+            _window_barrier(frames)
+            out = {"start_frame": wi * Tw, "frames_u32": frames,
+                   "significant": jnp.array(sig)}
+            if self.cfg.emit_model_input:
+                out["model_input"] = to_model_input(
+                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            if pending is not None:
+                yield pending
+            pending = out
+        if pending is not None:
+            yield pending
+
     def __iter__(self) -> Iterator[dict]:
         """Host→device pipeline parallelism (SURVEY.md §2 PP row): the device
         step for window t is dispatched asynchronously (jax dispatch), then
@@ -353,6 +489,9 @@ class VideoIngestPipeline:
         consumer's read of window t's tensors is the synchronization point.
         The scan carry stays a device array — decoded pixels never round-trip
         to host between windows."""
+        if self.cfg.sp_device_path == "lane":
+            yield from self._iter_lane()
+            return
         vi = self.info
         W = self.cfg.window
         pending = None

@@ -103,6 +103,84 @@ def transcode_sp(avi_bytes: bytes, target_version: int = 4,
                    fps=vi.fps, keyflags=keyflags)
 
 
+def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
+                      n_lanes: Optional[int] = None,
+                      use_native: Optional[bool] = None) -> bytes:
+    """Re-encode an SP AVI into the lane-container format
+    (codecs/lane_format): payload rides interleaved rANS lanes so both
+    entropy decode and reconstruction run on device — after demux the host
+    never touches entropy (BASELINE config 4 end-to-end).
+
+    The host stage decodes once with command capture (the same
+    oracle/native path ingest uses) and derives per-window lane records;
+    parity with the source AVI is by construction (derive_window mirrors
+    prepare_kmv's pixel semantics, tests/test_lane_container.py)."""
+    from . import native as _native
+    from .codecs import lane_format
+
+    if use_native is None:
+        use_native = _native.available()
+
+    buf = ChunkBuffer()
+    frames: list[bytes] = []
+    info: list[VideoInfo] = []
+    d = AviDemuxer(buf, on_frame=frames.append, on_video_info=info.append)
+    d.start()
+    buf.add_chunk(avi_bytes)
+    d.pump()
+    d.signal_eof()
+    d.pump()
+    if not info:
+        raise ValueError("no video stream found")
+    vi = info[0]
+    if vi.codec != CodecType.SCREENPRESSOR:
+        raise ValueError("transcode_to_lane handles ScreenPressor inputs only")
+    X, Y = vi.width, vi.height
+    if n_lanes is None:
+        n_lanes = 2048 if X * Y >= (1 << 20) else 128
+    nbx, nby = (X + 15) // 16, (Y + 15) // 16
+    nb = nbx * nby
+    dec, _enc = _make_codecs(vi, 4, use_native)
+
+    cont = lane_format.LaneContainer(
+        X=X, Y=Y, bpp=vi.bpp, K=K, n_lanes=n_lanes, n_frames=len(frames),
+        window=window, fps=vi.fps)
+    for start in range(0, len(frames), window):
+        chunk = frames[start : start + window]
+        T = len(chunk)
+        bts = np.zeros((T, nb), dtype=np.int32)
+        mv = np.zeros((T, nb, 2), dtype=np.int32)
+        rect = np.zeros((T, nb, 4), dtype=np.int32)
+        payload = np.zeros((T, Y, X), dtype=np.uint32)
+        changed = np.zeros(T, dtype=bool)
+        sig = np.zeros(T, dtype=bool)
+        for t, src in enumerate(chunk):
+            if use_native:
+                isk = dec.is_key_frame(src)
+                view, s, cap = dec.decompress(src, isk, capture=True,
+                                              copy=False)
+                if view is None:
+                    view = dec.latest_view()
+                payload[t] = np.asarray(view).reshape(Y, X)
+                sig[t] = bool(s)
+            else:
+                cap = {}
+                dec.capture = cap
+                dst = np.zeros(X * Y, dtype=np.uint32)
+                if dec.is_key_frame(src):
+                    dec.decompress_i(src, dst)
+                    sig[t] = True
+                else:
+                    res = dec.decompress_p(src, dst)
+                    sig[t] = bool(res.significant_changes)
+                payload[t] = dec.previous_frame().reshape(Y, X)
+            bts[t], mv[t], rect[t] = cap["bts"], cap["mv"], cap["rect"]
+            changed[t] = cap["changed"]
+        cont.windows.append(lane_format.derive_window(
+            bts, mv, rect, payload, changed, sig, X, Y, K, n_lanes))
+    return lane_format.container_to_bytes(cont)
+
+
 def _make_codecs(vi: VideoInfo, target_version: int, use_native: bool):
     X, Y = vi.width, vi.height
     if use_native:

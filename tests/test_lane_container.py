@@ -1,0 +1,196 @@
+"""Lane-container end-to-end: device entropy + recon for re-encoded streams.
+
+BASELINE config 4 (VERDICT round-2 item 1): an SP AVI is transcoded to the
+lane-container format (transcode.transcode_to_lane), whose payload rides
+interleaved rANS lanes; ingest with sp_device_path='lane' then runs BOTH
+entropy decode and reconstruction on device (kernels/lane_recon), and the
+decoded frames must be bit-exact against the oracle decode of the original
+AVI — single stream, batched, and sharded over the 8-device dp mesh.
+"""
+
+import numpy as np
+import pytest
+
+from jsplayer_tpu.codecs import lane_format
+from jsplayer_tpu.codecs.screenpressor import ScreenPressor
+from jsplayer_tpu.core.source import MemorySource
+from jsplayer_tpu.encode.avi_mux import mux_avi
+from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder, pack_rgb
+from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+from jsplayer_tpu.transcode import transcode_to_lane
+
+
+def make_stream(seed: int, X: int, Y: int, T: int, version: int = 4,
+                key_every: int = 0):
+    """Encoded frames + golden pixels: I-frame, paints, a scroll (motion),
+    stills — the full command mix."""
+    rng = np.random.default_rng(seed)
+    enc = ScreenPressorEncoder(version, X, Y)
+    f = np.full((Y, X), pack_rgb(20 + seed, 40, 60), dtype=np.uint32)
+    f[4 : Y // 2, 4 : X // 2] = pack_rgb(*rng.integers(0, 256, 3))
+    streams, gold, keys = [], [], []
+    for t in range(T):
+        isk = t == 0 or (key_every and t % key_every == 0)
+        if not isk:
+            kind = t % 4
+            if kind == 1:  # paint
+                y0 = int(rng.integers(0, Y - 8))
+                x0 = int(rng.integers(0, X - 12))
+                f[y0 : y0 + 7, x0 : x0 + 11] = pack_rgb(
+                    *rng.integers(0, 256, 3))
+            elif kind == 2:  # scroll → motion blocks
+                f[8:, :] = f[:-8, :].copy()
+            # kind 0/3: still
+        if isk:
+            enc = ScreenPressorEncoder(version, X, Y)
+            data = enc.encode_i(f.reshape(-1).copy())
+        else:
+            data = enc.encode_p(f.reshape(-1).copy())
+        streams.append(data)
+        gold.append(f.reshape(-1).copy())
+        keys.append(isk)
+    return streams, gold, keys
+
+
+def make_avi(seed, X, Y, T, **kw):
+    streams, gold, keys = make_stream(seed, X, Y, T, **kw)
+    return mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys), gold
+
+
+def collect_frames(pipe, B, nframes, Y, X):
+    out = [[] for _ in range(B)]
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for b in range(B):
+            for t in range(fr.shape[1]):
+                if batch["start_frame"] + t < nframes:
+                    out[b].append(fr[b, t].reshape(-1))
+    return out
+
+
+def test_lane_roundtrip_single_stream():
+    X, Y, T = 64, 48, 10
+    avi, gold = make_avi(0, X, Y, T)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    assert lane_format.is_lane_container(cont)
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    assert pipe.info.width == X and pipe.info.nframes == T
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    assert len(got) == T
+    for t in range(T):
+        np.testing.assert_array_equal(
+            got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF, err_msg=f"frame {t}")
+
+
+def test_lane_roundtrip_batch():
+    X, Y, T = 64, 48, 8
+    avis, golds = zip(*[make_avi(s, X, Y, T) for s in range(2)])
+    conts = [transcode_to_lane(a, window=4, K=2) for a in avis]
+    pipe = VideoIngestPipeline([MemorySource(c) for c in conts],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 2, T, Y, X)
+    for b in range(2):
+        for t in range(T):
+            np.testing.assert_array_equal(
+                got[b][t] & 0x00FFFFFF, golds[b][t] & 0x00FFFFFF,
+                err_msg=f"stream {b} frame {t}")
+
+
+def test_lane_sharded_mesh():
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X, Y, T = 48, 32, 6
+    mesh = make_mesh(dp=8, gop=1)
+    avis, golds = zip(*[make_avi(s, X, Y, T, key_every=3) for s in range(8)])
+    conts = [transcode_to_lane(a, window=3, K=2) for a in avis]
+    pipe = VideoIngestPipeline(
+        [MemorySource(c) for c in conts],
+        IngestConfig(sp_device_path="lane", mesh=mesh))
+    got = collect_frames(pipe, 8, T, Y, X)
+    for b in range(8):
+        for t in range(T):
+            np.testing.assert_array_equal(
+                got[b][t] & 0x00FFFFFF, golds[b][t] & 0x00FFFFFF,
+                err_msg=f"stream {b} frame {t}")
+
+
+def test_lane_model_input_parity():
+    """The fused model epilogue over lane-decoded frames matches the kmv
+    pipeline's on the same content."""
+    X, Y, T = 64, 48, 6
+    avi, gold = make_avi(3, X, Y, T)
+    cont = transcode_to_lane(avi, window=6, K=2)
+    lane = VideoIngestPipeline(
+        [MemorySource(cont)],
+        IngestConfig(sp_device_path="lane", emit_model_input=True))
+    kmv = VideoIngestPipeline(
+        [MemorySource(avi)],
+        IngestConfig(window=6, sp_device_path="kmv", emit_model_input=True))
+    (lw,) = list(lane)
+    (kw,) = list(kmv)
+    np.testing.assert_array_equal(
+        np.asarray(lw["model_input"], dtype=np.float32),
+        np.asarray(kw["model_input"], dtype=np.float32))
+
+
+def test_lane_container_16bpp():
+    X, Y, T = 48, 32, 5
+    rng = np.random.default_rng(7)
+    enc = ScreenPressorEncoder(4, X, Y, bpp=16)
+    f = (rng.integers(0, 32, (Y, X), dtype=np.uint32)
+         | (rng.integers(0, 32, (Y, X), dtype=np.uint32) << 8)
+         | (rng.integers(0, 32, (Y, X), dtype=np.uint32) << 16))
+    streams, gold, keys = [], [], []
+    for t in range(T):
+        if t:
+            f = f.copy()
+            f[2 : 2 + t, 3:9] = rng.integers(0, 32) | (
+                rng.integers(0, 32) << 8) | (rng.integers(0, 32) << 16)
+        streams.append(enc.encode_i(f.reshape(-1).copy()) if t == 0
+                       else enc.encode_p(f.reshape(-1).copy()))
+        gold.append(f.reshape(-1).copy())
+        keys.append(t == 0)
+    avi = mux_avi(streams, X, Y, 16, codec="SPV4", keyflags=keys)
+    cont = transcode_to_lane(avi, window=5, K=2)
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(got[t] & 0x00FFFFFF,
+                                      gold[t] & 0x00FFFFFF)
+
+
+def test_lane_container_malformed():
+    X, Y, T = 48, 32, 4
+    avi, _ = make_avi(1, X, Y, T)
+    cont = transcode_to_lane(avi, window=4)
+    # truncations at every boundary must raise, never crash or over-read
+    for cut in [3, 10, len(cont) // 2, len(cont) - 5]:
+        with pytest.raises(ValueError):
+            lane_format.container_from_bytes(cont[:cut])
+    # corrupt header magic
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(b"XXXX" + cont[4:])
+    # AVI fed to the lane path
+    with pytest.raises(ValueError):
+        VideoIngestPipeline([MemorySource(avi)],
+                            IngestConfig(sp_device_path="lane"))
+    # implausible sizes in a window record must be caught by validation
+    import struct
+
+    bad = bytearray(cont)
+    hs = struct.calcsize("<4sHHBBHIHII")  # container header
+    bad[hs + 4 : hs + 6] = (60000).to_bytes(2, "little")  # T absurd
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(bytes(bad))
+
+
+def test_lane_wire_size_reasonable():
+    """The container's payload should sit well below the dense paycode
+    plane (the whole point of shipping entropy-coded units)."""
+    X, Y, T = 64, 48, 8
+    avi, _ = make_avi(2, X, Y, T)
+    cont = transcode_to_lane(avi, window=8)
+    dense = T * Y * X * 4
+    assert len(cont) < dense, (len(cont), dense)
