@@ -247,7 +247,8 @@ def main(argv=None) -> int:
     a.add_argument("files", nargs="+")
     a.add_argument("--window", type=int, default=16)
     a.add_argument("--path", default="kmv",
-                   choices=("kmv", "kmv_sparse", "lane", "general", "pallas"),
+                   choices=("kmv", "bc", "kmv_sparse", "lane", "general",
+                            "pallas"),
                    help="SP device compose (kmv_sparse for link-fed hosts;"
                         " lane = device-entropy lane containers from"
                         " `transcode --format lane`; pallas = fused general"

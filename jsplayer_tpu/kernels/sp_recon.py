@@ -242,6 +242,161 @@ def decode_sequence_kmv(init_frame, paycode, mvk, changed):
     return _scan_decode_kmv(init_frame, paycode, mvk, changed)
 
 
+# ---------------------------------------------------------------------------
+# Block-command ("bc") compose: per-block types/rects instead of per-pixel
+# ptype bits.
+#
+# The kmv paycode packs ptype/kslot into every PIXEL, so the host must fill
+# motion blocks (constant words) and clear stale blocks (dirty tracking).
+# Here the block structure rides two small arrays — bcode [NB] u8
+# (0 copy / 1 data / 2+k motion-slot) and block-local rects [NB, 4] u8 —
+# broadcast to pixels on device (structured broadcasts are ~free), and the
+# u32 plane carries ONLY data-rect pixels: bytes outside data rects are
+# never read, so the host fill writes just the data pixels — no clears, no
+# motion fills, no dirty state (fill_paycode_p's cost collapses on
+# motion/scroll content, the VERDICT round-2 item-5 idea taken to its
+# conclusion).  Same per-frame HBM traffic as kmv (one plane read).
+
+def prepare_bc(bts, mv, rect, payload, K: int = 4):
+    """Host prep (numpy reference): → (plane [T,Y,X] u32, bcode [T,NB] u8,
+    rloc [T,NB,4] u8, mvk [T,K,2]).  The plane here is simply the decoded
+    frame (data pixels are a subset); the native twin writes only data-rect
+    pixels — both are valid bc transports because non-data plane bytes are
+    never read."""
+    import numpy as _np
+
+    T, NB = bts.shape
+    Y, X = payload.shape[-2:]
+    nbx = (X + 15) // 16
+    mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
+    bcode = _np.zeros((T, NB), dtype=_np.uint8)
+    rloc = _np.zeros((T, NB, 4), dtype=_np.uint8)
+    bxy = _np.empty((NB, 4), dtype=_np.int64)
+    bxy[:, 0] = bxy[:, 2] = (_np.arange(NB) % nbx) * 16
+    bxy[:, 1] = bxy[:, 3] = (_np.arange(NB) // nbx) * 16
+    for t in range(T):
+        loc = _np.clip(rect[t] - bxy, 0, 16).astype(_np.uint8)
+        is_mot = (bts[t] == 3) | (bts[t] == 4)
+        data_blk = (bts[t] > 0) & ~is_mot & ~demoted[t]
+        bcode[t, data_blk] = 1
+        rloc[t, data_blk] = loc[data_blk]
+        bcode[t, demoted[t]] = 1
+        rloc[t, demoted[t]] = (0, 0, 16, 16)
+        mot = (group[t] >= 0) & ~demoted[t]
+        bcode[t, mot] = (2 + group[t, mot]).astype(_np.uint8)
+        rloc[t, mot] = loc[mot]
+    plane = (payload & _np.uint32(0x00FFFFFF)).astype(_np.uint32)
+    return plane, bcode, rloc, mvk
+
+
+def compose_frame_bc(prev, plane, bcode, rect, mvk):
+    """plane [Y,X] u32 (data pixels only), bcode [NB] u8, rect [NB,4] u8
+    block-local, mvk [K,2] i32 — pixel semantics identical to
+    compose_frame_kmv (ScreenPressor.hx:302-484 block model)."""
+    Y, X = prev.shape
+    nbx, nby = (X + 15) // 16, (Y + 15) // 16
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
+    ly, lx = yy & 15, xx & 15
+    btb = block_broadcast(bcode.astype(jnp.int32), nby, nbx, Y, X)
+    r = block_broadcast(rect.astype(jnp.int32), nby, nbx, Y, X)
+    in_rect = ((lx >= r[..., 0]) & (lx < r[..., 2])
+               & (ly >= r[..., 1]) & (ly < r[..., 3]))
+    out = jnp.where((btb == 1) & in_rect,
+                    plane & jnp.uint32(0x00FFFFFF), prev)
+    K = mvk.shape[0]
+    for k in range(K):
+        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
+        out = jnp.where((btb == 2 + k) & in_rect, shifted, out)
+    return out
+
+
+@jax.jit
+def decode_sequence_bc_compact(init_frame, plane, bcode, rect, mvk):
+    """bc scan over changed frames only (still-elision layout)."""
+
+    def step(prev, inp):
+        pl_, bc, r, mk = inp
+        out = compose_frame_bc(prev, pl_, bc, r, mk)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init_frame, (plane, bcode, rect, mvk))
+    return frames
+
+
+@jax.jit
+def decode_sequence_bc(init_frame, plane, bcode, rect, mvk, changed):
+    def step(prev, inp):
+        pl_, bc, r, mk, chg = inp
+        out = jnp.where(chg, compose_frame_bc(prev, pl_, bc, r, mk), prev)
+        return out, out
+
+    _, frames = jax.lax.scan(step, init_frame,
+                             (plane, bcode, rect, mvk, changed))
+    return frames
+
+
+@jax.jit
+def decode_batch_bc(init_frames, plane, bcode, rect, mvk, changed):
+    """Batched bc scan (unrolled over B — see decode_batch_kmv)."""
+    outs = [decode_sequence_bc(init_frames[b], plane[b], bcode[b], rect[b],
+                               mvk[b], changed[b])
+            for b in range(plane.shape[0])]
+    return jnp.stack(outs)
+
+
+def _scan_decode_bc_model(init_frame, plane, bcode, rect, mvk, changed,
+                          model_kw):
+    from .rgb_convert import to_model_input
+
+    def step(prev, inp):
+        pl_, bc, r, mk, chg = inp
+        out = jnp.where(chg, compose_frame_bc(prev, pl_, bc, r, mk), prev)
+        return out, to_model_input(out, **model_kw)
+
+    last, model = jax.lax.scan(step, init_frame,
+                               (plane, bcode, rect, mvk, changed))
+    return last, model
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dtype", "layout", "downscale", "bpp16"))
+def decode_batch_bc_model(init_frames, plane, bcode, rect, mvk, changed,
+                          dtype=jnp.bfloat16, layout="NHWC", downscale=1,
+                          bpp16=False):
+    """Batched bc decode fused straight into model tensors."""
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16)
+    res = [_scan_decode_bc_model(init_frames[b], plane[b], bcode[b], rect[b],
+                                 mvk[b], changed[b], kw)
+           for b in range(plane.shape[0])]
+    return (jnp.stack([r[0] for r in res]),
+            jnp.stack([r[1] for r in res]))
+
+
+def compact_arrays_batch(arrays, changed):
+    """Batched still-elision over an arbitrary tuple of [B, T, ...] arrays
+    (the generalization of compact_changed_batch for transports with more
+    than two per-frame inputs).  → (compacted tuple, valid [B,Cpad],
+    outmap [B,T])."""
+    import numpy as _np
+
+    changed = _np.asarray(changed, dtype=bool)
+    B, T = changed.shape
+    counts = changed.sum(axis=1)
+    cpad = _elision_bucket(int(counts.max(initial=0)), T)
+    outs = [_np.zeros((B, cpad) + a.shape[2:], dtype=a.dtype) for a in arrays]
+    valid = _np.zeros((B, cpad), dtype=bool)
+    outmap = _np.empty((B, T), dtype=_np.int32)
+    for b in range(B):
+        idx = _np.nonzero(changed[b])[0]
+        c = len(idx)
+        for o, a in zip(outs, arrays):
+            o[b, :c] = a[b, idx]
+        valid[b, :c] = True
+        outmap[b] = _np.cumsum(changed[b]).astype(_np.int32) - 1
+    return tuple(outs), valid, outmap
+
+
 def compact_changed(paycode, mvk, changed):
     """Still-elision (host, numpy): drop unchanged frames from the device
     scan — stills don't alter the P-chain carry, so decoding only changed

@@ -100,6 +100,22 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.sp_decompress_bc.restype = ctypes.c_int
+    lib.sp_decompress_bc.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sp_decode_streams_bc.restype = ctypes.c_int
+    lib.sp_decode_streams_bc.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     lib.spenc_create.restype = ctypes.c_void_p
     lib.spenc_create.argtypes = [ctypes.c_int] * 4
     lib.spenc_destroy.argtypes = [ctypes.c_void_p]
@@ -242,6 +258,33 @@ class NativeScreenPressor:
                 self._h, data, len(data), 1 if is_key else 0, K,
                 paycode.ctypes.data_as(ctypes.c_void_p),
                 mvk.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif))
+        if r == -1:
+            raise ValueError("invalid stream")
+        return r == 0, bool(signif.value)
+
+
+    def decompress_bc(self, data: bytes, is_key: bool, plane: np.ndarray,
+                      mvk: np.ndarray, bcode: np.ndarray, rloc: np.ndarray,
+                      K: int = 2):
+        """Decode one frame straight into the bc device transport: plane
+        [Y,X] u32 (ONLY data-rect pixels written — other bytes are never
+        read by the device compose, so no clears/dirty tracking), bcode
+        [NB] u8, rloc [NB,4] u8 block-local rects, mvk [K,2] i32.
+        → (changed, signif).  Native twin of kernels/sp_recon.prepare_bc
+        fused into the decode pass; the host fill collapses to the data
+        pixels themselves (no motion fills — VERDICT round-2 item 5)."""
+        nb = self.nbx * self.nby
+        assert plane.dtype == np.uint32 and plane.size == self.X * self.Y
+        assert mvk.dtype == np.int32 and mvk.size == K * 2
+        assert bcode.dtype == np.uint8 and bcode.size == nb
+        assert rloc.dtype == np.uint8 and rloc.size == nb * 4
+        signif = ctypes.c_int(0)
+        r = self._lib.sp_decompress_bc(
+            self._h, data, len(data), 1 if is_key else 0, K,
+            plane.ctypes.data_as(ctypes.c_void_p),
+            mvk.ctypes.data_as(ctypes.c_void_p),
+            bcode.ctypes.data_as(ctypes.c_void_p),
+            rloc.ctypes.data_as(ctypes.c_void_p), ctypes.byref(signif))
         if r == -1:
             raise ValueError("invalid stream")
         return r == 0, bool(signif.value)
@@ -421,6 +464,63 @@ def native_sp_decode_streams_kmv(streams, width, height, bpp=24,
     )
     return dict(paycode=paycode, mvk=mvk, changed=changed.astype(bool),
                 signif=signif.astype(bool), dirty=dirty, errors=errors)
+
+
+def native_sp_decode_streams_bc(streams, width, height, bpp=24,
+                                insignificant_lines=0, K=2, nthreads=0,
+                                out=None):
+    """Parallel multi-stream SP decode straight into the bc transport.
+
+    → dict(plane [B,T,Y,X] u32 (ONLY data-rect pixels defined),
+           bcode [B,T,NB] u8, rloc [B,T,NB,4] u8, mvk [B,T,K,2] i32,
+           changed [B,T] bool, signif [B,T] bool).
+    Unlike the kmv paycode there is NO dirty state: non-data plane bytes
+    are never read, so buffer reuse via `out` is a pure allocation saving
+    (no clears on any path)."""
+    import os as _os
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    B = len(streams)
+    T = len(streams[0])
+    assert all(len(s) == T for s in streams)
+    blob = bytearray()
+    offsets = np.zeros(B * T, dtype=np.int64)
+    lengths = np.zeros(B * T, dtype=np.int64)
+    for b, frames in enumerate(streams):
+        for t, fr in enumerate(frames):
+            offsets[b * T + t] = len(blob)
+            lengths[b * T + t] = len(fr)
+            blob += fr
+    nb = ((width + 15) // 16) * ((height + 15) // 16)
+    if out is not None and out["plane"].shape == (B, T, height, width) \
+            and out["mvk"].shape[-2] == K:
+        plane, mvk = out["plane"], out["mvk"]
+        bcode, rloc = out["bcode"], out["rloc"]
+    else:
+        plane = np.zeros((B, T, height, width), dtype=np.uint32)
+        mvk = np.zeros((B, T, K, 2), dtype=np.int32)
+        bcode = np.zeros((B, T, nb), dtype=np.uint8)
+        rloc = np.zeros((B, T, nb, 4), dtype=np.uint8)
+    changed = np.zeros((B, T), dtype=np.uint8)
+    signif = np.zeros((B, T), dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(B, _os.cpu_count() or 1)
+    errors = lib.sp_decode_streams_bc(
+        B, T, width, height, bpp, bytes(blob), offsets, lengths,
+        insignificant_lines, K,
+        plane.ctypes.data_as(ctypes.c_void_p),
+        mvk.ctypes.data_as(ctypes.c_void_p),
+        bcode.ctypes.data_as(ctypes.c_void_p),
+        rloc.ctypes.data_as(ctypes.c_void_p),
+        changed.ctypes.data_as(ctypes.c_void_p),
+        signif.ctypes.data_as(ctypes.c_void_p),
+        nthreads,
+    )
+    return dict(plane=plane, mvk=mvk, bcode=bcode, rloc=rloc,
+                changed=changed.astype(bool), signif=signif.astype(bool),
+                errors=errors)
 
 
 class NativeScreenPressorEncoder:

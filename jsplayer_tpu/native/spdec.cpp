@@ -2486,16 +2486,11 @@ static void write_pay_block(int X, int Y, int nbx, size_t bi,
   }
 }
 
-// dirty_io: [0] = count of block indices (following) that the plane's
-// previous occupant wrote (-1 = whole plane may be nonzero, e.g. after an
-// I-frame), or NULL for the stateless full-plane fill.  On return (when
-// non-NULL) it lists this frame's non-copy blocks.
-static void fill_paycode_p(int X, int Y, int nbx, int nby,
-                           const int32_t* bts, const int32_t* mv,
-                           const int32_t* rect, const uint32_t* frame,
-                           int K, uint32_t* pay, int32_t* mvk,
-                           int32_t* dirty_io) {
-  size_t nb = (size_t)nbx * nby;
+// Group motion vectors into the K most frequent slots (numpy parity:
+// unique() sorts lexicographically, argsort(-counts) is stable -> ties
+// resolve in lexicographic order).  Shared by the kmv and bc transports.
+static int group_mvk(size_t nb, const int32_t* bts, const int32_t* mv,
+                     int K, int32_t* mvk) {
   struct V { int mx, my, cnt; };
   std::vector<V> vs;
   for (size_t bi = 0; bi < nb; bi++) {
@@ -2507,8 +2502,6 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
     if (f < 0) { vs.push_back({mx, my, 0}); f = (int)vs.size() - 1; }
     vs[f].cnt++;
   }
-  // numpy parity: unique() sorts vectors lexicographically, argsort(-counts)
-  // is stable -> ties resolve in lexicographic order
   std::sort(vs.begin(), vs.end(), [](const V& a, const V& b) {
     return a.mx != b.mx ? a.mx < b.mx : a.my < b.my;
   });
@@ -2520,6 +2513,20 @@ static void fill_paycode_p(int X, int Y, int nbx, int nby,
     mvk[k * 2] = vs[k].mx;
     mvk[k * 2 + 1] = vs[k].my;
   }
+  return kk;
+}
+
+// dirty_io: [0] = count of block indices (following) that the plane's
+// previous occupant wrote (-1 = whole plane may be nonzero, e.g. after an
+// I-frame), or NULL for the stateless full-plane fill.  On return (when
+// non-NULL) it lists this frame's non-copy blocks.
+static void fill_paycode_p(int X, int Y, int nbx, int nby,
+                           const int32_t* bts, const int32_t* mv,
+                           const int32_t* rect, const uint32_t* frame,
+                           int K, uint32_t* pay, int32_t* mvk,
+                           int32_t* dirty_io) {
+  size_t nb = (size_t)nbx * nby;
+  int kk = group_mvk(nb, bts, mv, K, mvk);
 
   if (dirty_io != nullptr && dirty_io[0] >= 0) {
     // incremental: clear the previous occupant's blocks, write ours
@@ -2771,6 +2778,150 @@ int sp_decompress_kmv(void* p, const uint8_t* src, long len, int is_key,
                       int K, uint32_t* paycode, int32_t* mvk, int* signif) {
   return sp_decompress_kmv2(p, src, len, is_key, K, paycode, mvk, signif,
                             nullptr);
+}
+
+// ---------------------------------------------------------------------------
+// bc transport: block-command arrays + pixel-only plane.
+//
+// The kmv paycode packs ptype/kslot into every PIXEL, forcing the host to
+// fill motion blocks with constant words and to clear stale blocks (dirty
+// tracking).  The bc transport moves the block structure into two small
+// per-block arrays — bcode [NB] u8 (0 copy / 1 data / 2+k motion-slot) and
+// block-LOCAL rects [NB,4] u8 — that the device broadcasts (structured
+// broadcasts are ~free, kernels/sp_recon.compose_frame_bc); the u32 plane
+// carries ONLY data-rect pixels, and bytes outside data rects are never
+// read.  Consequences for the host stage: no motion fills, no clears, no
+// dirty state — the fill cost collapses to the data pixels themselves
+// (VERDICT round-2 item 5: "skip payload capture for motion/still blocks").
+
+static void fill_bc_p(int X, int Y, int nbx, int nby, const int32_t* bts,
+                      const int32_t* mv, const int32_t* rect,
+                      const uint32_t* frame, int K, uint32_t* plane,
+                      int32_t* mvk, uint8_t* bcode, uint8_t* rloc) {
+  size_t nb = (size_t)nbx * nby;
+  int kk = group_mvk(nb, bts, mv, K, mvk);
+  memset(bcode, 0, nb);
+  for (size_t bi = 0; bi < nb; bi++) {
+    int b = bts[bi];
+    uint8_t* rl = &rloc[bi * 4];
+    if (b <= 0) continue;  // copy: bcode 0, rect ignored
+    int by = (int)(bi / nbx), bx = (int)(bi % nbx);
+    int xb1 = bx * 16, yb1 = by * 16;
+    auto clip16 = [](int v) { return v < 0 ? 0 : (v > 16 ? 16 : v); };
+    int lx1 = clip16(rect[bi * 4 + 0] - xb1);
+    int ly1 = clip16(rect[bi * 4 + 1] - yb1);
+    int lx2 = clip16(rect[bi * 4 + 2] - xb1);
+    int ly2 = clip16(rect[bi * 4 + 3] - yb1);
+    if (b == 3 || b == 4) {
+      int mx = mv[bi * 2], my = mv[bi * 2 + 1];
+      int slot = -1;
+      for (int k = 0; k < kk; k++)
+        if (mvk[k * 2] == mx && mvk[k * 2 + 1] == my) { slot = k; break; }
+      if (slot >= 0) {  // motion: NO plane writes at all
+        bcode[bi] = (uint8_t)(2 + slot);
+        rl[0] = (uint8_t)lx1; rl[1] = (uint8_t)ly1;
+        rl[2] = (uint8_t)lx2; rl[3] = (uint8_t)ly2;
+        continue;
+      }
+      // demoted: full-block data (prepare_kmv's `is_data |= demoted`)
+      lx1 = 0; ly1 = 0; lx2 = 16; ly2 = 16;
+    }
+    bcode[bi] = 1;
+    rl[0] = (uint8_t)lx1; rl[1] = (uint8_t)ly1;
+    rl[2] = (uint8_t)lx2; rl[3] = (uint8_t)ly2;
+    // write the data-rect pixels (and only them)
+    int xa1 = xb1 + lx1, xa2 = xb1 + lx2; if (xa2 > X) xa2 = X;
+    int ya1 = yb1 + ly1, ya2 = yb1 + ly2; if (ya2 > Y) ya2 = Y;
+    for (int y = ya1; y < ya2; y++) {
+      const uint32_t* f = &frame[(size_t)y * X + xa1];
+      uint32_t* row = &plane[(size_t)y * X + xa1];
+      for (int x = 0; x < xa2 - xa1; x++) row[x] = f[x] & 0x00FFFFFFu;
+    }
+  }
+}
+
+// Per-frame bc decode on a persistent handle.  Returns 0 decoded-new /
+// 1 no-change (outputs untouched) / -1 error.  I-frames: full-plane copy,
+// bcode all 1, full rects.
+int sp_decompress_bc(void* p, const uint8_t* src, long len, int is_key,
+                     int K, uint32_t* plane, int32_t* mvk, uint8_t* bcode,
+                     uint8_t* rloc, int* signif) {
+  SpDecoder* d = (SpDecoder*)p;
+  size_t nb = (size_t)d->nbx * d->nby;
+  size_t npix = (size_t)d->X * d->Y;
+  *signif = 0;
+  if (is_key) {
+    int r = d->decompress_i(src, (size_t)len, nullptr);
+    if (r != 0) return r;
+    *signif = 1;
+    const uint32_t* f = d->latest();
+    for (size_t i = 0; i < npix; i++) plane[i] = f[i] & 0x00FFFFFFu;
+    memset(mvk, 0, (size_t)K * 8);
+    memset(bcode, 1, nb);
+    for (size_t bi = 0; bi < nb; bi++) {
+      rloc[bi * 4 + 0] = 0; rloc[bi * 4 + 1] = 0;
+      rloc[bi * 4 + 2] = 16; rloc[bi * 4 + 3] = 16;
+    }
+    return 0;
+  }
+  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
+                          cm.data(), cr.data());
+  if (r != 0) return r;
+  fill_bc_p(d->X, d->Y, d->nbx, d->nby, cb.data(), cm.data(), cr.data(),
+            d->latest(), K, plane, mvk, bcode, rloc);
+  return 0;
+}
+
+// Batch variant (thread pool over streams) emitting the bc transport:
+// plane [B*T*npix] u32 (only data-rect pixels defined where changed),
+// mvk [B*T*K*2] i32, bcode [B*T*NB] u8, rloc [B*T*NB*4] u8.
+int sp_decode_streams_bc(int nstreams, int frames_per_stream, int width,
+                         int height, int bpp, const uint8_t* blob,
+                         const long* offsets, const long* lengths,
+                         int insign_lines, int K, uint32_t* plane,
+                         int32_t* mvk, uint8_t* bcode, uint8_t* rloc,
+                         uint8_t* changed, uint8_t* signif, int nthreads) {
+  const size_t npix = (size_t)width * height;
+  const size_t nb = (size_t)((width + 15) / 16) * ((height + 15) / 16);
+  std::atomic<int> next{0};
+  std::atomic<int> errors{0};
+  auto work = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= nstreams) return;
+      SpDecoder dec(width, height, bpp);
+      dec.preinit(insign_lines);
+      for (int f = 0; f < frames_per_stream; f++) {
+        size_t fi = (size_t)b * frames_per_stream + f;
+        const uint8_t* src = blob + offsets[fi];
+        long len = lengths[fi];
+        int sg = 0;
+        int r = sp_decompress_bc(&dec, src, len, sp_is_key_frame(src, len),
+                                 K, &plane[fi * npix],
+                                 &mvk[fi * (size_t)K * 2], &bcode[fi * nb],
+                                 &rloc[fi * nb * 4], &sg);
+        if (r == -1) {
+          errors.fetch_add(1);
+          for (int g = f; g < frames_per_stream; g++) {
+            size_t gi = (size_t)b * frames_per_stream + g;
+            changed[gi] = 0;
+            signif[gi] = 0;
+          }
+          break;
+        }
+        changed[fi] = r == 0 ? 1 : 0;
+        signif[fi] = (uint8_t)sg;
+      }
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > nstreams) nt = nstreams;
+  std::vector<std::thread> pool;
+  for (int i = 1; i < nt; i++) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return errors.load();
 }
 
 // Per-frame SPARSE kmv transport on a persistent handle (the serving shape

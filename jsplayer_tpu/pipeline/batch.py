@@ -216,6 +216,31 @@ def make_sp_decode_step_kmv(mesh: Mesh, cfg: DecodeConfig):
     return jax.jit(sharded)
 
 
+def make_sp_decode_step_bc(mesh: Mesh, cfg: DecodeConfig):
+    """Sharded SP step for the bc transport (block-command arrays + pixel-
+    only plane, kernels/sp_recon.compose_frame_bc): init [B,G,Y,X] u32,
+    plane [B,G,T,Y,X] u32, bcode [B,G,T,NB] u8, rloc [B,G,T,NB,4] u8,
+    mvk [B,G,T,K,2], changed [B,G,T] over the (dp, gop) mesh."""
+
+    def per_shard(init, plane, bcode, rloc, mvk, changed):
+        b_n, g_n = plane.shape[0], plane.shape[1]
+        frames = jnp.stack([
+            jnp.stack([
+                sp_recon.decode_sequence_bc(
+                    init[b, g], plane[b, g], bcode[b, g], rloc[b, g],
+                    mvk[b, g], changed[b, g])
+                for g in range(g_n)])
+            for b in range(b_n)])
+        return _epilogue(frames, cfg)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp", "gop"),) * 6,
+        out_specs=P("dp", "gop"),
+    )
+    return jax.jit(sharded)
+
+
 def make_sp_decode_step(mesh: Mesh, cfg: DecodeConfig):
     """Build the jitted sharded decode step for SP command stacks."""
 

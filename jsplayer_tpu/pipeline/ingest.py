@@ -88,6 +88,10 @@ class IngestConfig:
     # SP device compose:
     #   "kmv"        dense paycode plane (K-distinct-mv roll; fastest in
     #                HBM, ~27k fps/chip @1080p) — for co-located hosts;
+    #   "bc"         block-command transport: per-block types/rects + a
+    #                pixel-only plane (motion/copy blocks cost the host
+    #                NOTHING to fill — ~1.5x the kmv host stage; same
+    #                device traffic, sp_recon.compose_frame_bc);
     #   "kmv_sparse" block codes + payload tiles (~50 KB/frame typical vs
     #                8.3 MB dense) — for PCIe/network-fed serving where the
     #                host->device link dominates;
@@ -569,7 +573,7 @@ class VideoIngestPipeline:
 
         for attr, key in (("_spbuf", ("sp",)), ("_kmvbuf", ("kmv",)),
                           ("_kmvgbuf", ("kmvg", self._gop_group)),
-                          ("_sparsebuf", ("sparse",))):
+                          ("_sparsebuf", ("sparse",)), ("_bcbuf", ("bc",))):
             buf = getattr(self, attr, None)
             if buf is not None:
                 # the last window's device computation may still be reading
@@ -634,6 +638,8 @@ class VideoIngestPipeline:
         decs = self._sp_decoders()
         if self.cfg.sp_device_path == "kmv_sparse":
             return self._decode_sp_window_sparse(chunk, start)
+        if self.cfg.sp_device_path == "bc":
+            return self._decode_sp_window_bc(chunk, start, decs)
         if self.cfg.sp_device_path == "kmv" and self._sp_native:
             # fast path: the native decoder emits kmv transport directly
             # (paycode plane + mvk) during decode — no payload capture, no
@@ -945,6 +951,190 @@ class VideoIngestPipeline:
         self._carry = frames[:, -1]
         _window_barrier(frames)
         return self._emit(frames, jnp.array(sig), start)
+
+    def _decode_sp_window_bc(self, chunk, start, decs) -> dict:
+        """bc transport host stage: the decoder fills ONLY data-rect plane
+        pixels (no motion fills, no clears, no dirty state — the fastest
+        host feed, kernels/sp_recon.compose_frame_bc contract); block
+        structure rides bcode/rloc arrays the device broadcasts."""
+        vi = self.info
+        X, Y = vi.width, vi.height
+        B, T = len(chunk), self.cfg.window
+        nbx, nby = (X + 15) // 16, (Y + 15) // 16
+        nb = nbx * nby
+        K = self.cfg.kmv_k
+        if getattr(self, "_bcbuf", None) is None:
+            self._bcbuf = _pool_acquire(
+                ("bc",) + self._buf_key, lambda: dict(
+                    plane=np.zeros((B, T, Y, X), dtype=np.uint32),
+                    mvk=np.zeros((B, T, K, 2), dtype=np.int32),
+                    bcode=np.zeros((B, T, nb), dtype=np.uint8),
+                    rloc=np.zeros((B, T, nb, 4), dtype=np.uint8)))
+        buf = self._bcbuf
+        plane, mvk = buf["plane"], buf["mvk"]
+        bcode, rloc = buf["bcode"], buf["rloc"]
+        changed = np.zeros((B, T), dtype=bool)
+        sig = np.zeros((B, T), dtype=bool)
+        if self._sp_native:
+            for b, frames in enumerate(chunk):
+                dec = decs[b]
+                for t, src in enumerate(frames):
+                    changed[b, t], sig[b, t] = self._guard(
+                        b, lambda: dec.decompress_bc(
+                            src, dec.is_key_frame(src), plane[b, t],
+                            mvk[b, t], bcode[b, t], rloc[b, t], K=K),
+                        default=(False, False))
+        else:
+            for b, frames in enumerate(chunk):
+                dec = decs[b]
+                bts = np.zeros((T, nb), dtype=np.int32)
+                mv = np.zeros((T, nb, 2), dtype=np.int32)
+                rect = np.zeros((T, nb, 4), dtype=np.int32)
+                payload = np.zeros((T, Y, X), dtype=np.uint32)
+                for t, src in enumerate(frames):
+                    cap = {}
+                    dec.capture = cap
+                    dst = np.zeros(X * Y, dtype=np.uint32)
+                    if dec.is_key_frame(src):
+                        dec.decompress_i(src, dst)
+                        sig[b, t] = True
+                    else:
+                        res = dec.decompress_p(src, dst)
+                        sig[b, t] = bool(res.significant_changes)
+                    payload[t] = dec.previous_frame().reshape(Y, X)
+                    bts[t], mv[t], rect[t] = (cap["bts"], cap["mv"],
+                                              cap["rect"])
+                    changed[b, t] = cap["changed"]
+                (plane[b], bcode[b], rloc[b], mvk[b]) = sp_recon.prepare_bc(
+                    bts, mv, rect, payload, K=K)
+        return self._bc_route(plane, bcode, rloc, mvk, changed, sig, start)
+
+    def _bc_route(self, plane, bcode, rloc, mvk, changed, sig, start) -> dict:
+        """Dispatch an assembled bc window to the right device path
+        (mirrors _kmv_route: elision, mesh sharding, fused model, batch)."""
+        B = plane.shape[0]
+        init = self._carry_init(B)
+        if self.cfg.still_elision:
+            return self._bc_elided(plane, bcode, rloc, mvk, changed, sig,
+                                   init, start)
+        if self.cfg.mesh is not None:
+            frames = self._sharded_bc_step(plane, bcode, rloc, mvk, changed)
+            self._carry = frames[:, -1]
+            _window_barrier(frames)
+            return self._emit(frames, jnp.array(sig), start)
+        if not self.cfg.emit_frames and self.cfg.emit_model_input:
+            carry, model = sp_recon.decode_batch_bc_model(
+                init, _put(plane), _put(bcode), _put(rloc), _put(mvk),
+                _put(changed), dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            self._carry = carry
+            _window_barrier(carry, model)
+            return {"start_frame": start, "significant": jnp.array(sig),
+                    "model_input": model}
+        frames = sp_recon.decode_batch_bc(
+            init, _put(plane), _put(bcode), _put(rloc), _put(mvk),
+            _put(changed))
+        self._carry = frames[:, -1]
+        _window_barrier(frames)
+        return self._emit(frames, jnp.array(sig), start)
+
+    def _bc_elided(self, plane, bcode, rloc, mvk, changed, sig, init,
+                   start) -> dict:
+        """Still-elision for the bc transport: same output contract as
+        _kmv_elided (flat row stack + outmap), CONCAT layout when every
+        stream's first compacted slot fully overwrites the frame."""
+        B = plane.shape[0]
+        vi = self.info
+        (plc, bcc, rlc, mvkc), valid, outmap = sp_recon.compact_arrays_batch(
+            (plane, bcode, rloc, mvk), changed)
+        cpad = plc.shape[1]
+        counts = valid.sum(axis=1).astype(np.int64)
+        out = {"start_frame": start, "significant": jnp.array(sig)}
+        if cpad == 0:
+            out["outmap"] = outmap
+            if self.cfg.emit_frames:
+                out["frames_u32"] = jnp.zeros(
+                    (0, vi.height, vi.width), dtype=jnp.uint32)
+            return out
+        full_first = self.cfg.mesh is None and all(
+            counts[b] == 0
+            or (bool((bcc[b, 0] == 1).all())
+                and bool((rlc[b, 0] == (0, 0, 16, 16)).all()))
+            for b in range(B))
+        if full_first:
+            offsets = np.zeros(B, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            cat = lambda a: np.concatenate(
+                [a[b, : counts[b]] for b in range(B)] or
+                [np.zeros((0,) + a.shape[2:], a.dtype)])
+            outmap_flat = np.where(
+                outmap >= 0, outmap + offsets[:, None], -1).astype(np.int32)
+            frames = sp_recon.decode_sequence_bc_compact(
+                init[0], _put(cat(plc)), _put(cat(bcc)), _put(cat(rlc)),
+                _put(cat(mvkc)))
+            ends = offsets + counts
+            self._carry = jnp.stack([
+                frames[int(ends[b]) - 1] if counts[b] else init[b]
+                for b in range(B)])
+            _window_barrier(frames)
+            out["outmap"] = outmap_flat
+            if self.cfg.emit_frames:
+                out["frames_u32"] = frames
+            if self.cfg.emit_model_input:
+                out["model_input"] = to_model_input(
+                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            return out
+        outmap_flat = np.where(
+            outmap >= 0,
+            outmap + (np.arange(B, dtype=np.int32) * cpad)[:, None],
+            -1).astype(np.int32)
+        out["outmap"] = outmap_flat
+        if self.cfg.mesh is not None:
+            frames = self._sharded_bc_step(plc, bcc, rlc, mvkc, valid)
+        else:
+            frames = sp_recon.decode_batch_bc(
+                init, _put(plc), _put(bcc), _put(rlc), _put(mvkc),
+                _put(valid))
+        self._carry = frames[:, -1]
+        _window_barrier(frames)
+        flat = frames.reshape((B * cpad,) + frames.shape[2:])
+        if self.cfg.emit_frames:
+            out["frames_u32"] = flat
+        if self.cfg.emit_model_input:
+            out["model_input"] = to_model_input(
+                flat, dtype=jnp.dtype(self.cfg.model_dtype),
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+        return out
+
+    def _sharded_bc_step(self, plane, bcode, rloc, mvk, changed):
+        """bc windows over the mesh's dp axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .batch import DecodeConfig, make_sp_decode_step_bc
+
+        mesh = self.cfg.mesh
+        assert self._gop_group == 1, \
+            "gop>1 grouping rides the kmv path; bc shards dp only"
+        vi = self.info
+        if getattr(self, "_sharded_bc", None) is None:
+            cfg = DecodeConfig(height=vi.height, width=vi.width,
+                               emit_model_input=False)
+            self._sharded_bc = make_sp_decode_step_bc(mesh, cfg)
+        put = lambda a, spec: jax.device_put(
+            np.ascontiguousarray(a), NamedSharding(mesh, spec))
+        init = self._carry_init(plane.shape[0])
+        frames = self._sharded_bc(
+            jax.device_put(init[:, None],
+                           NamedSharding(mesh, P("dp", "gop"))),
+            put(plane[:, None], P("dp", "gop")),
+            put(bcode[:, None], P("dp", "gop")),
+            put(rloc[:, None], P("dp", "gop")),
+            put(mvk[:, None], P("dp", "gop")),
+            put(changed[:, None], P("dp", "gop")))
+        if jax.default_backend() == "cpu":
+            jax.block_until_ready(frames)
+        return frames[:, 0]
 
     def _kmv_route(self, pc, mvk, changed, sig, start) -> dict:
         """Dispatch an assembled kmv window (pc [B,T,Y,X], mvk [B,T,K,2],
