@@ -72,6 +72,15 @@ def split_channels(frame: jax.Array, bpp16: bool = False) -> jax.Array:
     return out
 
 
+def _flip_rows(x: jax.Array, axis: int) -> jax.Array:
+    """Vertical flip via a reversed-row GATHER.  jnp.flip lowers to
+    lax.rev, measured ~44 us/frame on [C,3,540,960] on v5e; the row gather
+    is ~3x cheaper end-to-end (row gathers are the one cheap gather shape
+    on TPU — BENCH_NOTES ragged transport)."""
+    idx = jnp.arange(x.shape[axis] - 1, -1, -1)
+    return jnp.take(x, idx, axis=axis)
+
+
 def to_model_input(
     frame: jax.Array,
     dtype=jnp.bfloat16,
@@ -122,8 +131,110 @@ def to_model_input(
     if bpp16:
         x = x << 3
     if flip_vertical:
-        x = jnp.flip(x, axis=-2)  # bottom-up storage → top-down tensor
+        x = _flip_rows(x, -2)  # bottom-up storage → top-down tensor
     x = (x.astype(jnp.float32) * (scale / denom) - mean).astype(dtype)
+    if layout == "NHWC":
+        x = jnp.moveaxis(x, -3, -1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Packed ds2 epilogue: Pallas box-downsample inside the decode scan
+# ---------------------------------------------------------------------------
+#
+# The fused model path's cost was the in-scan epilogue (BENCH_r02: 13.9k
+# fps vs the 31k decode bound).  Splitting it — the scan emits ONE packed
+# [H/2, W/2] i32 plane per frame (r/g/b 2x2 box sums as 10-bit fields,
+# max 1020 < 1024) via a Pallas kernel, and the unpack/normalize runs once
+# on the small stack outside — runs the scan at full decode speed
+# (measured 31k with the packed emit; the unpack adds ~17 us/frame).
+#
+# In-kernel layout lessons (all measured, scripts/exp_pallas_*):
+#   * strided slices, minor-dim reshapes, and lane gathers don't lower in
+#     Mosaic (or crash the compiler);
+#   * u16->u32 pltpu.bitcast merges SUBLANE pairs (16-bit tiling packs two
+#     values per 32-bit word vertically) -> H-pair sums for free;
+#   * the W pairs become sublane pairs after an in-VMEM transpose — two
+#     u16 transposes beat every other W-compaction that compiles;
+#   * jnp.flip lowers to lax.rev (~44 us/frame on the small stack); the
+#     reversed-row gather is ~free.
+
+_DS2_BH = 128  # input rows per grid step (output 64: sublane-aligned)
+
+
+def _ds2_pack_kernel(x_ref, o_ref):
+    import jax.experimental.pallas.tpu as pltpu  # deferred: TPU-only
+
+    c = x_ref[0]
+    outs = []
+    for shift in (0, 8, 16):
+        x16 = ((c >> shift) & 0xFF).astype(jnp.uint16)   # [BH, X]
+        v = pltpu.bitcast(x16, jnp.uint32)               # [BH/2, X]
+        h = (v & 0xFFFF) + (v >> 16)                     # H-pair sums ≤510
+        t = h.astype(jnp.uint16).T                       # [X, BH/2]
+        v2 = pltpu.bitcast(t, jnp.uint32)                # [X/2, BH/2]
+        w = ((v2 & 0xFFFF) + (v2 >> 16)).astype(jnp.int32)
+        outs.append(w.T)                                 # [BH/2, X/2]
+    o_ref[0] = outs[0] | (outs[1] << 10) | (outs[2] << 20)
+
+
+def ds2_pack_ref(frame: jax.Array) -> jax.Array:
+    """XLA reference of the packed ds2 plane (bit-identical integer sums;
+    used on non-TPU backends and odd widths)."""
+    c = frame
+    f = ((c & 0xFF) | (((c >> 8) & 0xFF) << 10)
+         | (((c >> 16) & 0xFF) << 20)).astype(jnp.int32)
+    nd = f.ndim
+    win = [1] * nd
+    win[-2] = win[-1] = 2
+    return jax.lax.reduce_window(f, 0, jax.lax.add, tuple(win), tuple(win),
+                                 "VALID")
+
+
+def ds2_pack(frame: jax.Array) -> jax.Array:
+    """[..., Y, X] u32 → [..., Y//2, X//2] i32 packed 10-bit field sums
+    (b | g<<10 | r<<20).  Pallas on TPU; XLA reference elsewhere."""
+    Y, X = frame.shape[-2:]
+    # TPU shows up as "tpu" locally but "axon" through the tunnel — gate on
+    # the one backend that can't run Mosaic instead of naming TPU
+    if (jax.default_backend() == "cpu" or X % 2 or X < 256 or Y < 16):
+        return ds2_pack_ref(frame)
+    from jax.experimental import pallas as pl
+
+    lead = frame.shape[:-2]
+    fr = frame.reshape((-1,) + frame.shape[-2:])
+    C = fr.shape[0]
+    nrows = -(-Y // _DS2_BH)
+    out = pl.pallas_call(
+        _ds2_pack_kernel,
+        grid=(C, nrows),
+        in_specs=[pl.BlockSpec((1, _DS2_BH, X), lambda t, i: (t, i, 0))],
+        out_specs=pl.BlockSpec((1, _DS2_BH // 2, X // 2),
+                               lambda t, i: (t, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, Y // 2, X // 2), jnp.int32),
+    )(fr)
+    return out.reshape(lead + (Y // 2, X // 2))
+
+
+def unpack_ds2(
+    red: jax.Array,
+    dtype=jnp.bfloat16,
+    layout: str = "NHWC",
+    mean: float = 0.0,
+    scale: float = 1.0 / 255.0,
+    flip_vertical: bool = True,
+    bpp16: bool = False,
+) -> jax.Array:
+    """Packed ds2 plane stack → normalized model tensors (the same math as
+    to_model_input(downscale=2): integer sums then one f32 multiply, so the
+    result is bit-exact vs the unfused epilogue)."""
+    x = jnp.stack([(red >> 20) & 1023, (red >> 10) & 1023, red & 1023],
+                  axis=-3)
+    if bpp16:
+        x = x << 3
+    if flip_vertical:
+        x = _flip_rows(x, -2)
+    x = (x.astype(jnp.float32) * (scale / 4.0) - mean).astype(dtype)
     if layout == "NHWC":
         x = jnp.moveaxis(x, -3, -1)
     return x

@@ -347,16 +347,16 @@ def decode_batch_bc(init_frames, plane, bcode, rect, mvk, changed):
 
 def _scan_decode_bc_model(init_frame, plane, bcode, rect, mvk, changed,
                           model_kw):
-    from .rgb_convert import to_model_input
+    emit, finish = _model_emit(model_kw)
 
     def step(prev, inp):
         pl_, bc, r, mk, chg = inp
         out = jnp.where(chg, compose_frame_bc(prev, pl_, bc, r, mk), prev)
-        return out, to_model_input(out, **model_kw)
+        return out, emit(out)
 
     last, model = jax.lax.scan(step, init_frame,
                                (plane, bcode, rect, mvk, changed))
-    return last, model
+    return last, finish(model)
 
 
 @functools.partial(jax.jit,
@@ -459,20 +459,55 @@ def compact_changed_batch(paycode, mvk, changed):
     return pcc, mvkc, valid, outmap
 
 
+def _model_emit(model_kw):
+    """(in-scan emit fn, post-scan finish fn) for the fused model path.
+
+    downscale == 2 rides the packed-plane split: the scan emits ONE packed
+    [H/2, W/2] i32 plane per frame (rgb_convert.ds2_pack — Pallas on TPU)
+    with the vertical flip applied as a ROW GATHER on the small plane
+    inside the scan, and the unpack/normalize/NHWC runs once on the small
+    stack outside behind an optimization_barrier.  Each piece is measured
+    (scripts/exp_unpack*.py): the in-scan to_model_input epilogue was the
+    fused path's whole gap (13.9k vs 31k fps, BENCH_r02); packed emit runs
+    the scan at full decode speed; jnp.flip costs ~44 us/frame vs ~free
+    for the row gather; without the barrier XLA's scan/unpack co-schedule
+    measured 8k vs 21.8k fps.  Other downscale factors keep the original
+    in-scan to_model_input."""
+    from .rgb_convert import ds2_pack, to_model_input, unpack_ds2
+
+    if model_kw.get("downscale") == 2:
+        kw = {k: v for k, v in model_kw.items() if k != "downscale"}
+        flip = kw.pop("flip_vertical", True)
+
+        def emit(out):
+            red = ds2_pack(out)
+            if flip:
+                idx = jnp.arange(red.shape[-2] - 1, -1, -1)
+                red = jnp.take(red, idx, axis=-2)
+            return red
+
+        def finish(red):
+            red = jax.lax.optimization_barrier(red)
+            return unpack_ds2(red, flip_vertical=False, **kw)
+
+        return emit, finish
+    return (lambda out: to_model_input(out, **model_kw)), (lambda m: m)
+
+
 def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
     """kmv scan emitting ONLY fused model tensors (no full-res frame stack):
     the scan's ys are the downstream tensors, so per-frame HBM traffic drops
     by the 4-byte full-res output write + its later re-read (the ML-ingestion
     shape: SURVEY.md §7 step 8 — decoded pixels never leave the device)."""
-    from .rgb_convert import to_model_input
+    emit, finish = _model_emit(model_kw)
 
     def step(prev, inp):
         pc, mk, chg = inp
         out = jnp.where(chg, compose_frame_kmv(prev, pc, mk), prev)
-        return out, to_model_input(out, **model_kw)
+        return out, emit(out)
 
     last, model = jax.lax.scan(step, init_frame, (paycode, mvk, changed))
-    return last, model
+    return last, finish(model)
 
 
 @functools.partial(jax.jit,
@@ -513,17 +548,16 @@ def decode_sequence_kmv_compact_model(init_frame, paycode, mvk,
     emit ONLY their model tensors (full ML-serving shape; pair with
     compact_changed's outmap to reconstruct the timeline).
     → (carry [Y,X] u32, model [T', ...])."""
-    from .rgb_convert import to_model_input
-
     kw = dict(dtype=dtype, layout=layout, downscale=downscale)
+    emit, finish = _model_emit(kw)
 
     def step(prev, inp):
         pc, mk = inp
         out = compose_frame_kmv(prev, pc, mk)
-        return out, to_model_input(out, **kw)
+        return out, emit(out)
 
     last, model = jax.lax.scan(step, init_frame, (paycode, mvk))
-    return last, model
+    return last, finish(model)
 
 
 @jax.jit
