@@ -300,6 +300,7 @@ class ScreenPressor(VideoCodec):
         prev = self.prev
         np.copyto(dst, prev)  # bts==0 / subrect pre-copies collapse to this
         stride = X
+        end = X * Y
         off = -X - 1
         self.cx = self.cx1 = 0
         clr = 0
@@ -361,29 +362,38 @@ class ScreenPressor(VideoCodec):
                         else:
                             stall = 0
                         for _ in range(n):
-                            # Up/left predictor reads with no neighbor (frame
-                            # row/col 0) are OOB; the reference's JS target
-                            # reads `undefined` from the Int32Array there,
-                            # which coerces to 0 — mirror that instead of
-                            # numpy's negative-index wrap (ScreenPressor.hx
-                            # :438-461 via js typed-array semantics).
+                            # Predictor reads with no neighbor (frame row/col
+                            # 0) or past the frame end are OOB; the
+                            # reference's JS target reads `undefined` from
+                            # the Int32Array there, which coerces to 0 —
+                            # mirror that instead of numpy's negative-index
+                            # wrap / IndexError (ScreenPressor.hx:438-461 via
+                            # js typed-array semantics).  Likewise an
+                            # overlong run WALKS PAST the rect bottom (the
+                            # while-y<y2 guard only stops the next run) and
+                            # even past the frame; JS drops OOB writes —
+                            # mirrored by the di<end guard (fuzz-found
+                            # native/oracle divergence, round 3).
+                            rd = (lambda ix: int(dst[ix])
+                                  if 0 <= ix < end else 0)
                             if ptype == 1:
-                                clr = int(dst[di - 1]) if di >= 1 else 0
+                                clr = rd(di - 1)
                             elif ptype == 2:
-                                clr = int(dst[di + off + 1]) if di + off + 1 >= 0 else 0
+                                clr = rd(di + off + 1)
                             elif ptype == 3:
-                                clr = int(prev[i])
+                                clr = int(prev[i]) if i < end else 0
                             elif ptype == 4:
-                                L = int(dst[di - 1]) if di >= 1 else 0
-                                U1 = int(dst[di + off + 1]) if di + off + 1 >= 0 else 0
-                                U0 = int(dst[di + off]) if di + off >= 0 else 0
+                                L = rd(di - 1)
+                                U1 = rd(di + off + 1)
+                                U0 = rd(di + off)
                                 r = (L & 0xFF) + (U1 & 0xFF) - (U0 & 0xFF)
                                 g = ((L >> 8) & 0xFF) + ((U1 >> 8) & 0xFF) - ((U0 >> 8) & 0xFF)
                                 b = ((L >> 16) & 0xFF) + ((U1 >> 16) & 0xFF) - ((U0 >> 16) & 0xFF)
                                 clr = ((b & 0xFF) << 16) | ((g & 0xFF) << 8) | (r & 0xFF)
                             elif ptype == 5:
-                                clr = int(dst[di + off]) if di + off >= 0 else 0
-                            dst[di] = clr
+                                clr = rd(di + off)
+                            if di < end:
+                                dst[di] = clr
                             x += 1
                             if x >= x2:
                                 x = x1

@@ -1471,12 +1471,16 @@ struct SpDecoder {
         } else {  // data
           int xx = x1, yy = y1;
           int pt = 0;
-          // Up/left predictor reads with no neighbor (frame row/col 0) have
-          // a negative source index on a malformed stream; the reference's
-          // JS target reads `undefined` from the Int32Array there, which
-          // coerces to 0 — mirror that instead of reading out of bounds.
+          // OOB predictor reads (no neighbor at frame row/col 0, or past
+          // the frame end when an overlong run walks below its rect): the
+          // reference's JS target reads `undefined` from the Int32Array,
+          // which coerces to 0, and DROPS OOB writes.  Mirror both exactly
+          // — an earlier clamp that truncated the run at the rect bottom
+          // (c = n; break) was a fuzz-found divergence from the oracle:
+          // the reference's while-y<y2 guard only stops the NEXT run, so
+          // an overlong run keeps writing rows below the rect.
           auto at = [&](long long idx) -> uint32_t {
-            return idx >= 0 ? d[idx] : 0u;
+            return (idx >= 0 && idx < (long long)end) ? d[idx] : 0u;
           };
           int stall = 0;  // corrupt stream: endless n==0 runs must not hang
           while (yy < y2) {
@@ -1490,22 +1494,18 @@ struct SpDecoder {
               switch (pt) {
                 case 1: clr = at(di - 1); break;
                 case 2: clr = at(di + off + 1); break;
-                case 3: clr = pv[i]; break;
+                case 3: clr = i < end ? pv[i] : 0u; break;
                 case 4: clr = grad(at(di - 1), at(di + off + 1), at(di + off)); break;
                 case 5: clr = at(di + off); break;
                 default: break;
               }
-              d[di] = clr;
+              if (di < (long long)end) d[di] = clr;
               xx++;
               if (xx >= x2) {
                 xx = x1;
                 yy++;
-                if (yy >= y2 && c < n - 1) {
-                  // run exceeds rect: keep consuming per reference semantics
-                }
                 i = (size_t)yy * stride + xx;
-                di = i;
-                if (yy >= y2) { c = n; break; }
+                di = (long long)i;
               } else {
                 i++; di++;
               }
