@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from . import rans_lanes
-from .sp_recon import block_broadcast
+from .sp_recon import bc_row_map, row_expand
 
 
 def units_from_pack(refills: jax.Array, states: jax.Array, freq: jax.Array,
@@ -54,18 +54,20 @@ def compose_frame_lane(prev: jax.Array, units: jax.Array,
     rows = jnp.take(units, inv_idx, axis=0)          # [R, 128]
     tp = rows.reshape(Y, Xp)[:, :X]
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
-    ly, lx = yy & 15, xx & 15
-    btb = block_broadcast(btype.astype(jnp.int32), nby, nbx, Y, X)
-    r = block_broadcast(rect.astype(jnp.int32), nby, nbx, Y, X)
-    in_rect = ((lx >= r[..., 0]) & (lx < r[..., 2])
-               & (ly >= r[..., 1]) & (ly < r[..., 3]))
-    out = jnp.where((btb == 1) & in_rect, tp, prev)
+    # block structure via the packed row map + rows-only expansion
+    # (sp_recon.bc_row_map: block_broadcast's lane split measured ~60 us
+    # per use at 1080p; the row expansion is ~7x cheaper)
+    rowv = row_expand(bc_row_map(btype, rect, nby, nbx, X), Y, X)
+    bt = rowv & 0xFF
+    y1 = (rowv >> 8) & 0xFF
+    y2 = (rowv >> 16) & 0xFF
+    ly = (jax.lax.broadcasted_iota(jnp.uint32, (Y, X), 0)) & 15
+    in_y = (ly >= y1) & (ly < y2)
+    out = jnp.where((bt == 1) & in_y, tp, prev)
     K = mvk.shape[0]
     for k in range(K):
         shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
-        out = jnp.where((btb == 2 + k) & in_rect, shifted, out)
+        out = jnp.where((bt == 2 + k) & in_y, shifted, out)
     return out
 
 

@@ -289,25 +289,53 @@ def prepare_bc(bts, mv, rect, payload, K: int = 4):
     return plane, bcode, rloc, mvk
 
 
+def bc_row_map(bcode, rect, nby: int, nbx: int, X: int):
+    """Per-block commands → a packed [nby, X] u32 ROW MAP:
+    ``btype | y1<<8 | y2<<16`` per column, with the x-rect folded in
+    (columns outside a block's x-rect read 0 = copy).
+
+    Built ON DEVICE from the tiny [NB] arrays — all ops touch ≤NBx16
+    elements.  The per-pixel expansion is then rows-only (see
+    row_expand): block_broadcast's lane-dim (nbx,16) split measured
+    ~60 us/frame at 1080p, 7x the rows-only expansion, and the original
+    [Y,X,4] rect broadcast another 3x on top (lane-minor trailing dim)."""
+    bt = bcode.reshape(nby, nbx).astype(jnp.uint32)
+    r = rect.reshape(nby, nbx, 4).astype(jnp.uint32)
+    lx = jax.lax.broadcasted_iota(jnp.uint32, (nby, nbx, 16), 2)
+    act = (lx >= r[..., 0, None]) & (lx < r[..., 2, None])
+    packed = jnp.where(
+        act, bt[..., None] | (r[..., 1, None] << 8) | (r[..., 3, None] << 16),
+        0)
+    return packed.reshape(nby, nbx * 16)[:, :X]
+
+
+def row_expand(rows, Y: int, X: int):
+    """[nby, X] → [Y, X]: repeat each row 16x (sublane-merging reshape —
+    contiguous, cheap; never splits the lane dim)."""
+    nby = rows.shape[0]
+    v = jnp.broadcast_to(rows[:, None, :], (nby, 16, X))
+    return v.reshape(nby * 16, X)[:Y]
+
+
 def compose_frame_bc(prev, plane, bcode, rect, mvk):
     """plane [Y,X] u32 (data pixels only), bcode [NB] u8, rect [NB,4] u8
     block-local, mvk [K,2] i32 — pixel semantics identical to
-    compose_frame_kmv (ScreenPressor.hx:302-484 block model)."""
+    compose_frame_kmv (ScreenPressor.hx:302-484 block model).  The block
+    structure reaches pixels through ONE packed row map + a rows-only
+    expansion (see bc_row_map)."""
     Y, X = prev.shape
     nbx, nby = (X + 15) // 16, (Y + 15) // 16
-    yy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1)
-    ly, lx = yy & 15, xx & 15
-    btb = block_broadcast(bcode.astype(jnp.int32), nby, nbx, Y, X)
-    r = block_broadcast(rect.astype(jnp.int32), nby, nbx, Y, X)
-    in_rect = ((lx >= r[..., 0]) & (lx < r[..., 2])
-               & (ly >= r[..., 1]) & (ly < r[..., 3]))
-    out = jnp.where((btb == 1) & in_rect,
-                    plane & jnp.uint32(0x00FFFFFF), prev)
+    rowv = row_expand(bc_row_map(bcode, rect, nby, nbx, X), Y, X)
+    bt = rowv & 0xFF
+    y1 = (rowv >> 8) & 0xFF
+    y2 = (rowv >> 16) & 0xFF
+    ly = (jax.lax.broadcasted_iota(jnp.uint32, (Y, X), 0)) & 15
+    in_y = (ly >= y1) & (ly < y2)
+    out = jnp.where((bt == 1) & in_y, plane & jnp.uint32(0x00FFFFFF), prev)
     K = mvk.shape[0]
     for k in range(K):
         shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
-        out = jnp.where((btb == 2 + k) & in_rect, shifted, out)
+        out = jnp.where((bt == 2 + k) & in_y, shifted, out)
     return out
 
 
