@@ -332,8 +332,10 @@ def main() -> None:
             R = Y * (lane_format.plane_cols(X) // 128)
             inv = w.inv_index(R)
             lane_prep_ms = (time.perf_counter() - t0) * 1e3
+            init0 = (jnp.asarray(w.init_plane) if w.init_plane is not None
+                     else jnp.zeros((Y, X), jnp.uint32))
             lane_args = jax.device_put(
-                (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.refills),
+                (init0, jnp.asarray(w.refills),
                  jnp.asarray(w.states), jnp.asarray(w.freq),
                  jnp.asarray(w.btype), jnp.asarray(w.rect),
                  jnp.asarray(w.mvk), jnp.asarray(inv),

@@ -79,6 +79,14 @@ class LaneWindow:
     freq: np.ndarray             # [256] int32
     states: np.ndarray           # [N] uint32
     refills: np.ndarray          # [steps, N, 2] uint8
+    # Window-leading keyframe extracted as a RAW [Y, X] u32 scan-init
+    # plane: entropy-coding a full 1080p frame is ~6M symbols (4 ms even
+    # at the 2-level search's 1.5 Gsym/s) and its ~16K payload units make
+    # the per-frame row gather latency-bound — shipping it dense is both
+    # FASTER and SMALLER on the wire than its refill rows.  Frame 0 then
+    # stays in the scan as an all-copy changed frame (carry passthrough
+    # of the init).  None = window continues the previous carry.
+    init_plane: Optional[np.ndarray] = None
 
     def inv_index(self, R: int) -> np.ndarray:
         """[T, R] int32: plane row → global unit row (0 where absent; the
@@ -148,7 +156,23 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     unit_px: list[np.ndarray] = []
     per_frame_units = np.zeros(T, dtype=np.int64)
     pay = payload & np.uint32(0x00FFFFFF)
+    # window-leading keyframe → raw init plane (see LaneWindow.init_plane):
+    # frame 0 must be a full-frame data paint (every block data, full
+    # rects, no motion) — the I-frame capture shape
+    full_rects = np.empty((NB, 4), dtype=np.int64)
+    full_rects[:, 0] = (np.arange(NB) % nbx) * 16
+    full_rects[:, 1] = (np.arange(NB) // nbx) * 16
+    full_rects[:, 2] = np.minimum(full_rects[:, 0] + 16, X)
+    full_rects[:, 3] = np.minimum(full_rects[:, 1] + 16, Y)
+    init_plane = None
+    if (T > 0 and changed[0] and (bts[0] == 1).all()
+            and (rect[0] == full_rects).all()):
+        init_plane = pay[0].copy()
     for t in range(T):
+        if t == 0 and init_plane is not None:
+            # all-copy changed frame: the scan passes the init through
+            unit_rows.append(np.zeros(0, dtype=np.int64))
+            continue
         is_mot_block = (bts[t] == 3) | (bts[t] == 4)
         data_blk = (bts[t] > 0) & ~is_mot_block
         loc = _block_local_rects(rect[t], nbx)
@@ -197,13 +221,16 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     freq = rans_lanes.build_freq_table(syms if syms.size
                                        else np.zeros(1, np.uint8))
     lane_bytes, states, ns = rans_lanes.encode_lanes(syms, freq, n_lanes)
-    steps = _bucket_pow2(max(1, -(-ns // n_lanes)))
+    # exact step count on the wire — consumers pad refills to their own
+    # shape buckets (pipeline/ingest does), so pow2-bucketing here only
+    # inflated the container (~35% on the bench corpus)
+    steps = max(1, -(-ns // n_lanes))
     refills = rans_lanes.layout_refills(lane_bytes, states, freq, steps)
     return LaneWindow(T=T, changed=changed.astype(bool),
                       signif=signif.astype(bool),
                       mvk=mvk.astype(np.int32), btype=btype, rect=rloc,
                       unit_rows=unit_rows, n_units=U, freq=freq,
-                      states=states, refills=refills)
+                      states=states, refills=refills, init_plane=init_plane)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +254,8 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int) -> bytes:
     unit_counts = np.array([r.size for r in w.unit_rows], dtype=np.uint32)
     unit_rows = b"".join(r.astype("<u4").tobytes() for r in w.unit_rows)
     steps = w.refills.shape[0]
-    body = (struct.pack("<HIII", T, w.n_units, n_active, steps)
+    has_init = 1 if w.init_plane is not None else 0
+    body = (struct.pack("<HIIIB", T, w.n_units, n_active, steps, has_init)
             + w.changed.astype(np.uint8).tobytes()
             + w.signif.astype(np.uint8).tobytes()
             + w.mvk.astype("<i2").tobytes()
@@ -237,7 +265,8 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int) -> bytes:
             + bytes(unit_rows)
             + w.freq.astype("<i4").tobytes()
             + w.states.astype("<u4").tobytes()
-            + w.refills.tobytes())
+            + w.refills.tobytes()
+            + (w.init_plane.astype("<u4").tobytes() if has_init else b""))
     return struct.pack("<I", len(body)) + body
 
 
@@ -287,13 +316,13 @@ def container_from_bytes(data: bytes) -> LaneContainer:
         if end > len(data):
             raise ValueError("lane container truncated (record)")
         c.windows.append(_window_from_bytes(
-            memoryview(data)[off:end], K, n_lanes, NB, R))
+            memoryview(data)[off:end], K, n_lanes, NB, R, X, Y))
         off = end
     return c
 
 
 def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
-                       R: int) -> LaneWindow:
+                       R: int, X: int, Y: int) -> LaneWindow:
     def take(n):
         nonlocal pos
         if pos + n > len(buf):
@@ -303,8 +332,8 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         return out
 
     pos = 0
-    T, U, n_active, steps = struct.unpack_from("<HIII", buf, 0)
-    pos = struct.calcsize("<HIII")
+    T, U, n_active, steps, has_init = struct.unpack_from("<HIIIB", buf, 0)
+    pos = struct.calcsize("<HIIIB")
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
             or steps > 1 << 24:
         raise ValueError("implausible lane window header")
@@ -354,6 +383,11 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     refills = refills.reshape(steps, n_lanes, 2).copy()
     if 3 * U * 128 > steps * n_lanes:
         raise ValueError("lane window: payload exceeds lane capacity")
+    init_plane = None
+    if has_init:
+        init_plane = np.frombuffer(take(X * Y * 4), dtype="<u4").astype(
+            np.uint32).reshape(Y, X)
     return LaneWindow(T=T, changed=changed, signif=signif, mvk=mvk,
                       btype=btype, rect=rect, unit_rows=unit_rows,
-                      n_units=U, freq=freq, states=states, refills=refills)
+                      n_units=U, freq=freq, states=states, refills=refills,
+                      init_plane=init_plane)

@@ -451,6 +451,26 @@ class VideoIngestPipeline:
                 freq[b] = w.freq
             if carry is None:
                 carry = jnp.zeros((B, Y, X), dtype=jnp.uint32)
+            # window-leading keyframes ride as raw init planes (the scan's
+            # frame 0 is an all-copy passthrough) — override those
+            # streams' carries on device, no host round-trip
+            if any(w is not None and w.init_plane is not None for w in wins):
+                init_np = np.zeros((B, Y, X), dtype=np.uint32)
+                mask = np.zeros(B, dtype=bool)
+                for b, w in enumerate(wins):
+                    if w is not None and w.init_plane is not None:
+                        init_np[b] = w.init_plane
+                        mask[b] = True
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    sh = NamedSharding(mesh, P("dp"))
+                    carry = jnp.where(
+                        jax.device_put(mask, sh)[:, None, None],
+                        jax.device_put(init_np, sh), carry)
+                else:
+                    carry = jnp.where(_put(mask)[:, None, None],
+                                      _put(init_np), carry)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
