@@ -471,10 +471,32 @@ class VideoIngestPipeline:
                 else:
                     carry = jnp.where(_put(mask)[:, None, None],
                                       _put(init_np), carry)
+            # still-elision: stills never enter the lane scan (the same
+            # outmap contract as _kmv_elided — flat row stack; -1 = the
+            # window's carry-in frame)
+            outmap = None
+            if self.cfg.still_elision:
+                (btype, rect, mvk, inv), valid, outmap = \
+                    sp_recon.compact_arrays_batch(
+                        (btype, rect, mvk, inv), changed)
+                cpad = btype.shape[1]
+                changed = valid
+                outmap = np.where(
+                    outmap >= 0,
+                    outmap + (np.arange(B, dtype=np.int32) * cpad)[:, None],
+                    -1).astype(np.int32)
+            if changed.shape[1] == 0:  # all streams all-stills
+                out = {"start_frame": wi * Tw, "significant": jnp.array(sig),
+                       "outmap": outmap,
+                       "frames_u32": jnp.zeros((0, Y, X), jnp.uint32)}
+                if pending is not None:
+                    yield pending
+                pending = out
+                continue
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                key = (u_pad, steps)
+                key = (u_pad, steps, changed.shape[1])
                 steps_cache = getattr(self, "_lane_steps", None)
                 if steps_cache is None:
                     steps_cache = self._lane_steps = {}
@@ -494,12 +516,22 @@ class VideoIngestPipeline:
                     _put(changed), u_pad)
             carry = frames[:, -1]
             _window_barrier(frames)
-            out = {"start_frame": wi * Tw, "frames_u32": frames,
-                   "significant": jnp.array(sig)}
-            if self.cfg.emit_model_input:
-                out["model_input"] = to_model_input(
-                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            out = {"start_frame": wi * Tw, "significant": jnp.array(sig)}
+            if outmap is not None:
+                out["outmap"] = outmap
+                flat = frames.reshape((-1,) + frames.shape[2:])
+                if self.cfg.emit_frames:
+                    out["frames_u32"] = flat
+                if self.cfg.emit_model_input:
+                    out["model_input"] = to_model_input(
+                        flat, dtype=jnp.dtype(self.cfg.model_dtype),
+                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            else:
+                out["frames_u32"] = frames
+                if self.cfg.emit_model_input:
+                    out["model_input"] = to_model_input(
+                        frames, dtype=jnp.dtype(self.cfg.model_dtype),
+                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
             if pending is not None:
                 yield pending
             pending = out

@@ -115,6 +115,36 @@ def test_lane_sharded_mesh():
                 err_msg=f"stream {b} frame {t}")
 
 
+def test_lane_still_elision():
+    """Lane windows with still_elision: stills never enter the device scan;
+    the flat-rows + outmap contract reconstructs the exact timeline."""
+    X, Y, T = 64, 48, 12
+    avis, golds = zip(*[make_avi(s, X, Y, T, key_every=6) for s in range(2)])
+    conts = [transcode_to_lane(a, window=6, K=2) for a in avis]
+    pipe = VideoIngestPipeline(
+        [MemorySource(c) for c in conts],
+        IngestConfig(sp_device_path="lane", still_elision=True))
+    carry = [np.zeros(Y * X, np.uint32) for _ in range(2)]
+    seen = 0
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        outmap = np.asarray(batch["outmap"])
+        for b in range(2):
+            for t in range(outmap.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi >= T:
+                    break
+                if outmap[b, t] >= 0:
+                    got = fr[outmap[b, t]].reshape(-1)
+                    carry[b] = got
+                else:
+                    got = carry[b]
+                np.testing.assert_array_equal(
+                    got, golds[b][gi] & 0x00FFFFFF, err_msg=f"b={b} t={gi}")
+                seen += 1
+    assert seen == 2 * T
+
+
 def test_lane_model_input_parity():
     """The fused model epilogue over lane-decoded frames matches the kmv
     pipeline's on the same content."""
