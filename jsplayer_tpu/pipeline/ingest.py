@@ -582,7 +582,7 @@ class VideoIngestPipeline:
             G = self._gop_group
             from .. import native as _nat
             if (G > 1 and vi.codec == CodecType.SCREENPRESSOR
-                    and self.cfg.sp_device_path == "kmv"
+                    and self.cfg.sp_device_path in ("kmv", "bc")
                     and _nat.available()):
                 # gop-axis grouping: G keyframe-led windows per sharded
                 # [B, G, T] dispatch (sequence-parallel, SURVEY §2 SP row)
@@ -625,7 +625,8 @@ class VideoIngestPipeline:
 
         for attr, key in (("_spbuf", ("sp",)), ("_kmvbuf", ("kmv",)),
                           ("_kmvgbuf", ("kmvg", self._gop_group)),
-                          ("_sparsebuf", ("sparse",)), ("_bcbuf", ("bc",))):
+                          ("_sparsebuf", ("sparse",)), ("_bcbuf", ("bc",)),
+                          ("_bcgbuf", ("bcg", self._gop_group))):
             buf = getattr(self, attr, None)
             if buf is not None:
                 # the last window's device computation may still be reading
@@ -1354,7 +1355,8 @@ class VideoIngestPipeline:
         dependency.  → one output dict per real window."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from .batch import DecodeConfig, make_sp_decode_step_kmv
+        from .batch import (DecodeConfig, make_sp_decode_step_bc,
+                            make_sp_decode_step_kmv)
 
         vi = self.info
         X, Y = vi.width, vi.height
@@ -1366,15 +1368,26 @@ class VideoIngestPipeline:
         assert self._sp_native, "gop-grouped ingest needs the native decoder"
         assert not self.cfg.still_elision, \
             "still_elision with a gop>1 mesh is not supported yet"
+        use_bc = self.cfg.sp_device_path == "bc"
         nb = ((X + 15) // 16) * ((Y + 15) // 16)
-        if getattr(self, "_kmvgbuf", None) is None:
-            self._kmvgbuf = _pool_acquire(
-                ("kmvg", G) + self._buf_key, lambda: dict(
-                    pc=np.zeros((B, G, T, Y, X), dtype=np.uint32),
-                    mvk=np.zeros((B, G, T, K, 2), dtype=np.int32),
-                    dirty=np.zeros((B, G, T, nb + 1), dtype=np.int32)))
-        buf = self._kmvgbuf
-        pc, mvk, dirty = buf["pc"], buf["mvk"], buf["dirty"]
+        if use_bc:
+            if getattr(self, "_bcgbuf", None) is None:
+                self._bcgbuf = _pool_acquire(
+                    ("bcg", G) + self._buf_key, lambda: dict(
+                        pc=np.zeros((B, G, T, Y, X), dtype=np.uint32),
+                        mvk=np.zeros((B, G, T, K, 2), dtype=np.int32),
+                        bcode=np.zeros((B, G, T, nb), dtype=np.uint8),
+                        rloc=np.zeros((B, G, T, nb, 4), dtype=np.uint8)))
+            buf = self._bcgbuf
+        else:
+            if getattr(self, "_kmvgbuf", None) is None:
+                self._kmvgbuf = _pool_acquire(
+                    ("kmvg", G) + self._buf_key, lambda: dict(
+                        pc=np.zeros((B, G, T, Y, X), dtype=np.uint32),
+                        mvk=np.zeros((B, G, T, K, 2), dtype=np.int32),
+                        dirty=np.zeros((B, G, T, nb + 1), dtype=np.int32)))
+            buf = self._kmvgbuf
+        pc, mvk = buf["pc"], buf["mvk"]
         changed = np.zeros((B, G, T), dtype=bool)
         sig = np.zeros((B, G, T), dtype=bool)
         n_real = len(starts)
@@ -1387,14 +1400,23 @@ class VideoIngestPipeline:
                         f"(window @{starts[g]} stream {b} starts mid-GOP); "
                         "align IngestConfig.window with the keyframe cadence")
                 for t, src in enumerate(frames):
-                    changed[b, g, t], sig[b, g, t] = self._guard(
-                        b, lambda: dec.decompress_kmv(
+                    if use_bc:
+                        step = lambda: dec.decompress_bc(
                             src, dec.is_key_frame(src), pc[b, g, t],
-                            mvk[b, g, t], K=K, dirty=dirty[b, g, t]),
-                        default=(False, False))
-        if getattr(self, "_sharded_gstep", None) is None:
+                            mvk[b, g, t], buf["bcode"][b, g, t],
+                            buf["rloc"][b, g, t], K=K)
+                    else:
+                        step = lambda: dec.decompress_kmv(
+                            src, dec.is_key_frame(src), pc[b, g, t],
+                            mvk[b, g, t], K=K, dirty=buf["dirty"][b, g, t])
+                    changed[b, g, t], sig[b, g, t] = self._guard(
+                        b, step, default=(False, False))
+        cache_attr = "_sharded_gstep_bc" if use_bc else "_sharded_gstep"
+        if getattr(self, cache_attr, None) is None:
             cfg = DecodeConfig(height=Y, width=X, emit_model_input=False)
-            self._sharded_gstep = make_sp_decode_step_kmv(mesh, cfg)
+            mk = make_sp_decode_step_bc if use_bc else make_sp_decode_step_kmv
+            setattr(self, cache_attr, mk(mesh, cfg))
+        gstep = getattr(self, cache_attr)
         put = lambda a, spec: jax.device_put(
             np.ascontiguousarray(a), NamedSharding(mesh, spec))
         # g=0 continues the previous group's carry; g>0 windows are
@@ -1402,9 +1424,16 @@ class VideoIngestPipeline:
         init = np.zeros((B, G, Y, X), dtype=np.uint32)
         if getattr(self, "_carry", None) is not None:
             init[:, 0] = np.asarray(self._carry)
-        frames = self._sharded_gstep(
-            put(init, P("dp", "gop")), put(pc, P("dp", "gop")),
-            put(mvk, P("dp", "gop")), put(changed, P("dp", "gop")))
+        if use_bc:
+            frames = gstep(
+                put(init, P("dp", "gop")), put(pc, P("dp", "gop")),
+                put(buf["bcode"], P("dp", "gop")),
+                put(buf["rloc"], P("dp", "gop")),
+                put(mvk, P("dp", "gop")), put(changed, P("dp", "gop")))
+        else:
+            frames = gstep(
+                put(init, P("dp", "gop")), put(pc, P("dp", "gop")),
+                put(mvk, P("dp", "gop")), put(changed, P("dp", "gop")))
         self._carry = frames[:, n_real - 1, -1]
         _window_barrier(frames)
         outs = []

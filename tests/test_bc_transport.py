@@ -186,6 +186,21 @@ def test_bc_ingest_mesh():
                   8, T, Y, X, golds)
 
 
+def test_bc_ingest_gop_mesh():
+    """bc transport through the GOP-grouped window path: G keyframe-led
+    windows per sharded [B, G, T] dispatch on the (dp, gop) mesh."""
+    from jsplayer_tpu.pipeline.ingest import IngestConfig
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X, Y, T = 48, 32, 12
+    mesh = make_mesh(dp=4, gop=2)
+    avis, golds = zip(*[tlc.make_avi(s, X, Y, T, key_every=3)
+                        for s in range(4)])
+    _run_pipeline(avis,
+                  IngestConfig(window=3, sp_device_path="bc", mesh=mesh),
+                  4, T, Y, X, golds)
+
+
 def test_bc_ingest_model_only_matches_kmv():
     from jsplayer_tpu.core.source import MemorySource
     from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
