@@ -43,6 +43,10 @@ DEFAULT_MOTION_CANDIDATES = [
     (0, -1), (0, 1), (-1, 0), (1, 0), (-1, -1), (1, 1), (1, -1), (-1, 1),
     (0, -2), (0, 2), (-2, 0), (2, 0), (0, -4), (4, 0), (-4, 0), (0, 4),
     (0, -8), (8, 0), (-8, 0), (0, 8),
+    # appended round 3 (order-preserving: earlier outputs unchanged):
+    # line-height scrolls (text UIs scroll by 12-16 px) and 3 px nudges
+    (0, -16), (0, 16), (-16, 0), (16, 0), (0, -12), (0, 12),
+    (0, -3), (0, 3), (-3, 0), (3, 0),
 ]
 
 
@@ -221,11 +225,23 @@ class ScreenPressorEncoder:
                 # subrect usable iff strictly smaller than the cropped block
                 # and representable (sxy symbols are 0..15)
                 use_sub = (ry2 - ry1) * (rx2 - rx1) < (by2 - y16) * (bx2 - x16)
-                if use_sub:
-                    x1, y1, x2, y2 = rx1, ry1, rx2, ry2
-                else:
+                # prefer FULL-BLOCK motion (bts 3) even when the dirty rect
+                # is smaller: scrolled text has sparse diffs but the whole
+                # block moved, and bts 3 skips the 4 sxy symbols per block
+                # (~40% of the terminal-corpus host stage's symbol decodes).
+                # Native twin (spdec.cpp SpEncoder) matches byte-for-byte.
+                mv_full = (self._find_motion(c2, p2, x16, y16, bx2, by2)
+                           if use_sub else None)
+                if mv_full is not None:
+                    use_sub = False
                     x1, y1, x2, y2 = x16, y16, bx2, by2
-                mv = self._find_motion(c2, p2, x1, y1, x2, y2)
+                    mv = mv_full
+                else:
+                    if use_sub:
+                        x1, y1, x2, y2 = rx1, ry1, rx2, ry2
+                    else:
+                        x1, y1, x2, y2 = x16, y16, bx2, by2
+                    mv = self._find_motion(c2, p2, x1, y1, x2, y2)
                 bits = (1 if use_sub else 0) | (2 if mv is not None else 0)
                 bts[bi] = 1 + bits
                 plans[bi] = dict(x1=x1, y1=y1, x2=x2, y2=y2, mv=mv,

@@ -1999,7 +1999,11 @@ struct SpEncoder {
     static const int cand[][2] = {
         {0, -1}, {0, 1}, {-1, 0}, {1, 0}, {-1, -1}, {1, 1}, {1, -1}, {-1, 1},
         {0, -2}, {0, 2}, {-2, 0}, {2, 0}, {0, -4}, {4, 0}, {-4, 0}, {0, 4},
-        {0, -8}, {8, 0}, {-8, 0}, {0, 8}};
+        {0, -8}, {8, 0}, {-8, 0}, {0, 8},
+        // appended round 3 (order-preserving: earlier outputs unchanged):
+        // line-height scrolls (text UIs scroll by 12-16 px) and 3 px nudges
+        {0, -16}, {0, 16}, {-16, 0}, {16, 0}, {0, -12}, {0, 12},
+        {0, -3}, {0, 3}, {-3, 0}, {3, 0}};
     for (auto& mvc : cand) {
       int mx = mvc[0], my = mvc[1];
       if (y1 + my < 0 || y2 + my > Y || x1 + mx < 0 || x2 + mx > X) continue;
@@ -2089,10 +2093,24 @@ struct SpEncoder {
         bool use_sub =
             (ry2 - ry1) * (rx2 - rx1) < (by2 - y16) * (bx2 - x16);
         Plan pl;
-        if (use_sub) { pl.x1 = rx1; pl.y1 = ry1; pl.x2 = rx2; pl.y2 = ry2; }
-        else { pl.x1 = x16; pl.y1 = y16; pl.x2 = bx2; pl.y2 = by2; }
-        pl.sub = use_sub;
-        pl.motion = find_motion(cur, pl.x1, pl.y1, pl.x2, pl.y2, &pl.mx, &pl.my);
+        // prefer FULL-BLOCK motion (bts 3) even when the dirty rect is
+        // smaller: scrolled text regions have sparse diffs but the whole
+        // block still moved, and bts 3 skips the 4 sxy coordinate symbols
+        // per block — on the terminal corpus those were ~40% of the host
+        // stage's symbol decodes (gprof round 3).  Python twin must match.
+        if (use_sub
+            && find_motion(cur, x16, y16, bx2, by2, &pl.mx, &pl.my)) {
+          use_sub = false;
+          pl.motion = true;
+          pl.x1 = x16; pl.y1 = y16; pl.x2 = bx2; pl.y2 = by2;
+          pl.sub = false;
+        } else {
+          if (use_sub) { pl.x1 = rx1; pl.y1 = ry1; pl.x2 = rx2; pl.y2 = ry2; }
+          else { pl.x1 = x16; pl.y1 = y16; pl.x2 = bx2; pl.y2 = by2; }
+          pl.sub = use_sub;
+          pl.motion = find_motion(cur, pl.x1, pl.y1, pl.x2, pl.y2,
+                                  &pl.mx, &pl.my);
+        }
         bts[bi] = 1 + (use_sub ? 1 : 0) + (pl.motion ? 2 : 0);
         plans[bi] = pl;
         any = true;
