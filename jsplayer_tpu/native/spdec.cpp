@@ -1154,6 +1154,7 @@ struct SpDecoder {
   // the reference's per-block copy loops, ScreenPressor.hx:376-380,469-473).
   ZBuf buf0, buf1;
   std::vector<uint8_t> touched;
+  std::vector<uint8_t> skipped_pre;  // per-frame pre-copy skip set
   int cur = 0;
   bool has_prev = false, decoded_i = false, has_flat = false;
   uint32_t last_flat = 0;
@@ -1402,21 +1403,52 @@ struct SpDecoder {
     uint32_t* pv = latest();     // previous frame
     // Sparse pre-copy: d holds t-2 content; blocks the previous frame did
     // not touch already equal t-1 there, so only touched blocks need the
-    // copy.  Fully-painted blocks (bts 1/3) must ALSO be copied when
-    // touched: data-block predictor runs that wrap at x==0 read the
-    // rightmost pixel of the previous row — a block processed later this
-    // frame — and must see t-1 content there (the oracle's wholesale
-    // pre-copy semantics, codecs/screenpressor.py).
+    // copy.  Round-3 refinement: a touched block that THIS frame fully
+    // overwrites (bts 1 full data / bts 3 full-block motion — both cover
+    // the whole cropped block and read only pv or fresh pixels) can SKIP
+    // the copy — on scroll chains (everything touched, everything
+    // re-moved) the pre-copy was ~1/3 of the host stage.  Two hazards
+    // keep blocks in the copy set:
+    //   * the LAST block column: a data run whose row starts at x==0
+    //     reads the previous row's RIGHTMOST pixel — a possibly
+    //     later-processed block that must show t-1 (the round-1 soak
+    //     bug's exact shape);
+    //   * overlong-run WALKS (corrupt streams) read/write arbitrary rows
+    //     below their rect — ensure_walk_safe() lazily copies all still-
+    //     pending skipped blocks the first time a run escapes its rect,
+    //     preserving the fuzz-pinned native==oracle semantics.
+    skipped_pre.assign(nb, 0);
     for (int by = 0; by < nby; by++)
       for (int bx = 0; bx < nbx; bx++) {
         size_t bi = (size_t)by * nbx + bx;
         if (!touched[bi]) continue;
+        if ((bts[bi] == 1 || bts[bi] == 3) && bx < nbx - 1) {
+          skipped_pre[bi] = 1;
+          continue;
+        }
         int cx1b = bx * 16, cx2b = cx1b + 16 > X ? X : cx1b + 16;
         int cy1b = by * 16, cy2b = cy1b + 16 > Y ? Y : cy1b + 16;
         for (int y = cy1b; y < cy2b; y++)
           memcpy(&d[(size_t)y * X + cx1b], &pv[(size_t)y * X + cx1b],
                  (size_t)(cx2b - cx1b) * 4);
       }
+    bool walk_fixed = false;
+    auto ensure_walk_safe = [&](size_t bi_cur) {
+      if (walk_fixed) return;
+      walk_fixed = true;
+      // copy t-1 into every skipped block not yet processed (raster order:
+      // index > bi_cur; bi_cur itself already wrote its full-block rect)
+      for (size_t j = bi_cur + 1; j < nb; j++) {
+        if (!skipped_pre[j]) continue;
+        int bx2_ = (int)(j % nbx), by2_ = (int)(j / nbx);
+        int cx1b = bx2_ * 16, cx2b = cx1b + 16 > X ? X : cx1b + 16;
+        int cy1b = by2_ * 16, cy2b = cy1b + 16 > Y ? Y : cy1b + 16;
+        for (int y = cy1b; y < cy2b; y++)
+          memcpy(&d[(size_t)y * X + cx1b], &pv[(size_t)y * X + cx1b],
+                 (size_t)(cx2b - cx1b) * 4);
+        skipped_pre[j] = 0;
+      }
+    };
     int stride = X;
     long off = -(long)X - 1;
     cx = cx1 = 0;
@@ -1504,6 +1536,10 @@ struct SpDecoder {
               if (xx >= x2) {
                 xx = x1;
                 yy++;
+                // overlong run escaping its rect (corrupt streams): make
+                // the skipped pre-copy blocks t-1-consistent before the
+                // walk reads/writes below (see ensure_walk_safe)
+                if (yy >= y2 && c + 1 < n) ensure_walk_safe(bi);
                 i = (size_t)yy * stride + xx;
                 di = (long long)i;
               } else {
