@@ -234,6 +234,7 @@ def main() -> None:
     # paths, kmv decode -> 2x box downscale -> normalized bf16 NHWC tensors
     model_fps = None
     model_elision_fps = None
+    model_packed_fps = None
     try:
         model_fps = timed(
             lambda i, p, m, c: sp_recon.decode_batch_kmv_model(
@@ -242,6 +243,10 @@ def main() -> None:
         model_elision_fps = timed(
             lambda i, p, m: sp_recon.decode_sequence_kmv_compact_model(
                 i, p, m, downscale=2)[1],
+            *cdev)
+        model_packed_fps = timed(
+            lambda i, p, m: sp_recon.decode_sequence_kmv_compact_model(
+                i, p, m, downscale=2, packed=True)[1],
             *cdev)
     except Exception:  # noqa: BLE001
         pass
@@ -369,6 +374,8 @@ def main() -> None:
         "model_ingest_ds2_fps": None if model_fps is None else round(model_fps, 1),
         "model_ingest_ds2_elision_fps": (
             None if model_elision_fps is None else round(model_elision_fps, 1)),
+        "model_ingest_ds2_packed_fps": (
+            None if model_packed_fps is None else round(model_packed_fps, 1)),
         "stills_curve_fps": stills_curve or None,
         "terminal_corpus_fps": (
             None if terminal_fps is None else round(terminal_fps, 1)),

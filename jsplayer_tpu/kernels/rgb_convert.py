@@ -216,6 +216,19 @@ def ds2_pack(frame: jax.Array) -> jax.Array:
     return out.reshape(lead + (Y // 2, X // 2))
 
 
+def ds2_packed_output(frames: jax.Array, flip_vertical: bool = True
+                      ) -> jax.Array:
+    """The packed-ds2 model product: [.., H/2, W/2] i32 field-sum planes
+    with the vertical flip already applied (rows top-down).  Consumers
+    unpack with unpack_ds2(red, flip_vertical=False, ...) — typically
+    fused into their first model op; the pipeline then runs at the full
+    decode bound instead of paying the ~15 us/frame unpack."""
+    red = ds2_pack(frames)
+    if flip_vertical:
+        red = _flip_rows(red, -2)
+    return red
+
+
 def unpack_ds2(
     red: jax.Array,
     dtype=jnp.bfloat16,

@@ -388,12 +388,14 @@ def _scan_decode_bc_model(init_frame, plane, bcode, rect, mvk, changed,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dtype", "layout", "downscale", "bpp16"))
+                   static_argnames=("dtype", "layout", "downscale", "bpp16",
+                                    "packed"))
 def decode_batch_bc_model(init_frames, plane, bcode, rect, mvk, changed,
                           dtype=jnp.bfloat16, layout="NHWC", downscale=1,
-                          bpp16=False):
+                          bpp16=False, packed=False):
     """Batched bc decode fused straight into model tensors."""
-    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16)
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16,
+              packed=packed)
     res = [_scan_decode_bc_model(init_frames[b], plane[b], bcode[b], rect[b],
                                  mvk[b], changed[b], kw)
            for b in range(plane.shape[0])]
@@ -503,6 +505,8 @@ def _model_emit(model_kw):
     in-scan to_model_input."""
     from .rgb_convert import ds2_pack, to_model_input, unpack_ds2
 
+    packed = model_kw.pop("packed", False) if isinstance(model_kw, dict) \
+        else False
     if model_kw.get("downscale") == 2:
         kw = {k: v for k, v in model_kw.items() if k != "downscale"}
         flip = kw.pop("flip_vertical", True)
@@ -514,11 +518,17 @@ def _model_emit(model_kw):
                 red = jnp.take(red, idx, axis=-2)
             return red
 
+        if packed:
+            # the packed plane IS the product (rgb_convert.ds2_packed_output
+            # contract): the consumer fuses unpack_ds2 into its model
+            return emit, (lambda red: red)
+
         def finish(red):
             red = jax.lax.optimization_barrier(red)
             return unpack_ds2(red, flip_vertical=False, **kw)
 
         return emit, finish
+    assert not packed, "model_packed requires downscale == 2"
     return (lambda out: to_model_input(out, **model_kw)), (lambda m: m)
 
 
@@ -539,13 +549,15 @@ def _scan_decode_kmv_model(init_frame, paycode, mvk, changed, model_kw):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dtype", "layout", "downscale", "bpp16"))
+                   static_argnames=("dtype", "layout", "downscale", "bpp16",
+                                    "packed"))
 def decode_batch_kmv_model(init_frames, paycode, mvk, changed,
                            dtype=jnp.bfloat16, layout="NHWC", downscale=1,
-                           bpp16=False):
+                           bpp16=False, packed=False):
     """Batched kmv decode fused straight into model tensors.
     → (carry [B,Y,X] u32 for the next window, model [B,T,...])."""
-    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16)
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale, bpp16=bpp16,
+              packed=packed)
     # unrolled over B (see decode_batch_kmv: vmapped dynamic rolls gather)
     res = [_scan_decode_kmv_model(init_frames[b], paycode[b], mvk[b],
                                   changed[b], kw)
@@ -568,15 +580,17 @@ def decode_batch_kmv(init_frames, paycode, mvk, changed):
     return jnp.stack(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "layout", "downscale"))
+@functools.partial(jax.jit, static_argnames=("dtype", "layout", "downscale",
+                                              "packed"))
 def decode_sequence_kmv_compact_model(init_frame, paycode, mvk,
                                       dtype=jnp.bfloat16, layout="NHWC",
-                                      downscale=1):
+                                      downscale=1, packed=False):
     """Still-elision + fused model emission: decode only changed frames,
     emit ONLY their model tensors (full ML-serving shape; pair with
     compact_changed's outmap to reconstruct the timeline).
     → (carry [Y,X] u32, model [T', ...])."""
-    kw = dict(dtype=dtype, layout=layout, downscale=downscale)
+    kw = dict(dtype=dtype, layout=layout, downscale=downscale,
+              packed=packed)
     emit, finish = _model_emit(kw)
 
     def step(prev, inp):

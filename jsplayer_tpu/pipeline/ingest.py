@@ -84,6 +84,13 @@ class IngestConfig:
     emit_frames: bool = True
     model_dtype: str = "bfloat16"
     model_downscale: int = 1  # power-of-two box downsample in the epilogue
+    # downscale==2 only: emit the PACKED ds2 plane ([.., H/2, W/2] i32 of
+    # r/g/b 10-bit field sums, rgb_convert.ds2_pack) instead of unpacked
+    # NHWC tensors.  The unpack (rgb_convert.unpack_ds2) is ~15 us/frame
+    # of pure tensor relayout a consumer can fuse into its first model op
+    # instead — the packed emit runs the decode scan at the full ~31k
+    # fps decode bound vs ~22k with the in-pipeline unpack.
+    model_packed: bool = False
     insignificant_lines: int = 0
     # SP device compose:
     #   "kmv"        dense paycode plane (K-distinct-mv roll; fastest in
@@ -523,15 +530,11 @@ class VideoIngestPipeline:
                 if self.cfg.emit_frames:
                     out["frames_u32"] = flat
                 if self.cfg.emit_model_input:
-                    out["model_input"] = to_model_input(
-                        flat, dtype=jnp.dtype(self.cfg.model_dtype),
-                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                    out["model_input"] = self._model_tensors(flat)
             else:
                 out["frames_u32"] = frames
                 if self.cfg.emit_model_input:
-                    out["model_input"] = to_model_input(
-                        frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                        downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                    out["model_input"] = self._model_tensors(frames)
             if pending is not None:
                 yield pending
             pending = out
@@ -1079,7 +1082,8 @@ class VideoIngestPipeline:
             carry, model = sp_recon.decode_batch_bc_model(
                 init, _put(plane), _put(bcode), _put(rloc), _put(mvk),
                 _put(changed), dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16,
+                packed=self.cfg.model_packed)
             self._carry = carry
             _window_barrier(carry, model)
             return {"start_frame": start, "significant": jnp.array(sig),
@@ -1134,9 +1138,7 @@ class VideoIngestPipeline:
             if self.cfg.emit_frames:
                 out["frames_u32"] = frames
             if self.cfg.emit_model_input:
-                out["model_input"] = to_model_input(
-                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                out["model_input"] = self._model_tensors(frames)
             return out
         outmap_flat = np.where(
             outmap >= 0,
@@ -1155,9 +1157,7 @@ class VideoIngestPipeline:
         if self.cfg.emit_frames:
             out["frames_u32"] = flat
         if self.cfg.emit_model_input:
-            out["model_input"] = to_model_input(
-                flat, dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            out["model_input"] = self._model_tensors(flat)
         return out
 
     def _sharded_bc_step(self, plane, bcode, rloc, mvk, changed):
@@ -1214,15 +1214,14 @@ class VideoIngestPipeline:
             out = {"start_frame": start, "significant": jnp.array(sig),
                    "frames_u32": frames, "outmap": outmap}
             if self.cfg.emit_model_input:
-                out["model_input"] = to_model_input(
-                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                out["model_input"] = self._model_tensors(frames)
             return out
         if not self.cfg.emit_frames and self.cfg.emit_model_input:
             carry, model = sp_recon.decode_batch_kmv_model(
                 init, _put(pc), _put(mvk), _put(changed),
                 dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16,
+                packed=self.cfg.model_packed)
             self._carry = carry
             _window_barrier(carry, model)
             return {"start_frame": start, "significant": jnp.array(sig),
@@ -1297,9 +1296,7 @@ class VideoIngestPipeline:
             if self.cfg.emit_frames:
                 out["frames_u32"] = frames
             if self.cfg.emit_model_input:
-                out["model_input"] = to_model_input(
-                    frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                    downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                out["model_input"] = self._model_tensors(frames)
             return out
 
         # padded layout (mid-GOP windows or mesh): [B, Cpad] → flat
@@ -1315,7 +1312,8 @@ class VideoIngestPipeline:
             carry, model = sp_recon.decode_batch_kmv_model(
                 init, _put(pcc), _put(mvkc), _put(valid),
                 dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+                downscale=self.cfg.model_downscale, bpp16=self._bpp16,
+                packed=self.cfg.model_packed)
             self._carry = carry
             _window_barrier(carry, model)
             out["model_input"] = model.reshape((B * cpad,) + model.shape[2:])
@@ -1331,9 +1329,7 @@ class VideoIngestPipeline:
         if self.cfg.emit_frames:
             out["frames_u32"] = flat
         if self.cfg.emit_model_input:
-            out["model_input"] = to_model_input(
-                flat, dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            out["model_input"] = self._model_tensors(flat)
         return out
 
     @property
@@ -1549,11 +1545,22 @@ class VideoIngestPipeline:
             return jnp.zeros((B, vi.height, vi.width), dtype=jnp.uint32)
         return self._carry
 
+    def _model_tensors(self, frames):
+        """Frames → the configured model product (unpacked tensors or the
+        packed-ds2 plane, rgb_convert.ds2_packed_output contract)."""
+        if self.cfg.model_packed:
+            assert self.cfg.model_downscale == 2, \
+                "model_packed requires model_downscale == 2"
+            from ..kernels.rgb_convert import ds2_packed_output
+
+            return ds2_packed_output(frames)
+        return to_model_input(
+            frames, dtype=jnp.dtype(self.cfg.model_dtype),
+            downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+
     def _emit(self, frames, signif, start) -> dict:
         out = {"start_frame": start, "frames_u32": frames,
                "significant": signif}
         if self.cfg.emit_model_input:
-            out["model_input"] = to_model_input(
-                frames, dtype=jnp.dtype(self.cfg.model_dtype),
-                downscale=self.cfg.model_downscale, bpp16=self._bpp16)
+            out["model_input"] = self._model_tensors(frames)
         return out

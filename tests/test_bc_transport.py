@@ -218,6 +218,34 @@ def test_bc_ingest_model_only_matches_kmv():
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_model_packed_output():
+    """model_packed=True emits the packed ds2 plane; a consumer's
+    unpack_ds2(flip_vertical=False) must reproduce the unpacked product
+    bit-exactly, across the plain, fused, and elided paths."""
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.kernels.rgb_convert import unpack_ds2
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    X, Y, T = 64, 48, 6
+    avi, gold = tlc.make_avi(9, X, Y, T)
+    for extra in (dict(), dict(emit_frames=False),
+                  dict(still_elision=True)):
+        ref_pipe = VideoIngestPipeline(
+            [MemorySource(avi)],
+            IngestConfig(window=6, model_downscale=2, **extra))
+        pk_pipe = VideoIngestPipeline(
+            [MemorySource(avi)],
+            IngestConfig(window=6, model_downscale=2, model_packed=True,
+                         **extra))
+        (rw,) = list(ref_pipe)
+        (pw,) = list(pk_pipe)
+        want = np.asarray(rw["model_input"], dtype=np.float32)
+        red = pw["model_input"]
+        got = np.asarray(unpack_ds2(red, flip_vertical=False),
+                         dtype=np.float32)
+        np.testing.assert_array_equal(got, want, err_msg=str(extra))
+
+
 def test_bc_compact_scan():
     X, Y, T = 48, 32, 8
     c, gold = _commands(2, X, Y, T)
