@@ -216,6 +216,31 @@ def test_lane_container_malformed():
         lane_format.container_from_bytes(bytes(bad))
 
 
+def test_lane_container_mutation_fuzz():
+    """Random byte corruption of a container must never crash, hang, or
+    over-allocate the parser — every trial either parses (decoding garbage
+    is fine; adversarial-stream discipline) or raises ValueError."""
+    X, Y, T = 48, 32, 6
+    avi, _ = make_avi(4, X, Y, T)
+    cont = bytearray(transcode_to_lane(avi, window=3))
+    rng = np.random.default_rng(0)
+    parsed = rejected = 0
+    for trial in range(60):
+        m = bytearray(cont)
+        for _ in range(int(rng.integers(1, 5))):
+            m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        try:
+            c = lane_format.container_from_bytes(bytes(m))
+            # parsed containers must stay structurally sane
+            for w in c.windows:
+                assert w.btype.shape[1] >= 0
+                _ = w.inv_index(c.Y * (lane_format.plane_cols(c.X) // 128))
+            parsed += 1
+        except ValueError:
+            rejected += 1
+    assert parsed + rejected == 60 and rejected > 0
+
+
 def test_lane_wire_size_reasonable():
     """The container's payload should sit well below the dense paycode
     plane (the whole point of shipping entropy-coded units)."""
