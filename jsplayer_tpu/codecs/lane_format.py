@@ -56,6 +56,7 @@ from ..kernels import rans_lanes
 from ..kernels.sp_recon import derive_kmv_commands
 
 _MAGIC = b"JLV1"
+_AUDIO_MAGIC = b"JLAU"
 _HDR = "<4sHHBBHIHII"
 
 
@@ -110,6 +111,10 @@ class LaneContainer:
     window: int
     fps: float
     windows: list = field(default_factory=list)  # list[LaneWindow]
+    # raw MP3 audio passthrough: the source AVI's concatenated 01wb chunk
+    # payloads (the reference's sound stream, MP3Parser.hx input) — the
+    # lane re-encode must not silently drop audio.  None = no audio.
+    audio: Optional[bytes] = None
 
 
 def _bucket_pow2(n: int) -> int:
@@ -277,8 +282,11 @@ def container_to_bytes(c: LaneContainer) -> bytes:
     fps_num = int(round(c.fps * fps_den)) if math.isfinite(c.fps) else 0
     head = struct.pack(_HDR, _MAGIC, c.X, c.Y, c.bpp, c.K, c.n_lanes,
                        c.n_frames, c.window, fps_num, fps_den)
-    return head + b"".join(_window_to_bytes(w, c.K, c.n_lanes)
+    body = head + b"".join(_window_to_bytes(w, c.K, c.n_lanes)
                            for w in c.windows)
+    if c.audio:
+        body += _AUDIO_MAGIC + struct.pack("<Q", len(c.audio)) + c.audio
+    return body
 
 
 def is_lane_container(data: bytes) -> bool:
@@ -308,6 +316,15 @@ def container_from_bytes(data: bytes) -> LaneContainer:
     R = Y * (plane_cols(X) // 128)
     off = hs
     while off < len(data):
+        if data[off : off + 4] == _AUDIO_MAGIC:
+            if off + 12 > len(data):
+                raise ValueError("lane container truncated (audio header)")
+            (alen,) = struct.unpack_from("<Q", data, off + 4)
+            if off + 12 + alen > len(data):
+                raise ValueError("lane container truncated (audio)")
+            c.audio = bytes(data[off + 12 : off + 12 + alen])
+            off += 12 + alen
+            continue
         if off + 4 > len(data):
             raise ValueError("lane container truncated (record size)")
         (rec_len,) = struct.unpack_from("<I", data, off)

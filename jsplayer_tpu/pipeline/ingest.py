@@ -390,9 +390,32 @@ class VideoIngestPipeline:
                               codec=CodecType.SCREENPRESSOR)
         self.nframes = max(c.n_frames for c in self.containers)
         self._bpp16 = c0.bpp == 16
-        self.audio_tracks = [None] * len(self.containers)
+        # MP3 audio passthrough: rebuild AudioTracks from the containers'
+        # raw sound streams (the same Mp3Parser → sections → AudioTrack
+        # wiring the AVI loader uses), so lane consumers keep audio_pcm()
+        self.audio_tracks = [self._lane_audio(c) for c in self.containers]
+        self._pcm_cache = None
         self.quarantined = set()
         self.quarantine_errors = []
+
+    @staticmethod
+    def _lane_audio(container):
+        if not container.audio:
+            return None
+        from ..av.audio_track import AudioTrack
+        from ..av.mp3 import Mp3Parser
+        from ..core.chunkbuffer import ChunkBuffer
+
+        track = AudioTrack()
+        buf = ChunkBuffer()
+        parser = Mp3Parser(
+            buf, lambda start, data, last: track.add_section(
+                parser.sections[-1]))
+        buf.add_chunk(container.audio)
+        parser.parse()
+        parser.on_data_end()
+        parser.parse()
+        return track
 
     def _iter_lane(self) -> Iterator[dict]:
         """Device-entropy ingest: per window, pad streams to shared

@@ -124,7 +124,9 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
     buf = ChunkBuffer()
     frames: list[bytes] = []
     info: list[VideoInfo] = []
-    d = AviDemuxer(buf, on_frame=frames.append, on_video_info=info.append)
+    sound: list[bytes] = []
+    d = AviDemuxer(buf, on_frame=frames.append, on_video_info=info.append,
+                   on_sound=sound.append)
     d.start()
     buf.add_chunk(avi_bytes)
     d.pump()
@@ -146,7 +148,8 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
 
     cont = lane_format.LaneContainer(
         X=X, Y=Y, bpp=vi.bpp, K=K, n_lanes=n_lanes, n_frames=len(frames),
-        window=window, fps=vi.fps)
+        window=window, fps=vi.fps,
+        audio=(b"".join(sound) if sound else None))
     for start in range(0, len(frames), window):
         chunk = frames[start : start + window]
         T = len(chunk)

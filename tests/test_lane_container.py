@@ -216,6 +216,41 @@ def test_lane_container_malformed():
         lane_format.container_from_bytes(bytes(bad))
 
 
+def test_lane_audio_passthrough():
+    """transcode_to_lane carries the source AVI's MP3 stream; the lane
+    pipeline rebuilds AudioTracks with the same section timeline as the
+    AVI pipeline (audio must not be silently dropped by re-encoding)."""
+    import test_pcm
+
+    X, Y, T = 64, 48, 6
+    streams, gold, keys = make_stream(6, X, Y, T)
+    mp3, n_mp3, rate = test_pcm.make_silence_frames(20)
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys,
+                  sound_chunks=[(0, mp3[: len(mp3) // 2]),
+                                (3, mp3[len(mp3) // 2 :])])
+    cont = transcode_to_lane(avi, window=3, K=2)
+    lane_pipe = VideoIngestPipeline([MemorySource(cont)],
+                                    IngestConfig(sp_device_path="lane"))
+    avi_pipe = VideoIngestPipeline([MemorySource(avi)],
+                                   IngestConfig(window=3))
+    (lt,) = lane_pipe.audio_tracks
+    (at,) = avi_pipe.audio_tracks
+    assert lt is not None
+    assert lt.time_loaded == pytest.approx(at.time_loaded, abs=1e-9)
+    assert len(lt.sections) == len(at.sections)
+    la = lane_pipe.audio_pcm()[0]
+    aa = avi_pipe.audio_pcm()[0]
+    if aa is not None:  # pcm backend available
+        assert la is not None
+        np.testing.assert_array_equal(la.samples, aa.samples)
+    # containers without audio expose None tracks
+    avi2, _ = make_avi(6, X, Y, T)
+    cont2 = transcode_to_lane(avi2, window=3, K=2)
+    p2 = VideoIngestPipeline([MemorySource(cont2)],
+                             IngestConfig(sp_device_path="lane"))
+    assert p2.audio_tracks == [None]
+
+
 def test_lane_container_mutation_fuzz():
     """Random byte corruption of a container must never crash, hang, or
     over-allocate the parser — every trial either parses (decoding garbage
