@@ -98,6 +98,33 @@ def main() -> None:
         checked += 1
     assert checked == 2, checked  # 2 local devices → 2 dp rows here
 
+    # bc transport over the same cross-process mesh (round-3 host feed)
+    from jsplayer_tpu.pipeline.batch import make_sp_decode_step_bc
+
+    nb = ((X + 15) // 16) * ((Y + 15) // 16)
+    planes = np.zeros((B, 1, T, Y, X), dtype=np.uint32)
+    bcodes = np.zeros((B, 1, T, nb), dtype=np.uint8)
+    rlocs = np.zeros((B, 1, T, nb, 4), dtype=np.uint8)
+    mvks_bc = np.zeros((B, 1, T, 2, 2), dtype=np.int32)
+    for b in range(B):
+        (planes[b, 0], bcodes[b, 0], rlocs[b, 0],
+         mvks_bc[b, 0]) = sp_recon.prepare_bc(
+            cmds["bts"][b, 0], cmds["mv"][b, 0], cmds["rect"][b, 0],
+            cmds["payload"][b, 0], K=2)
+    bstep = make_sp_decode_step_bc(
+        mesh, DecodeConfig(height=Y, width=X, emit_model_input=False))
+    bout = bstep(dist(np.zeros((B, 1, Y, X), np.uint32)), dist(planes),
+                 dist(bcodes), dist(rlocs), dist(mvks_bc),
+                 dist(cmds["changed"]))
+    jax.block_until_ready(bout)
+    for shard in bout.addressable_shards:
+        b = shard.index[0].start
+        local = np.asarray(shard.data)
+        for t in range(T):
+            np.testing.assert_array_equal(
+                local[0, 0, t].reshape(-1), golds[b][t] & 0x00FFFFFF,
+                err_msg=f"bc proc {pid} stream {b} frame {t}")
+
     # a cross-process collective through the mesh (the DCN psum path)
     total = jax.jit(
         jax.shard_map(lambda c: jax.lax.psum(c.sum(), ("dp", "gop")),
