@@ -175,9 +175,12 @@ def layout_refills(lane_bytes: np.ndarray, init_states: np.ndarray,
         x = freq_u[sym] * (x >> np.uint64(PROB_BITS)) + sf - cum[sym]
         for k in range(2):
             need = x < RANS_L
-            b = np.where(need & (pos < L),
-                         lane_bytes[lanes, np.minimum(pos, L - 1)],
-                         0).astype(np.uint64)
+            if L == 0:  # zero-payload window: nothing to refill from
+                b = np.zeros(n_lanes, dtype=np.uint64)
+            else:
+                b = np.where(need & (pos < L),
+                             lane_bytes[lanes, np.minimum(pos, L - 1)],
+                             0).astype(np.uint64)
             refills[s, :, k] = np.where(need, b, 0)
             x = np.where(need, (x << np.uint64(8)) | b, x)
             pos = pos + need

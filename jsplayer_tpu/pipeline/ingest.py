@@ -433,9 +433,27 @@ class VideoIngestPipeline:
         Tw = c0.window
         n_windows = max(len(c.windows) for c in self.containers)
         mesh = self.cfg.mesh
+        wi0, wi_end = 0, n_windows
+        if self.cfg.frame_range is not None:
+            # clip decode: start at the latest init-plane window ≤ t0 (the
+            # container's keyframe-restart unit — the seek semantics of
+            # Manager.hx:244-249 at window granularity); leading warm-up
+            # frames ride in the first window like the AVI path
+            t0, t1 = self.cfg.frame_range
+            want = max(0, min(int(t0), self.nframes - 1)) // Tw
+            wi0 = 0
+            for wi in range(want, -1, -1):
+                if all(wi < len(c.windows)
+                       and c.windows[wi].init_plane is not None
+                       for c in self.containers):
+                    wi0 = wi
+                    break
+            else:
+                assert wi0 == 0
+            wi_end = min(n_windows, -(-max(t0 + 1, int(t1)) // Tw))
         carry = None
         pending = None
-        for wi in range(n_windows):
+        for wi in range(wi0, wi_end):
             btype = np.zeros((B, Tw, nb), dtype=np.uint8)
             rect = np.zeros((B, Tw, nb, 4), dtype=np.uint8)
             mvk = np.zeros((B, Tw, K, 2), dtype=np.int32)

@@ -216,6 +216,29 @@ def test_lane_container_malformed():
         lane_format.container_from_bytes(bytes(bad))
 
 
+def test_lane_frame_range_clip():
+    """Lane clip decode: frame_range starts at the latest init-plane
+    window ≤ t0 (the container's keyframe-restart unit) and stops once t1
+    is covered; decoded frames must match the full pass."""
+    X, Y, T = 48, 32, 12
+    avi, gold = make_avi(8, X, Y, T, key_every=3)
+    cont = transcode_to_lane(avi, window=3, K=2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(cont)],
+        IngestConfig(sp_device_path="lane", frame_range=(7, 11)))
+    got = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            got[batch["start_frame"] + t] = fr[0, t].reshape(-1)
+    # the clip must start at the window containing the keyframe ≤ 7
+    # (window 2 = frames 6..8) and cover through frame 11
+    assert min(got) == 6 and max(got) == 11, (min(got), max(got))
+    for t, v in got.items():
+        np.testing.assert_array_equal(v & 0x00FFFFFF,
+                                      gold[t] & 0x00FFFFFF, err_msg=str(t))
+
+
 def test_lane_audio_passthrough():
     """transcode_to_lane carries the source AVI's MP3 stream; the lane
     pipeline rebuilds AudioTracks with the same section timeline as the
