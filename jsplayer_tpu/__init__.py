@@ -9,6 +9,8 @@ Public surface:
   Player / PlayerConfig          — interactive playback API (Main.hx parity)
   VideoIngestPipeline            — batched AVI → model-tensor windows
   transcode_sp                   — re-encode SP streams between versions
+  transcode_to_lane              — re-encode into the device-entropy lane
+                                   container (ingest sp_device_path="lane")
   open_source                    — byte-range sources (file / memory)
 """
 
@@ -27,8 +29,8 @@ def __getattr__(name):  # lazy imports: keep `import jsplayer_tpu` light
         from .pipeline import ingest
 
         return getattr(ingest, name)
-    if name == "transcode_sp":
-        from .transcode import transcode_sp
+    if name in ("transcode_sp", "transcode_to_lane"):
+        from . import transcode
 
-        return transcode_sp
+        return getattr(transcode, name)
     raise AttributeError(name)
