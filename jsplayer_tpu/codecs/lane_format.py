@@ -27,6 +27,17 @@ host/serial, ANS.hx adaptive contexts):
 A container holds GOP-aligned windows; windows are independent decode
 chains when keyframe-led, which is what the transcoder emits.
 
+SIZE TRADE (measured, round 3): this is a DECODE-THROUGHPUT format, not
+a compression format.  The renorm-aligned refill layout ships a fixed
+~2 B per payload symbol regardless of entropy (screen content often
+compresses to ~0.1-0.5 B/sym in the source SP stream), and raw init
+planes add 8.3 MB per keyframe-led 1080p window — a 1080p screencast
+container runs ~1-2 MB/s of content (bench corpus: 12 KB AVI → 16.7 MB;
+terminal corpus: 0.5 MB AVI → 31.8 MB).  That is the deliberate price
+for 2 Gsym/s device entropy decode with ~zero host work; keep the
+SOURCE AVI for archival, stage containers where decode speed matters
+(HBM/local disk), and zstd them at rest if needed.
+
 Wire layout (little-endian):
 
   header:  "JLV1" | u16 X | u16 Y | u8 bpp | u8 K | u16 n_lanes

@@ -157,8 +157,10 @@ def layout_refills(lane_bytes: np.ndarray, init_states: np.ndarray,
     of per-lane ``take_along_axis`` gathers at divergent positions, which
     were the measured bottleneck (~26 Msym/s, latency-bound).  Unused slots
     are 0 (the decoder's ``need`` masks skip them in lockstep with this
-    simulation).  Cost: ≤2 B/lane/step shipped vs ~1 B/symbol average in
-    the packed layout — a ≤2× transfer inflation buying gather-free decode.
+    simulation).  Cost: a fixed ~2 B/lane/step shipped regardless of
+    entropy — cheap vs ~1 B/sym incompressible data, up to ~10-20x on
+    highly compressible screen content (codecs/lane_format size note);
+    the buy is gather-free decode at Gsym/s.
     """
     cum = np.zeros(257, dtype=np.uint64)
     cum[1:] = np.cumsum(freq.astype(np.uint64))
