@@ -20,16 +20,18 @@ Two layouts exist:
   and refills at its own divergent position — two ``take_along_axis``
   gathers per step.  TPU has no efficient per-lane byte gather, so this
   measures ~26 Msym/s FLAT in lane count (scan-step latency bound).
-* **renorm-aligned** (:func:`decode_lanes_aligned`, round 2): the refill
-  pattern is a deterministic function of the stream, so the host lays the
-  refill bytes out per lockstep step (:func:`layout_refills`) and the scan
-  consumes them as contiguous inputs; the 256-entry freq/cumfreq lookups
-  become masked one-hot reductions over the searchsorted compare matrix.
-  Zero gathers — measured **~376 Msym/s at N=2048** on v5e (14× packed,
-  and it scales with lanes: 193 @512 / 376 @2048), ≈6× a host core on
-  entropy-bound content.  Cost: ≤2 B/lane/step shipped (≤2× the packed
-  size).  This is the production device-entropy path for re-encoded
-  streams; packed remains the minimal-transfer variant.
+* **renorm-aligned** (:func:`decode_lanes_aligned`): the refill pattern
+  is a deterministic function of the stream, so the host lays the refill
+  bytes out per lockstep step (:func:`layout_refills`) and the scan
+  consumes them as contiguous inputs; the symbol search is the round-3
+  TWO-LEVEL form (16-bucket compare + one-hot [N,16]@[16,16] MXU dot +
+  16-wide resolve).  Zero gathers — measured **~2,050 Msym/s at N=4096**
+  on v5e (989/1,475/2,050/2,185 at N=1024/2048/4096/8192).  Cost: a
+  fixed ~2 B/lane/step regardless of entropy — up to ~10-20x the true
+  entropy size on highly compressible screen content (see
+  codecs/lane_format's size-trade note).  This is the production
+  device-entropy path for re-encoded streams; packed remains the
+  minimal-transfer variant.
 
 Legacy adaptive-context streams (the reference format) still decode on
 host — their symbol-serial context chain is not lane-decomposable — and
