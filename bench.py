@@ -87,6 +87,17 @@ def main() -> None:
 
     from jsplayer_tpu.kernels import sp_recon
 
+    t_start = time.perf_counter()
+    # soft deadline for the OPTIONAL rows (curve/terminal/lane/model):
+    # the headline paths always run; extras are skipped once elapsed time
+    # passes this, so the single JSON line is guaranteed to print even
+    # under a driver timeout (rows not reached report null)
+    SOFT_DEADLINE_S = float(__import__("os").environ.get(
+        "BENCH_SOFT_DEADLINE_S", 1100))
+
+    def over_budget():
+        return time.perf_counter() - t_start > SOFT_DEADLINE_S
+
     try:
         real = real_stream_commands()
     except Exception:  # noqa: BLE001 — never lose the JSON line
@@ -271,12 +282,14 @@ def main() -> None:
     # same event mix, only the idle fraction varies
     stills_curve = {}
     try:
-        if real is not None:
+        if real is not None and not over_budget():
             from jsplayer_tpu.utils import corpora
             from jsplayer_tpu import native as _nat
 
             enc2 = _nat.NativeScreenPressorEncoder(4, X, Y)
             for s in (0.0, 1 / 3, 2 / 3, 0.9):
+                if over_budget():
+                    break
                 frames_s = corpora.screen_mix(T=T, Y=Y, X=X, stills=s,
                                               seed=3)
                 streams_s = corpora.encode_frames(frames_s, enc2)
@@ -292,7 +305,7 @@ def main() -> None:
     # realistic capture-like corpus: rendered scrolling-terminal session
     terminal_fps = terminal_host_bc_fps = None
     try:
-        if real is not None:
+        if real is not None and not over_budget():
             from jsplayer_tpu.utils import corpora
             from jsplayer_tpu import native as _nat
 
@@ -322,7 +335,7 @@ def main() -> None:
     # slicing, so this row is independent of host entropy throughput)
     lane_fps = lane_prep_ms = None
     try:
-        if real is not None:
+        if real is not None and not over_budget():
             from jsplayer_tpu.codecs import lane_format
             from jsplayer_tpu.encode.avi_mux import mux_avi
             from jsplayer_tpu.kernels import lane_recon
