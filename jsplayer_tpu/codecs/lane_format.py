@@ -18,7 +18,7 @@ host/serial, ANS.hx adaptive contexts):
   no dynamic_update_slice chain, no 16x16 relayout, and FULL frames
   (keyframes) ride the identical machinery.
 * Unit pixel bytes are entropy-coded with the renorm-aligned multi-lane
-  rANS (kernels/rans_lanes, ~376 Msym/s on-device) under a per-window
+  rANS (kernels/rans_lanes, ~2 Gsym/s on-device) under a per-window
   static frequency table.  Symbol order is per-unit byte-plane
   triplets [U, 3, 128], so the device-side unpack is one free reshape +
   middle-dim slices + an elementwise combine, invariant under U

@@ -2,7 +2,7 @@
 
 BASELINE config 4 end-to-end: ONE jitted program per window does
   1. renorm-aligned multi-lane rANS decode of the window's payload symbols
-     (rans_lanes.decode_lanes_aligned, ~376 Msym/s on v5e),
+     (rans_lanes.decode_lanes_aligned, ~2 Gsym/s on v5e at N=4096),
   2. three free reshapes + an elementwise combine → the window's payload
      UNITS [U, 128] u32 (codecs/lane_format's byte-triplet symbol order),
   3. a lax.scan over frames where each step row-GATHERS its units into the

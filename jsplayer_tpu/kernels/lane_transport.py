@@ -17,7 +17,7 @@ Two wire layouts, different economics (measured, BENCH_NOTES round 2):
   existing 20-70× transfer win.
 * ``aligned`` — the pre-simulated refill schedule (rans_lanes.
   layout_refills), exactly 2 B/lane/step shipped regardless of entropy,
-  decoded gather-free at ~376 Msym/s — the right trade when the pack is
+  decoded gather-free at ~2 Gsym/s (2-level search) — the right trade when the pack is
   HBM-resident (re-encoded streams staged to device once).
 
 Both decode to identical tiles; parity is pinned against the raw-tile

@@ -12,8 +12,8 @@ frame composition runs on device:
 Implementations, ranked on-chip (BENCH_NOTES.md):
   * **kmv** (production): the host groups motion blocks by distinct vector
     into K slots; the device composes with `jnp.roll` + selects over a
-    single packed u32 paycode plane (pixel|type|kslot) — gather-free, ~27k
-    fps/chip @1080p, ~40k delivered with still-elision (`compact_changed`).
+    single packed u32 paycode plane (pixel|type|kslot) — gather-free, ~21k
+    fps/chip @1080p, ~31k delivered with still-elision (`compact_changed`).
     `prepare_kmv`/`prepare_kmv_sparse` have native C++ twins that emit the
     transport during decode (native/spdec.cpp sp_decompress_kmv*).
   * **kmv-sparse**: per-block codes + final-content payload tiles — same
