@@ -27,9 +27,14 @@ def screen_mix(T: int = 64, Y: int = 1080, X: int = 1920,
                stills: float = 1 / 3, seed: int = 0):
     """The bench primitive mix with a parametric stills fraction.
 
-    Non-still frames alternate scroll (8 px, full width — motion blocks)
-    and paint (~100x60 rect — data blocks), preserving the original
-    corpus's event types; `stills` only changes how often nothing happens.
+    Non-still frames alternate scroll (8 px, full width) and paint
+    (~100x60 rect — data blocks), preserving the original corpus's event
+    types; `stills` only changes how often nothing happens.  Note the
+    background is mostly uniform, so a "scroll" frame only moves the
+    rect pattern (~400 changed blocks at 1080p, emitted as motion) — the
+    DEVICE cost per changed frame is full-plane regardless, but host-
+    stage numbers on this mix are lighter than dense-motion content; the
+    terminal_session corpus is the realistic host workload.
     → list of [Y, X] u32 frames (frame 0 is the keyframe content)."""
     rng = np.random.default_rng(seed)
     f = np.full((Y, X), pack(30, 30, 34), dtype=np.uint32)
