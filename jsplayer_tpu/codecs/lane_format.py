@@ -128,13 +128,6 @@ class LaneContainer:
     audio: Optional[bytes] = None
 
 
-def _bucket_pow2(n: int) -> int:
-    b = 1
-    while b < n:
-        b <<= 1
-    return b
-
-
 def _block_local_rects(rect_g: np.ndarray, nbx: int) -> np.ndarray:
     """Global-coordinate block rects [NB, 4] → block-local u8 [NB, 4]."""
     nb = rect_g.shape[0]
@@ -385,7 +378,7 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         btype[t, bi] = rec[o : o + n, 4]
         rect[t, bi] = rec[o : o + n, 5:9]
         o += n
-    bt_bad = (btype > 1 + K + 1)
+    bt_bad = (btype > 1 + K)  # valid codes 0..K+1 (motion slots 0..K-1)
     if bt_bad.any():
         raise ValueError("lane window: block type out of range")
     unit_counts = np.frombuffer(take(T * 4), dtype="<u4").astype(np.int64)

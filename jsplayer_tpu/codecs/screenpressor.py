@@ -361,21 +361,21 @@ class ScreenPressor(VideoCodec):
                                 raise ValueError("stalled stream (invalid)")
                         else:
                             stall = 0
+                        # Predictor reads with no neighbor (frame row/col
+                        # 0) or past the frame end are OOB; the
+                        # reference's JS target reads `undefined` from
+                        # the Int32Array there, which coerces to 0 —
+                        # mirror that instead of numpy's negative-index
+                        # wrap / IndexError (ScreenPressor.hx:438-461 via
+                        # js typed-array semantics).  Likewise an
+                        # overlong run WALKS PAST the rect bottom (the
+                        # while-y<y2 guard only stops the next run) and
+                        # even past the frame; JS drops OOB writes —
+                        # mirrored by the di<end guard (fuzz-found
+                        # native/oracle divergence, round 3).
+                        rd = (lambda ix: int(dst[ix])
+                              if 0 <= ix < end else 0)
                         for _ in range(n):
-                            # Predictor reads with no neighbor (frame row/col
-                            # 0) or past the frame end are OOB; the
-                            # reference's JS target reads `undefined` from
-                            # the Int32Array there, which coerces to 0 —
-                            # mirror that instead of numpy's negative-index
-                            # wrap / IndexError (ScreenPressor.hx:438-461 via
-                            # js typed-array semantics).  Likewise an
-                            # overlong run WALKS PAST the rect bottom (the
-                            # while-y<y2 guard only stops the next run) and
-                            # even past the frame; JS drops OOB writes —
-                            # mirrored by the di<end guard (fuzz-found
-                            # native/oracle divergence, round 3).
-                            rd = (lambda ix: int(dst[ix])
-                                  if 0 <= ix < end else 0)
                             if ptype == 1:
                                 clr = rd(di - 1)
                             elif ptype == 2:
@@ -383,13 +383,24 @@ class ScreenPressor(VideoCodec):
                             elif ptype == 3:
                                 clr = int(prev[i]) if i < end else 0
                             elif ptype == 4:
-                                L = rd(di - 1)
-                                U1 = rd(di + off + 1)
-                                U0 = rd(di + off)
-                                r = (L & 0xFF) + (U1 & 0xFF) - (U0 & 0xFF)
-                                g = ((L >> 8) & 0xFF) + ((U1 >> 8) & 0xFF) - ((U0 >> 8) & 0xFF)
-                                b = ((L >> 16) & 0xFF) + ((U1 >> 16) & 0xFF) - ((U0 >> 16) & 0xFF)
-                                clr = ((b & 0xFF) << 16) | ((g & 0xFF) << 8) | (r & 0xFF)
+                                # the gradient reads per BYTE from dstbytes
+                                # (ScreenPressor.hx:445-448): one OOB
+                                # operand pixel poisons every component sum
+                                # to NaN in JS, and NaN & 0xFF is 0 — so
+                                # ANY OOB operand zeroes the WHOLE color,
+                                # not just its own term
+                                a0, a1, a2 = di - 1, di + off + 1, di + off
+                                if (0 <= a0 < end and 0 <= a1 < end
+                                        and 0 <= a2 < end):
+                                    L = int(dst[a0])
+                                    U1 = int(dst[a1])
+                                    U0 = int(dst[a2])
+                                    r = (L & 0xFF) + (U1 & 0xFF) - (U0 & 0xFF)
+                                    g = ((L >> 8) & 0xFF) + ((U1 >> 8) & 0xFF) - ((U0 >> 8) & 0xFF)
+                                    b = ((L >> 16) & 0xFF) + ((U1 >> 16) & 0xFF) - ((U0 >> 16) & 0xFF)
+                                    clr = ((b & 0xFF) << 16) | ((g & 0xFF) << 8) | (r & 0xFF)
+                                else:
+                                    clr = 0
                             elif ptype == 5:
                                 clr = rd(di + off)
                             if di < end:

@@ -1527,7 +1527,20 @@ struct SpDecoder {
                 case 1: clr = at(di - 1); break;
                 case 2: clr = at(di + off + 1); break;
                 case 3: clr = i < end ? pv[i] : 0u; break;
-                case 4: clr = grad(at(di - 1), at(di + off + 1), at(di + off)); break;
+                case 4: {
+                  // the gradient reads per BYTE from dstbytes
+                  // (ScreenPressor.hx:445-448): one OOB operand pixel
+                  // poisons every component sum to NaN in JS, and
+                  // NaN & 0xFF is 0 — so ANY OOB operand zeroes the
+                  // WHOLE color, not per-operand substitution (mirrored
+                  // in the oracle, codecs/screenpressor.py)
+                  long long a0 = di - 1, a1 = di + off + 1, a2 = di + off;
+                  bool ok = a0 >= 0 && a0 < (long long)end &&
+                            a1 >= 0 && a1 < (long long)end &&
+                            a2 >= 0 && a2 < (long long)end;
+                  clr = ok ? grad(d[a0], d[a1], d[a2]) : 0u;
+                  break;
+                }
                 case 5: clr = at(di + off); break;
                 default: break;
               }
