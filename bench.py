@@ -237,10 +237,13 @@ def main() -> None:
     # the soft deadline expired before exactly the rows the record needed;
     # order is now lane → terminal → curve → model/bc → slow fallbacks) ----
 
-    # BASELINE config 4 end-to-end: lane-container ingest (device entropy +
-    # recon in one program; the host's only per-frame work is array
-    # slicing, so this row is independent of host entropy throughput)
-    lane_fps = lane_prep_ms = None
+    # BASELINE config 4 end-to-end: lane-container ingest (payload decoded
+    # entirely on device; the host's only per-frame work is array slicing,
+    # so these rows are independent of host entropy throughput).  Round-4
+    # A/B: raw unit bytes (default) vs renorm-aligned rANS lanes, plus the
+    # wire sizes of both (VERDICT round-3 items 2+3).
+    lane_fps = lane_rans_fps = lane_prep_ms = None
+    lane_bytes = {}
     try:
         if real is not None:
             from jsplayer_tpu.codecs import lane_format
@@ -250,26 +253,42 @@ def main() -> None:
 
             avi = mux_avi(corpus_streams, X, Y, 24, codec="SPV4",
                           keyflags=[t == 0 for t in range(T)])
-            cont_bytes = transcode_to_lane(avi, window=T, K=2)
+            lane_bytes["avi"] = len(avi)
+            cont_bytes = transcode_to_lane(avi, window=T, K=2)  # raw+deflate
+            lane_bytes["raw_deflate"] = len(cont_bytes)
+            R = Y * (lane_format.plane_cols(X) // 128)
             t0 = time.perf_counter()
             cont = lane_format.container_from_bytes(cont_bytes)
             w = cont.windows[0]
-            R = Y * (lane_format.plane_cols(X) // 128)
             inv = w.inv_index(R)
             lane_prep_ms = (time.perf_counter() - t0) * 1e3
-            init0 = (jnp.asarray(w.init_plane) if w.init_plane is not None
-                     else jnp.zeros((Y, X), jnp.uint32))
-            lane_args = jax.device_put(
-                (init0, jnp.asarray(w.refills),
-                 jnp.asarray(w.states), jnp.asarray(w.freq),
+            raw_args = jax.device_put(
+                (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
                  jnp.asarray(w.btype), jnp.asarray(w.rect),
                  jnp.asarray(w.mvk), jnp.asarray(inv),
                  jnp.asarray(w.changed)))
-            lane_fps = timed(
+            lane_fps = timed(lane_recon.decode_window_raw, *raw_args)
+            lane_bytes["raw"] = len(transcode_to_lane(
+                avi, window=T, K=2, compress=False))
+        if real is not None and not over_budget():
+            # rANS variant (the round-3 default) for the A/B record
+            cont_rans = transcode_to_lane(avi, window=T, K=2,
+                                          payload="rans", compress=False)
+            lane_bytes["rans"] = len(cont_rans)
+            w2 = lane_format.container_from_bytes(cont_rans).windows[0]
+            init2 = (jnp.asarray(w2.init_plane)
+                     if w2.init_plane is not None
+                     else jnp.zeros((Y, X), jnp.uint32))
+            rans_args = jax.device_put(
+                (init2, jnp.asarray(w2.refills), jnp.asarray(w2.states),
+                 jnp.asarray(w2.freq), jnp.asarray(w2.btype),
+                 jnp.asarray(w2.rect), jnp.asarray(w2.mvk),
+                 jnp.asarray(w2.inv_index(R)), jnp.asarray(w2.changed)))
+            lane_rans_fps = timed(
                 lambda i, rf, st, fq, bt, rc, mk, iv, ch:
                 lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
-                                              iv, ch, U=w.n_units),
-                *lane_args)
+                                              iv, ch, U=w2.n_units),
+                *rans_args, tries=3)
     except Exception:  # noqa: BLE001
         pass
 
@@ -411,6 +430,9 @@ def main() -> None:
             None if terminal_host_bc_fps is None
             else round(terminal_host_bc_fps, 1)),
         "lane_ingest_fps": None if lane_fps is None else round(lane_fps, 1),
+        "lane_rans_ingest_fps": (
+            None if lane_rans_fps is None else round(lane_rans_fps, 1)),
+        "lane_container_bytes": lane_bytes or None,
         "lane_host_prep_ms_per_window": (
             None if lane_prep_ms is None else round(lane_prep_ms, 1)),
     }))

@@ -83,8 +83,11 @@ def cmd_transcode(args) -> int:
     if getattr(args, "format", "avi") == "lane":
         from .transcode import transcode_to_lane
 
-        out = transcode_to_lane(data, window=args.window, K=args.kmv_k)
-        desc = {"format": "lane", "window": args.window}
+        out = transcode_to_lane(data, window=args.window, K=args.kmv_k,
+                                payload=args.lane_payload,
+                                compress=not args.no_compress)
+        desc = {"format": "lane", "window": args.window,
+                "payload": args.lane_payload}
     else:
         from .transcode import transcode_sp
 
@@ -231,6 +234,11 @@ def main(argv=None) -> int:
     a.add_argument("--window", type=int, default=64,
                    help="lane container frames per window")
     a.add_argument("--kmv-k", type=int, default=2, dest="kmv_k")
+    a.add_argument("--lane-payload", choices=("raw", "rans"), default="raw",
+                   help="lane payload mode: raw unit bytes (default; zero"
+                        " device entropy work) or device-decoded rANS lanes")
+    a.add_argument("--no-compress", action="store_true",
+                   help="skip the at-rest deflate framing of lane windows")
     a.set_defaults(fn=cmd_transcode)
 
     a = sub.add_parser("render", help="decode to image files (+WAV audio)")

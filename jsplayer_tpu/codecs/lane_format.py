@@ -17,26 +17,47 @@ host/serial, ANS.hx adaptive contexts):
   rebuilds each frame's data plane with a ROW GATHER (free on TPU) —
   no dynamic_update_slice chain, no 16x16 relayout, and FULL frames
   (keyframes) ride the identical machinery.
-* Unit pixel bytes are entropy-coded with the renorm-aligned multi-lane
-  rANS (kernels/rans_lanes, ~2 Gsym/s on-device) under a per-window
-  static frequency table.  Symbol order is per-unit byte-plane
-  triplets [U, 3, 128], so the device-side unpack is one free reshape +
+* Unit pixel bytes ride one of two PAYLOAD MODES (per-window flag):
+
+  - **raw** (default since round 4): uncoded u24 byte-plane triplets
+    [U, 3, 128] — 3 B/pixel on the wire, ZERO device entropy work (the
+    unit build is a free reshape + combine).  Measured round 4: both
+    smaller AND faster than the rANS mode on every corpus, because the
+    renorm-aligned refill layout ships a fixed 2 B/SYMBOL (= 6 B/pixel)
+    regardless of entropy.
+  - **rans**: symbols entropy-coded with the renorm-aligned multi-lane
+    rANS (kernels/rans_lanes, ~2 Gsym/s on-device) under a per-window
+    static frequency table.  Kept for layouts whose device-side bytes
+    genuinely compress below 1/2 B/sym under a static table — the
+    aligned refill schedule can never beat raw for ≥1-B/sym content,
+    so raw is the production default.
+
+  Either way the symbol order is per-unit byte-plane triplets
+  [U, 3, 128], so the device-side unpack is one free reshape +
   middle-dim slices + an elementwise combine, invariant under U
   bucketing (padded units decode to rows nothing references).
 
-A container holds GOP-aligned windows; windows are independent decode
-chains when keyframe-led, which is what the transcoder emits.
+* Window-leading keyframes: in raw mode they are ordinary full-frame
+  data paints riding the SAME unit machinery (3 B/px, no special case);
+  in rans mode they ship as raw u32 init planes (4 B/px — entropy-coding
+  a keyframe measured both slower and larger, round 3).  Windows whose
+  first frame fully paints the plane are flagged RESTART — their decode
+  is carry-independent, which is the gop-axis sharding unit and the
+  clip-seek restart point (the reference's keyframe-seek analog,
+  Manager.hx:244-249).
 
-SIZE TRADE (measured, round 3): this is a DECODE-THROUGHPUT format, not
-a compression format.  The renorm-aligned refill layout ships a fixed
-~2 B per payload symbol regardless of entropy (screen content often
-compresses to ~0.1-0.5 B/sym in the source SP stream), and raw init
-planes add 8.3 MB per keyframe-led 1080p window — a 1080p screencast
-container runs ~1-2 MB/s of content (bench corpus: 12 KB AVI → 16.7 MB;
-terminal corpus: 0.5 MB AVI → 31.8 MB).  That is the deliberate price
-for 2 Gsym/s device entropy decode with ~zero host work; keep the
-SOURCE AVI for archival, stage containers where decode speed matters
-(HBM/local disk), and zstd them at rest if needed.
+* Optional DEFLATE framing (per-window flag): the bulk section (payload
+  or refills, plus any init plane) is zlib-compressed at rest.  Screen
+  content deflates well (bench corpus ~30x); the host-side inflate is a
+  one-shot per window, far off the per-frame path.
+
+A container holds GOP-aligned windows; windows are independent decode
+chains when restart-flagged, which is what the transcoder emits for
+keyframe-led content.
+
+SIZE (measured, round 4): raw+deflate turns the round-3 numbers around
+— bench corpus 16.7 MB (rans, uncompressed) → well under the ≥3x-shrink
+bar; see BENCH_NOTES.md round-4 A/B table.
 
 Wire layout (little-endian):
 
@@ -45,14 +66,20 @@ Wire layout (little-endian):
   window record:
            u32 record_bytes (excluding this field)
            u16 T (frames in window) | u32 U (payload units)
-           | u32 n_active (blocks) | u32 steps (lane scan length)
+           | u32 n_active (blocks) | u32 steps (lane scan length; 0 raw)
+           | u8 flags (bit0 init plane present | bit1 raw payload
+                       | bit2 bulk deflated | bit3 restart window)
            changed[T] u8 | signif[T] u8 | mvk[T*K*2] i16
            per-frame active-block counts u32[T]
            active blocks: (u32 block_index | u8 btype | u8 rect[4]) each
            per-frame unit counts u32[T]
            unit plane-row ids u32[U]
-           freq i32[256] | states u32[n_lanes]
-           refills u8[steps * n_lanes * 2]
+           [u32 bulk_clen if deflated]
+           bulk (zlib-deflated when flagged):
+             raw:  payload u8[U * 3 * 128]
+             rans: freq i32[256] | states u32[n_lanes]
+                   | refills u8[steps * n_lanes * 2]
+             then: init plane u32[Y * X] if flagged
 """
 
 from __future__ import annotations
@@ -88,17 +115,26 @@ class LaneWindow:
     rect: np.ndarray             # [T, NB, 4] uint8 (block-local x1,y1,x2,y2)
     unit_rows: list              # per frame: np.ndarray of plane-row ids
     n_units: int                 # U — total unit count across frames
-    freq: np.ndarray             # [256] int32
-    states: np.ndarray           # [N] uint32
-    refills: np.ndarray          # [steps, N, 2] uint8
-    # Window-leading keyframe extracted as a RAW [Y, X] u32 scan-init
-    # plane: entropy-coding a full 1080p frame is ~6M symbols (4 ms even
-    # at the 2-level search's 1.5 Gsym/s) and its ~16K payload units make
-    # the per-frame row gather latency-bound — shipping it dense is both
-    # FASTER and SMALLER on the wire than its refill rows.  Frame 0 then
-    # stays in the scan as an all-copy changed frame (carry passthrough
-    # of the init).  None = window continues the previous carry.
+    # rans payload mode (None in raw mode):
+    freq: Optional[np.ndarray] = None     # [256] int32
+    states: Optional[np.ndarray] = None   # [N] uint32
+    refills: Optional[np.ndarray] = None  # [steps, N, 2] uint8
+    # rans mode only: window-leading keyframe extracted as a RAW [Y, X]
+    # u32 scan-init plane (entropy-coding a full 1080p frame is ~6M
+    # symbols and ~16K latency-bound gather rows — dense is both FASTER
+    # and SMALLER than its refill rows; frame 0 then stays in the scan
+    # as an all-copy changed frame).  In raw mode keyframes are ordinary
+    # full-paint frames in `payload` (3 B/px beats this plane's 4 B/px).
     init_plane: Optional[np.ndarray] = None
+    # raw payload mode: uncoded unit byte-plane triplets [U, 3, 128] u8
+    payload: Optional[np.ndarray] = None
+    # frame 0 fully paints the plane → decode is carry-independent (the
+    # gop-axis sharding unit and the clip-seek restart point)
+    restart: bool = False
+
+    @property
+    def raw_mode(self) -> bool:
+        return self.payload is not None
 
     def inv_index(self, R: int) -> np.ndarray:
         """[T, R] int32: plane row → global unit row (0 where absent; the
@@ -144,12 +180,17 @@ def _block_local_rects(rect_g: np.ndarray, nbx: int) -> np.ndarray:
 def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
                   payload: np.ndarray, changed: np.ndarray,
                   signif: np.ndarray, X: int, Y: int, K: int,
-                  n_lanes: int) -> LaneWindow:
+                  n_lanes: int, payload_mode: str = "raw") -> LaneWindow:
     """Host derivation: captured commands + decoded frames → a LaneWindow.
 
     Mirrors kernels/sp_recon.prepare_kmv's pixel semantics exactly (same
     derive_kmv_commands grouping, same demotion rule), so the device lane
-    compose is bit-exact with the dense-paycode path by construction."""
+    compose is bit-exact with the dense-paycode path by construction.
+
+    payload_mode: "raw" (uncoded u24 unit bytes — the measured-default) or
+    "rans" (renorm-aligned lane entropy; see module docstring)."""
+    if payload_mode not in ("raw", "rans"):
+        raise ValueError(f"unknown payload_mode {payload_mode!r}")
     T, NB = bts.shape
     nbx, nby = (X + 15) // 16, (Y + 15) // 16
     Xp = plane_cols(X)
@@ -165,17 +206,21 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     unit_px: list[np.ndarray] = []
     per_frame_units = np.zeros(T, dtype=np.int64)
     pay = payload & np.uint32(0x00FFFFFF)
-    # window-leading keyframe → raw init plane (see LaneWindow.init_plane):
-    # frame 0 must be a full-frame data paint (every block data, full
-    # rects, no motion) — the I-frame capture shape
+    # window-leading keyframe: frame 0 a full-frame data paint (every
+    # block data, full rects, no motion — the I-frame capture shape)
+    # makes the window's decode carry-independent (`restart`).  In rans
+    # mode it is additionally extracted as a raw init plane (see
+    # LaneWindow.init_plane); in raw mode it rides the unit machinery
+    # like any other frame (3 B/px < the plane's 4 B/px).
     full_rects = np.empty((NB, 4), dtype=np.int64)
     full_rects[:, 0] = (np.arange(NB) % nbx) * 16
     full_rects[:, 1] = (np.arange(NB) // nbx) * 16
     full_rects[:, 2] = np.minimum(full_rects[:, 0] + 16, X)
     full_rects[:, 3] = np.minimum(full_rects[:, 1] + 16, Y)
+    restart = bool(T > 0 and changed[0] and (bts[0] == 1).all()
+                   and (rect[0] == full_rects).all())
     init_plane = None
-    if (T > 0 and changed[0] and (bts[0] == 1).all()
-            and (rect[0] == full_rects).all()):
+    if restart and payload_mode == "rans":
         init_plane = pay[0].copy()
     for t in range(T):
         if t == 0 and init_plane is not None:
@@ -226,6 +271,12 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     arr[:, 0] = units & 0xFF
     arr[:, 1] = (units >> 8) & 0xFF
     arr[:, 2] = (units >> 16) & 0xFF
+    if payload_mode == "raw":
+        return LaneWindow(T=T, changed=changed.astype(bool),
+                          signif=signif.astype(bool),
+                          mvk=mvk.astype(np.int32), btype=btype, rect=rloc,
+                          unit_rows=unit_rows, n_units=U, payload=arr,
+                          restart=restart)
     syms = arr.reshape(-1)
     freq = rans_lanes.build_freq_table(syms if syms.size
                                        else np.zeros(1, np.uint8))
@@ -239,16 +290,25 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
                       signif=signif.astype(bool),
                       mvk=mvk.astype(np.int32), btype=btype, rect=rloc,
                       unit_rows=unit_rows, n_units=U, freq=freq,
-                      states=states, refills=refills, init_plane=init_plane)
+                      states=states, refills=refills, init_plane=init_plane,
+                      restart=restart)
 
 
 # ---------------------------------------------------------------------------
 # Serialization
 # ---------------------------------------------------------------------------
 
-def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int) -> bytes:
+_FLAG_INIT = 1        # raw u32 init plane present (rans mode)
+_FLAG_RAW = 2         # payload mode raw (uncoded u24 unit bytes)
+_FLAG_DEFLATE = 4     # bulk section zlib-deflated at rest
+_FLAG_RESTART = 8     # frame 0 fully paints the plane (carry-independent)
+
+
+def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
+                     compress: bool = True) -> bytes:
+    import zlib
+
     T = w.T
-    NB = w.btype.shape[1]
     active = w.btype != 0
     n_active_t = active.sum(axis=1).astype(np.uint32)
     n_active = int(n_active_t.sum())
@@ -262,9 +322,30 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int) -> bytes:
         blocks += rec.tobytes()
     unit_counts = np.array([r.size for r in w.unit_rows], dtype=np.uint32)
     unit_rows = b"".join(r.astype("<u4").tobytes() for r in w.unit_rows)
-    steps = w.refills.shape[0]
-    has_init = 1 if w.init_plane is not None else 0
-    body = (struct.pack("<HIIIB", T, w.n_units, n_active, steps, has_init)
+    flags = 0
+    if w.init_plane is not None:
+        flags |= _FLAG_INIT
+    if w.restart:
+        flags |= _FLAG_RESTART
+    if w.raw_mode:
+        flags |= _FLAG_RAW
+        steps = 0
+        bulk = w.payload.tobytes()
+    else:
+        steps = w.refills.shape[0]
+        bulk = (w.freq.astype("<i4").tobytes()
+                + w.states.astype("<u4").tobytes()
+                + w.refills.tobytes())
+    if w.init_plane is not None:
+        bulk += w.init_plane.astype("<u4").tobytes()
+    if compress:
+        # level 1: on screen content the win is in the run/repeat
+        # structure, not entropy squeezing — higher levels measured much
+        # slower for single-digit-% extra shrink (BENCH_NOTES round 4)
+        flags |= _FLAG_DEFLATE
+        comp = zlib.compress(bulk, 1)
+        bulk = struct.pack("<I", len(comp)) + comp
+    body = (struct.pack("<HIIIB", T, w.n_units, n_active, steps, flags)
             + w.changed.astype(np.uint8).tobytes()
             + w.signif.astype(np.uint8).tobytes()
             + w.mvk.astype("<i2").tobytes()
@@ -272,21 +353,19 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int) -> bytes:
             + bytes(blocks)
             + unit_counts.astype("<u4").tobytes()
             + bytes(unit_rows)
-            + w.freq.astype("<i4").tobytes()
-            + w.states.astype("<u4").tobytes()
-            + w.refills.tobytes()
-            + (w.init_plane.astype("<u4").tobytes() if has_init else b""))
+            + bulk)
     return struct.pack("<I", len(body)) + body
 
 
-def container_to_bytes(c: LaneContainer) -> bytes:
+def container_to_bytes(c: LaneContainer, compress: bool = True) -> bytes:
     import math
 
     fps_den = 1000
     fps_num = int(round(c.fps * fps_den)) if math.isfinite(c.fps) else 0
     head = struct.pack(_HDR, _MAGIC, c.X, c.Y, c.bpp, c.K, c.n_lanes,
                        c.n_frames, c.window, fps_num, fps_den)
-    body = head + b"".join(_window_to_bytes(w, c.K, c.n_lanes)
+    body = head + b"".join(_window_to_bytes(w, c.K, c.n_lanes,
+                                            compress=compress)
                            for w in c.windows)
     if c.audio:
         body += _AUDIO_MAGIC + struct.pack("<Q", len(c.audio)) + c.audio
@@ -353,11 +432,15 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         return out
 
     pos = 0
-    T, U, n_active, steps, has_init = struct.unpack_from("<HIIIB", buf, 0)
+    T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     pos = struct.calcsize("<HIIIB")
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
-            or steps > 1 << 24:
+            or steps > 1 << 24 or flags > 15:
         raise ValueError("implausible lane window header")
+    has_init = flags & _FLAG_INIT
+    raw_mode = bool(flags & _FLAG_RAW)
+    if raw_mode and has_init:
+        raise ValueError("lane window: raw payload excludes init planes")
     changed = np.frombuffer(take(T), dtype=np.uint8).astype(bool)
     signif = np.frombuffer(take(T), dtype=np.uint8).astype(bool)
     mvk = np.frombuffer(take(T * K * 2 * 2), dtype="<i2").astype(
@@ -396,14 +479,45 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
             raise ValueError("lane window: unit rows not strictly increasing")
         unit_rows.append(rows)
         o += n
-    freq = np.frombuffer(take(256 * 4), dtype="<i4").astype(np.int32)
-    if int(freq.sum()) != rans_lanes.PROB_SCALE or (freq <= 0).any():
-        raise ValueError("lane window: invalid frequency table")
-    states = np.frombuffer(take(n_lanes * 4), dtype="<u4").astype(np.uint32)
-    refills = np.frombuffer(take(steps * n_lanes * 2), dtype=np.uint8)
-    refills = refills.reshape(steps, n_lanes, 2).copy()
-    if 3 * U * 128 > steps * n_lanes:
-        raise ValueError("lane window: payload exceeds lane capacity")
+    if flags & _FLAG_DEFLATE:
+        import zlib
+
+        (clen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        comp = take(clen)
+        # bound the inflate by the exact expected bulk size (adversarial
+        # input must not drive an unbounded decompression)
+        expect = (3 * U * 128 if raw_mode
+                  else 256 * 4 + n_lanes * 4 + steps * n_lanes * 2)
+        expect += X * Y * 4 if has_init else 0
+        try:
+            dec = zlib.decompressobj()
+            # max_length bounds the inflate output (zlib.decompress's
+            # bufsize is only an initial hint — a deflate bomb would
+            # still expand unboundedly through it)
+            bulk = dec.decompress(bytes(comp), expect)
+            if dec.unconsumed_tail or dec.decompress(b"", 1):
+                raise ValueError("lane window: deflated bulk oversized")
+        except zlib.error as e:
+            raise ValueError(f"lane window: bad deflate bulk ({e})")
+        if len(bulk) != expect:
+            raise ValueError("lane window: deflated bulk size mismatch")
+        buf = memoryview(bulk)
+        pos = 0
+    freq = states = refills = payload = None
+    if raw_mode:
+        payload = np.frombuffer(take(3 * U * 128), dtype=np.uint8)
+        payload = payload.reshape(U, 3, 128).copy()
+    else:
+        freq = np.frombuffer(take(256 * 4), dtype="<i4").astype(np.int32)
+        if int(freq.sum()) != rans_lanes.PROB_SCALE or (freq <= 0).any():
+            raise ValueError("lane window: invalid frequency table")
+        states = np.frombuffer(take(n_lanes * 4), dtype="<u4").astype(
+            np.uint32)
+        refills = np.frombuffer(take(steps * n_lanes * 2), dtype=np.uint8)
+        refills = refills.reshape(steps, n_lanes, 2).copy()
+        if 3 * U * 128 > steps * n_lanes:
+            raise ValueError("lane window: payload exceeds lane capacity")
     init_plane = None
     if has_init:
         init_plane = np.frombuffer(take(X * Y * 4), dtype="<u4").astype(
@@ -411,4 +525,5 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     return LaneWindow(T=T, changed=changed, signif=signif, mvk=mvk,
                       btype=btype, rect=rect, unit_rows=unit_rows,
                       n_units=U, freq=freq, states=states, refills=refills,
-                      init_plane=init_plane)
+                      init_plane=init_plane, payload=payload,
+                      restart=bool(flags & _FLAG_RESTART))

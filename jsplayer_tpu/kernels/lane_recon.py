@@ -1,15 +1,21 @@
-"""Device-side lane-container decode: fused lane-rANS entropy + kmv recon.
+"""Device-side lane-container decode: payload units + kmv recon, one program.
 
 BASELINE config 4 end-to-end: ONE jitted program per window does
-  1. renorm-aligned multi-lane rANS decode of the window's payload symbols
-     (rans_lanes.decode_lanes_aligned, ~2 Gsym/s on v5e at N=4096),
-  2. three free reshapes + an elementwise combine → the window's payload
-     UNITS [U, 128] u32 (codecs/lane_format's byte-triplet symbol order),
-  3. a lax.scan over frames where each step row-GATHERS its units into the
+  1. the payload-unit build, by mode (codecs/lane_format):
+     - raw (default since round 4): [U, 3, 128] u8 wire bytes → a free
+       reshape + elementwise combine — zero entropy work;
+     - rans: renorm-aligned multi-lane rANS decode of the symbols
+       (rans_lanes.decode_lanes_aligned, ~2 Gsym/s on v5e at N=4096),
+       then the same combine (byte-triplet symbol order),
+  2. a lax.scan over frames where each step row-GATHERS its units into the
      padded data plane and composes with block-broadcast types/rects and
      K motion rolls — the same pixel semantics as sp_recon's dense-paycode
      compose (ScreenPressor.hx:302-484 block model), with the 8.3 MB/frame
      dense plane replaced by `units` + free structured broadcasts.
+
+Sharding: make_lane_decode_step shards the leading window axis over the
+mesh's dp axis, and — for RESTART (carry-independent) windows — over the
+gop axis too (SURVEY §2 GOP/context row; round 3 was dp-only).
 
 No dynamic_update_slice chains (serial, ~2.8 us/tile) and no 16x16 block
 relayouts — the two measured TPU anti-patterns the sparse transport paid.
@@ -71,16 +77,9 @@ def compose_frame_lane(prev: jax.Array, units: jax.Array,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("U",))
-def decode_window_lane(init, refills, states, freq, btype, rect, mvk,
-                       inv_idx, changed, U: int):
-    """One stream window: entropy + recon in one program.
-
-    init [Y, X] u32; refills [steps, N, 2] u8; states [N] u32;
-    freq [256] i32; btype [T, NB]; rect [T, NB, 4]; mvk [T, K, 2];
-    inv_idx [T, R]; changed [T] bool → frames [T, Y, X] u32."""
-    units = units_from_pack(refills, states, freq, U)
-
+def _scan_frames(init, units, btype, rect, mvk, inv_idx, changed):
+    """The recon scan shared by both payload modes: P-chain over frames,
+    each changed frame composed from its units + block commands."""
     def step(prev, inp):
         bt, r, mk, idx, chg = inp
         out = jnp.where(chg, compose_frame_lane(prev, units, idx, bt, r, mk),
@@ -89,6 +88,33 @@ def decode_window_lane(init, refills, states, freq, btype, rect, mvk,
 
     _, frames = jax.lax.scan(step, init, (btype, rect, mvk, inv_idx, changed))
     return frames
+
+
+def units_from_raw(payload: jax.Array) -> jax.Array:
+    """Raw payload mode: [U, 3, 128] u8 byte planes → [U, 128] u32 units.
+    No entropy stage at all — the combine fuses into the first gather."""
+    m = payload.astype(jnp.uint32)
+    return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("U",))
+def decode_window_lane(init, refills, states, freq, btype, rect, mvk,
+                       inv_idx, changed, U: int):
+    """One stream window, rans payload mode: entropy + recon in one program.
+
+    init [Y, X] u32; refills [steps, N, 2] u8; states [N] u32;
+    freq [256] i32; btype [T, NB]; rect [T, NB, 4]; mvk [T, K, 2];
+    inv_idx [T, R]; changed [T] bool → frames [T, Y, X] u32."""
+    units = units_from_pack(refills, states, freq, U)
+    return _scan_frames(init, units, btype, rect, mvk, inv_idx, changed)
+
+
+@jax.jit
+def decode_window_raw(init, payload, btype, rect, mvk, inv_idx, changed):
+    """One stream window, raw payload mode: recon only (payload [U, 3, 128]
+    u8 uncoded unit bytes; everything else as decode_window_lane)."""
+    units = units_from_raw(payload)
+    return _scan_frames(init, units, btype, rect, mvk, inv_idx, changed)
 
 
 @functools.partial(jax.jit, static_argnames=("U",))
@@ -104,23 +130,52 @@ def decode_batch_lane(init, refills, states, freq, btype, rect, mvk,
     return jnp.stack(outs)
 
 
-def make_lane_decode_step(mesh, U: int):
-    """Sharded lane decode: streams on the mesh's dp axis (each device
-    entropy-decodes and reconstructs its own streams; no cross-device
-    traffic — SURVEY.md §2 DP row, with device entropy per shard)."""
+@jax.jit
+def decode_batch_raw(init, payload, btype, rect, mvk, inv_idx, changed):
+    """Batched raw-mode decode; same unrolled-leading-axis contract."""
+    outs = [decode_window_raw(init[b], payload[b], btype[b], rect[b],
+                              mvk[b], inv_idx[b], changed[b])
+            for b in range(btype.shape[0])]
+    return jnp.stack(outs)
+
+
+def make_lane_decode_step(mesh, U: int, axes=("dp",), raw: bool = False):
+    """Sharded lane decode over the mesh.
+
+    `axes` names the mesh axes the leading batch dimension shards over:
+    ("dp",) = independent streams only; ("dp", "gop") additionally spreads
+    RESTART windows (carry-independent, lane_format.LaneWindow.restart)
+    of the same stream across the gop axis — the time-axis analog of the
+    kmv path's GOP parallelism (SURVEY.md §2 GOP/context row).  Entries
+    are laid out stream-major: index = b * G + g for mesh (dp=B, gop=G).
+    No cross-device traffic either way — every window decodes locally."""
     from jax.sharding import PartitionSpec as P
 
-    def per_shard(init, refills, states, freq, btype, rect, mvk, inv_idx,
-                  changed):
-        outs = [decode_window_lane(init[b], refills[b], states[b], freq[b],
-                                   btype[b], rect[b], mvk[b], inv_idx[b],
-                                   changed[b], U)
-                for b in range(btype.shape[0])]
-        return jnp.stack(outs)
+    spec = P(axes if len(axes) > 1 else axes[0])
+
+    if raw:
+        def per_shard(init, payload, btype, rect, mvk, inv_idx, changed):
+            outs = [decode_window_raw(init[b], payload[b], btype[b],
+                                      rect[b], mvk[b], inv_idx[b],
+                                      changed[b])
+                    for b in range(btype.shape[0])]
+            return jnp.stack(outs)
+
+        n_in = 7
+    else:
+        def per_shard(init, refills, states, freq, btype, rect, mvk,
+                      inv_idx, changed):
+            outs = [decode_window_lane(init[b], refills[b], states[b],
+                                       freq[b], btype[b], rect[b], mvk[b],
+                                       inv_idx[b], changed[b], U)
+                    for b in range(btype.shape[0])]
+            return jnp.stack(outs)
+
+        n_in = 9
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P("dp"),) * 9,
-        out_specs=P("dp"),
+        in_specs=(spec,) * n_in,
+        out_specs=spec,
     )
     return jax.jit(sharded)

@@ -418,10 +418,20 @@ class VideoIngestPipeline:
         return track
 
     def _iter_lane(self) -> Iterator[dict]:
-        """Device-entropy ingest: per window, pad streams to shared
-        (U, steps) buckets and run ONE fused entropy+recon program per
-        stream (kernels/lane_recon), sharded over the mesh's dp axis when
-        configured.  The host's only per-frame work is array slicing."""
+        """Device-entropy ingest: per window GROUP, pad streams to shared
+        buckets and run the fused lane program per stream window
+        (kernels/lane_recon), sharded over the mesh when configured.
+        The host's only per-frame work is array slicing.
+
+        GOP axis: when the mesh has a gop axis (>1), up to `gop` CONSECUTIVE
+        windows join one device dispatch — valid because every non-leading
+        window in a group is RESTART (frame 0 fully paints the plane, so
+        its decode is carry-independent; lane_format.LaneWindow.restart).
+        Entries are laid out stream-major ([B, G] flattened), so the group
+        emits as ONE dict covering G*T frames via a free reshape — the
+        same consumer contract (start_frame + flat outmap), just a bigger
+        window.  This is the time-axis sharding of SURVEY §2's GOP row for
+        the lane path; round 3's was dp-only."""
         from ..codecs.lane_format import plane_cols
         from ..kernels import lane_recon, rans_lanes as _rl
 
@@ -433,9 +443,13 @@ class VideoIngestPipeline:
         Tw = c0.window
         n_windows = max(len(c.windows) for c in self.containers)
         mesh = self.cfg.mesh
+        raw_mode = any(w.raw_mode for c in self.containers for w in c.windows)
+        if raw_mode and not all(w.raw_mode for c in self.containers
+                                for w in c.windows):
+            raise ValueError("lane batch mixes raw and rans payload windows")
         wi0, wi_end = 0, n_windows
         if self.cfg.frame_range is not None:
-            # clip decode: start at the latest init-plane window ≤ t0 (the
+            # clip decode: start at the latest RESTART window ≤ t0 (the
             # container's keyframe-restart unit — the seek semantics of
             # Manager.hx:244-249 at window granularity); leading warm-up
             # frames ride in the first window like the AVI path
@@ -443,82 +457,110 @@ class VideoIngestPipeline:
             want = max(0, min(int(t0), self.nframes - 1)) // Tw
             wi0 = 0
             for wi in range(want, -1, -1):
-                if all(wi < len(c.windows)
-                       and c.windows[wi].init_plane is not None
+                if all(wi < len(c.windows) and c.windows[wi].restart
                        for c in self.containers):
                     wi0 = wi
                     break
             else:
                 assert wi0 == 0
             wi_end = min(n_windows, -(-max(t0 + 1, int(t1)) // Tw))
+        gop_size = 1
+        if mesh is not None and "gop" in mesh.axis_names:
+            gop_size = int(mesh.shape["gop"])
+
+        def all_restart(wi):
+            return all(c.windows[wi].restart for c in self.containers
+                       if wi < len(c.windows))
+
         carry = None
         pending = None
-        for wi in range(wi0, wi_end):
-            btype = np.zeros((B, Tw, nb), dtype=np.uint8)
-            rect = np.zeros((B, Tw, nb, 4), dtype=np.uint8)
-            mvk = np.zeros((B, Tw, K, 2), dtype=np.int32)
-            inv = np.zeros((B, Tw, R), dtype=np.int32)
-            changed = np.zeros((B, Tw), dtype=bool)
-            sig = np.zeros((B, Tw), dtype=bool)
-            u_real = [0] * B
+        wi = wi0
+        while wi < wi_end:
+            # greedy group: extend while the next window is carry-free
+            G = 1
+            while (G < gop_size and wi + G < wi_end
+                   and all_restart(wi + G)):
+                G += 1
+            BG = B * G
+            btype = np.zeros((BG, Tw, nb), dtype=np.uint8)
+            rect = np.zeros((BG, Tw, nb, 4), dtype=np.uint8)
+            mvk = np.zeros((BG, Tw, K, 2), dtype=np.int32)
+            inv = np.zeros((BG, Tw, R), dtype=np.int32)
+            changed = np.zeros((BG, Tw), dtype=bool)
+            sig = np.zeros((B, G * Tw), dtype=bool)
+            u_real = [0] * BG
             wins = []
             for b, c in enumerate(self.containers):
-                w = c.windows[wi] if wi < len(c.windows) else None
-                wins.append(w)
-                if w is None:
-                    continue
-                btype[b, : w.T] = w.btype
-                rect[b, : w.T] = w.rect
-                mvk[b, : w.T] = w.mvk
-                inv[b, : w.T] = w.inv_index(R)
-                changed[b, : w.T] = w.changed
-                sig[b, : w.T] = w.signif
-                u_real[b] = w.n_units
-            # shared buckets: U to a power of two, steps to cover 3*U*128
-            # symbols — both derived deterministically so jit keys stay
-            # bounded; padded refills decode garbage symbols into unit rows
+                for g in range(G):
+                    e = b * G + g
+                    w = (c.windows[wi + g] if wi + g < len(c.windows)
+                         else None)
+                    wins.append(w)
+                    if w is None:
+                        continue
+                    btype[e, : w.T] = w.btype
+                    rect[e, : w.T] = w.rect
+                    mvk[e, : w.T] = w.mvk
+                    inv[e, : w.T] = w.inv_index(R)
+                    changed[e, : w.T] = w.changed
+                    sig[b, g * Tw : g * Tw + w.T] = w.signif
+                    u_real[e] = w.n_units
+            # shared buckets: U to a power of two (and steps to cover
+            # 3*U*128 symbols in rans mode) — derived deterministically so
+            # jit keys stay bounded; padded payload decodes into unit rows
             # nothing references (inv_idx only maps real units)
             u_pad = 1
             while u_pad < max(max(u_real), 1):
                 u_pad <<= 1
-            need_steps = -(-3 * u_pad * 128 // N)
-            steps = 1
-            while steps < need_steps:
-                steps <<= 1
-            steps = max(steps, max((w.refills.shape[0] for w in wins
-                                    if w is not None), default=1))
-            refills = np.zeros((B, steps, N, 2), dtype=np.uint8)
-            states = np.zeros((B, N), dtype=np.uint32)
-            freq = np.ones((B, 256), dtype=np.int32)
-            freq[:, 0] += _rl.PROB_SCALE - 256  # valid table for absent rows
-            for b, w in enumerate(wins):
-                if w is None:
-                    continue
-                refills[b, : w.refills.shape[0]] = w.refills
-                states[b] = w.states
-                freq[b] = w.freq
+            if raw_mode:
+                payload = np.zeros((BG, u_pad, 3, 128), dtype=np.uint8)
+                for e, w in enumerate(wins):
+                    if w is not None and w.n_units:
+                        payload[e, : w.n_units] = w.payload
+            else:
+                need_steps = -(-3 * u_pad * 128 // N)
+                steps = 1
+                while steps < need_steps:
+                    steps <<= 1
+                steps = max(steps, max((w.refills.shape[0] for w in wins
+                                        if w is not None), default=1))
+                refills = np.zeros((BG, steps, N, 2), dtype=np.uint8)
+                states = np.zeros((BG, N), dtype=np.uint32)
+                freq = np.ones((BG, 256), dtype=np.int32)
+                freq[:, 0] += _rl.PROB_SCALE - 256  # valid for absent rows
+                for e, w in enumerate(wins):
+                    if w is None:
+                        continue
+                    refills[e, : w.refills.shape[0]] = w.refills
+                    states[e] = w.states
+                    freq[e] = w.freq
             if carry is None:
                 carry = jnp.zeros((B, Y, X), dtype=jnp.uint32)
-            # window-leading keyframes ride as raw init planes (the scan's
-            # frame 0 is an all-copy passthrough) — override those
-            # streams' carries on device, no host round-trip
+            # entry inits: every entry starts from its stream's carry
+            # (restart entries ignore it — frame 0 fully paints; None
+            # entries pass it through, preserving ragged-batch semantics)
+            init_e = (carry if G == 1
+                      else jnp.repeat(carry, G, axis=0))
+            # rans mode: window-leading keyframes ride as raw init planes
+            # (the scan's frame 0 is an all-copy passthrough) — override
+            # those entries' inits on device, no host round-trip
             if any(w is not None and w.init_plane is not None for w in wins):
-                init_np = np.zeros((B, Y, X), dtype=np.uint32)
-                mask = np.zeros(B, dtype=bool)
-                for b, w in enumerate(wins):
+                init_np = np.zeros((BG, Y, X), dtype=np.uint32)
+                mask = np.zeros(BG, dtype=bool)
+                for e, w in enumerate(wins):
                     if w is not None and w.init_plane is not None:
-                        init_np[b] = w.init_plane
-                        mask[b] = True
+                        init_np[e] = w.init_plane
+                        mask[e] = True
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    sh = NamedSharding(mesh, P("dp"))
-                    carry = jnp.where(
+                    sh = NamedSharding(mesh, self._lane_spec(G))
+                    init_e = jnp.where(
                         jax.device_put(mask, sh)[:, None, None],
-                        jax.device_put(init_np, sh), carry)
+                        jax.device_put(init_np, sh), init_e)
                 else:
-                    carry = jnp.where(_put(mask)[:, None, None],
-                                      _put(init_np), carry)
+                    init_e = jnp.where(_put(mask)[:, None, None],
+                                       _put(init_np), init_e)
             # still-elision: stills never enter the lane scan (the same
             # outmap contract as _kmv_elided — flat row stack; -1 = the
             # window's carry-in frame)
@@ -531,8 +573,8 @@ class VideoIngestPipeline:
                 changed = valid
                 outmap = np.where(
                     outmap >= 0,
-                    outmap + (np.arange(B, dtype=np.int32) * cpad)[:, None],
-                    -1).astype(np.int32)
+                    outmap + (np.arange(BG, dtype=np.int32) * cpad)[:, None],
+                    -1).astype(np.int32).reshape(B, G * Tw)
             if changed.shape[1] == 0:  # all streams all-stills
                 out = {"start_frame": wi * Tw, "significant": jnp.array(sig),
                        "outmap": outmap,
@@ -540,29 +582,45 @@ class VideoIngestPipeline:
                 if pending is not None:
                     yield pending
                 pending = out
+                wi += G
                 continue
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                key = (u_pad, steps, changed.shape[1])
+                spec = self._lane_spec(G)
+                key = (u_pad, raw_mode or steps, changed.shape[1], G)
                 steps_cache = getattr(self, "_lane_steps", None)
                 if steps_cache is None:
                     steps_cache = self._lane_steps = {}
                 if key not in steps_cache:
+                    axes = (("dp", "gop") if G > 1 else ("dp",))
                     steps_cache[key] = lane_recon.make_lane_decode_step(
-                        mesh, u_pad)
+                        mesh, u_pad, axes=axes, raw=raw_mode)
                 put = lambda a: jax.device_put(
-                    np.ascontiguousarray(a), NamedSharding(mesh, P("dp")))
-                frames = steps_cache[key](
-                    jax.device_put(carry, NamedSharding(mesh, P("dp"))),
-                    put(refills), put(states), put(freq), put(btype),
-                    put(rect), put(mvk), put(inv), put(changed))
+                    np.ascontiguousarray(a), NamedSharding(mesh, spec))
+                init_dev = jax.device_put(init_e, NamedSharding(mesh, spec))
+                if raw_mode:
+                    frames = steps_cache[key](
+                        init_dev, put(payload), put(btype), put(rect),
+                        put(mvk), put(inv), put(changed))
+                else:
+                    frames = steps_cache[key](
+                        init_dev, put(refills), put(states), put(freq),
+                        put(btype), put(rect), put(mvk), put(inv),
+                        put(changed))
+            elif raw_mode:
+                frames = lane_recon.decode_batch_raw(
+                    init_e, _put(payload), _put(btype), _put(rect),
+                    _put(mvk), _put(inv), _put(changed))
             else:
                 frames = lane_recon.decode_batch_lane(
-                    carry, _put(refills), _put(states), _put(freq),
+                    init_e, _put(refills), _put(states), _put(freq),
                     _put(btype), _put(rect), _put(mvk), _put(inv),
                     _put(changed), u_pad)
-            carry = frames[:, -1]
+            # per-stream carry = the last entry's last frame (stream-major
+            # layout; None tails pass the carry through unchanged)
+            carry = (frames[:, -1] if G == 1
+                     else frames[G - 1 :: G, -1])
             _window_barrier(frames)
             out = {"start_frame": wi * Tw, "significant": jnp.array(sig)}
             if outmap is not None:
@@ -573,14 +631,24 @@ class VideoIngestPipeline:
                 if self.cfg.emit_model_input:
                     out["model_input"] = self._model_tensors(flat)
             else:
+                # [B*G, T, ...] → [B, G*T, ...]: stream-major layout makes
+                # the group read as one window of G*T frames
+                frames = frames.reshape((B, G * Tw) + frames.shape[2:])
                 out["frames_u32"] = frames
                 if self.cfg.emit_model_input:
                     out["model_input"] = self._model_tensors(frames)
             if pending is not None:
                 yield pending
             pending = out
+            wi += G
         if pending is not None:
             yield pending
+
+    @staticmethod
+    def _lane_spec(G: int):
+        from jax.sharding import PartitionSpec as P
+
+        return P(("dp", "gop")) if G > 1 else P("dp")
 
     def __iter__(self) -> Iterator[dict]:
         """Host→device pipeline parallelism (SURVEY.md §2 PP row): the device

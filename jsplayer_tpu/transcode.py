@@ -105,11 +105,19 @@ def transcode_sp(avi_bytes: bytes, target_version: int = 4,
 
 def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                       n_lanes: Optional[int] = None,
-                      use_native: Optional[bool] = None) -> bytes:
+                      use_native: Optional[bool] = None,
+                      payload: str = "raw",
+                      compress: bool = True) -> bytes:
     """Re-encode an SP AVI into the lane-container format
-    (codecs/lane_format): payload rides interleaved rANS lanes so both
-    entropy decode and reconstruction run on device — after demux the host
-    never touches entropy (BASELINE config 4 end-to-end).
+    (codecs/lane_format) so the host never touches entropy after demux
+    (BASELINE config 4 end-to-end).
+
+    payload: "raw" (default — uncoded u24 unit bytes, zero device entropy
+    work; measured round 4 as both smaller and faster than rans on every
+    corpus) or "rans" (renorm-aligned multi-lane rANS decoded on device
+    at ~2 Gsym/s — kept for layouts that genuinely compress under a
+    static table).  compress=True deflates each window's bulk section at
+    rest (zlib level 1; screen content shrinks ~10-30x).
 
     The host stage decodes once with command capture (the same
     oracle/native path ingest uses) and derives per-window lane records;
@@ -156,7 +164,7 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         bts = np.zeros((T, nb), dtype=np.int32)
         mv = np.zeros((T, nb, 2), dtype=np.int32)
         rect = np.zeros((T, nb, 4), dtype=np.int32)
-        payload = np.zeros((T, Y, X), dtype=np.uint32)
+        pixbuf = np.zeros((T, Y, X), dtype=np.uint32)
         changed = np.zeros(T, dtype=bool)
         sig = np.zeros(T, dtype=bool)
         for t, src in enumerate(chunk):
@@ -166,7 +174,7 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                                               copy=False)
                 if view is None:
                     view = dec.latest_view()
-                payload[t] = np.asarray(view).reshape(Y, X)
+                pixbuf[t] = np.asarray(view).reshape(Y, X)
                 sig[t] = bool(s)
             else:
                 cap = {}
@@ -178,12 +186,13 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                 else:
                     res = dec.decompress_p(src, dst)
                     sig[t] = bool(res.significant_changes)
-                payload[t] = dec.previous_frame().reshape(Y, X)
+                pixbuf[t] = dec.previous_frame().reshape(Y, X)
             bts[t], mv[t], rect[t] = cap["bts"], cap["mv"], cap["rect"]
             changed[t] = cap["changed"]
         cont.windows.append(lane_format.derive_window(
-            bts, mv, rect, payload, changed, sig, X, Y, K, n_lanes))
-    return lane_format.container_to_bytes(cont)
+            bts, mv, rect, pixbuf, changed, sig, X, Y, K, n_lanes,
+            payload_mode=payload))
+    return lane_format.container_to_bytes(cont, compress=compress)
 
 
 def _make_codecs(vi: VideoInfo, target_version: int, use_native: bool):

@@ -301,9 +301,140 @@ def test_lane_container_mutation_fuzz():
 
 def test_lane_wire_size_reasonable():
     """The container's payload should sit well below the dense paycode
-    plane (the whole point of shipping entropy-coded units)."""
+    plane; raw+deflate (the default) must also undercut the rans wire —
+    the round-4 A/B that made raw the default (VERDICT r3 item 2)."""
     X, Y, T = 64, 48, 8
     avi, _ = make_avi(2, X, Y, T)
     cont = transcode_to_lane(avi, window=8)
     dense = T * Y * X * 4
     assert len(cont) < dense, (len(cont), dense)
+    rans = transcode_to_lane(avi, window=8, payload="rans", compress=False)
+    raw = transcode_to_lane(avi, window=8, compress=False)
+    assert len(cont) < len(raw) < len(rans), (len(cont), len(raw), len(rans))
+
+
+@pytest.mark.parametrize("mode,comp", [("raw", False), ("rans", True),
+                                       ("rans", False)])
+def test_lane_payload_modes_bit_exact(mode, comp):
+    """Every payload-mode x deflate combination decodes bit-exactly (the
+    default raw+deflate is covered by every other test in this file)."""
+    X, Y, T = 64, 48, 10
+    avi, gold = make_avi(5, X, Y, T)
+    cont = transcode_to_lane(avi, window=4, K=2, payload=mode, compress=comp)
+    c = lane_format.container_from_bytes(cont)
+    assert c.windows[0].raw_mode == (mode == "raw")
+    assert c.windows[0].restart
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(
+            got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
+            err_msg=f"{mode} comp={comp} frame {t}")
+
+
+def test_lane_gop_axis_grouping():
+    """Restart (keyframe-led) windows of the same stream spread across the
+    mesh's gop axis: G consecutive windows per dispatch, emitted as one
+    G*T-frame window — dense and still-elided (SURVEY §2 GOP row for the
+    lane path; round-3's step was dp-only)."""
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X, Y, T = 64, 48, 12
+    mesh = make_mesh(dp=4, gop=2)
+    avis, golds = zip(*[make_avi(s, X, Y, T, key_every=3) for s in range(4)])
+    conts = [transcode_to_lane(a, window=3, K=2) for a in avis]
+    pipe = VideoIngestPipeline([MemorySource(c) for c in conts],
+                               IngestConfig(sp_device_path="lane",
+                                            mesh=mesh))
+    n_batches = 0
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        assert fr.shape[1] == 6  # G=2 windows of T=3 emitted as one
+        n_batches += 1
+        for b in range(4):
+            for t in range(fr.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi < T:
+                    np.testing.assert_array_equal(
+                        fr[b, t].reshape(-1) & 0x00FFFFFF,
+                        golds[b][gi] & 0x00FFFFFF, err_msg=f"b{b} t{gi}")
+    assert n_batches == 2  # 4 windows in 2 grouped dispatches
+
+    # still-elision composes with the grouping (outmap spans G*T)
+    pipe2 = VideoIngestPipeline([MemorySource(c) for c in conts],
+                                IngestConfig(sp_device_path="lane",
+                                             mesh=mesh, still_elision=True))
+    carry = [np.zeros(Y * X, np.uint32) for _ in range(4)]
+    seen = 0
+    for batch in pipe2:
+        fr = np.asarray(batch["frames_u32"])
+        om = np.asarray(batch["outmap"])
+        for b in range(4):
+            for t in range(om.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi >= T:
+                    break
+                if om[b, t] >= 0:
+                    got = fr[om[b, t]].reshape(-1)
+                    carry[b] = got
+                else:
+                    got = carry[b]
+                np.testing.assert_array_equal(
+                    got, golds[b][gi] & 0x00FFFFFF, err_msg=f"b{b} t{gi}")
+                seen += 1
+    assert seen == 4 * T
+
+
+def test_lane_gop_grouping_mid_gop_fallback():
+    """A non-restart window (mid-GOP continuation) must break the group —
+    carry-dependent windows never ride the gop axis."""
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X, Y, T = 64, 48, 12  # ONE keyframe: windows 1.. are carry-dependent
+    mesh = make_mesh(dp=4, gop=2)
+    avis, golds = zip(*[make_avi(s, X, Y, T) for s in range(4)])
+    conts = [transcode_to_lane(a, window=3, K=2) for a in avis]
+    pipe = VideoIngestPipeline([MemorySource(c) for c in conts],
+                               IngestConfig(sp_device_path="lane",
+                                            mesh=mesh))
+    starts = []
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        starts.append((batch["start_frame"], fr.shape[1]))
+        for b in range(4):
+            for t in range(fr.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi < T:
+                    np.testing.assert_array_equal(
+                        fr[b, t].reshape(-1) & 0x00FFFFFF,
+                        golds[b][gi] & 0x00FFFFFF, err_msg=f"b{b} t{gi}")
+    # every window dispatched alone (no grouping possible)
+    assert starts == [(0, 3), (3, 3), (6, 3), (9, 3)], starts
+
+
+def test_lane_deflate_bomb_rejected():
+    """A deflated bulk that inflates past its declared size must be
+    rejected, not expanded (adversarial-input discipline)."""
+    import struct
+    import zlib
+
+    X, Y, T = 48, 32, 4
+    avi, _ = make_avi(9, X, Y, T)
+    cont = transcode_to_lane(avi, window=4)
+    c = lane_format.container_from_bytes(cont)
+    w = c.windows[0]
+    # rebuild the window with an oversized bulk behind the deflate flag:
+    # serialize uncompressed, then splice a bomb into the bulk section
+    body = lane_format._window_to_bytes(w, c.K, c.n_lanes, compress=False)
+    bulk_len = 3 * w.n_units * 128
+    meta = body[4 : len(body) - bulk_len]
+    bomb = zlib.compress(b"\x00" * (bulk_len + 4096), 9)
+    flags_off = struct.calcsize("<HIII")
+    meta = bytearray(meta)
+    meta[flags_off] |= 4 | 2  # deflate | raw (raw already set)
+    rec = bytes(meta) + struct.pack("<I", len(bomb)) + bomb
+    blob = (cont[: struct.calcsize("<4sHHBBHIHII")]
+            + struct.pack("<I", len(rec)) + rec)
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(blob)
