@@ -1155,6 +1155,19 @@ struct SpDecoder {
   ZBuf buf0, buf1;
   std::vector<uint8_t> touched;
   std::vector<uint8_t> skipped_pre;  // per-frame pre-copy skip set
+  // persistent capture scratch for the transport wrappers (bc/kmv/sparse):
+  // a fresh 228 KB/frame of zeroed vectors measured ~5% of the terminal-
+  // corpus host stage (round 4); decompress_p zeroes cap_mv/cap_rect
+  // itself, so reuse needs no clearing here
+  std::vector<int32_t> scr_cb, scr_cm, scr_cr;
+  void ensure_scratch() {
+    size_t nb = (size_t)nbx * nby;
+    if (scr_cb.size() != nb) {
+      scr_cb.resize(nb);
+      scr_cm.resize(nb * 2);
+      scr_cr.resize(nb * 4);
+    }
+  }
   int cur = 0;
   bool has_prev = false, decoded_i = false, has_flat = false;
   uint32_t last_flat = 0;
@@ -2820,7 +2833,6 @@ int sp_decompress_kmv2(void* p, const uint8_t* src, long len, int is_key,
                        int K, uint32_t* paycode, int32_t* mvk, int* signif,
                        int32_t* dirty_io) {
   SpDecoder* d = (SpDecoder*)p;
-  size_t nb = (size_t)d->nbx * d->nby;
   size_t npix = (size_t)d->X * d->Y;
   *signif = 0;
   if (is_key) {
@@ -2832,11 +2844,17 @@ int sp_decompress_kmv2(void* p, const uint8_t* src, long len, int is_key,
     if (dirty_io != nullptr) dirty_io[0] = -1;  // whole plane nonzero
     return 0;
   }
-  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
-  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
-                          cm.data(), cr.data());
-  if (r != 0) return r;  // incl. r==1 no-change: plane untouched, dirty kept
-  fill_paycode_p(d->X, d->Y, d->nbx, d->nby, cb.data(), cm.data(), cr.data(),
+  // no-change early-out BEFORE any scratch/memset work (mirrors
+  // decompress_p's own r==1 conditions): on still-heavy screencasts
+  // (~45% of terminal-corpus frames) the per-frame fixed cost drops to
+  // this test (VERDICT round-3 item 5)
+  if (len == 0 || !d->decoded_i || src[0] == 0) return 1;
+  d->ensure_scratch();
+  int32_t *cb = d->scr_cb.data(), *cm = d->scr_cm.data(),
+          *cr = d->scr_cr.data();
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb, cm, cr);
+  if (r != 0) return r;  // no-change: plane untouched, dirty kept
+  fill_paycode_p(d->X, d->Y, d->nbx, d->nby, cb, cm, cr,
                  d->latest(), K, paycode, mvk, dirty_io);
   return 0;
 }
@@ -2931,11 +2949,14 @@ int sp_decompress_bc(void* p, const uint8_t* src, long len, int is_key,
     }
     return 0;
   }
-  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
-  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
-                          cm.data(), cr.data());
+  // no-change early-out before any scratch work (see sp_decompress_kmv2)
+  if (len == 0 || !d->decoded_i || src[0] == 0) return 1;
+  d->ensure_scratch();
+  int32_t *cb = d->scr_cb.data(), *cm = d->scr_cm.data(),
+          *cr = d->scr_cr.data();
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb, cm, cr);
   if (r != 0) return r;
-  fill_bc_p(d->X, d->Y, d->nbx, d->nby, cb.data(), cm.data(), cr.data(),
+  fill_bc_p(d->X, d->Y, d->nbx, d->nby, cb, cm, cr,
             d->latest(), K, plane, mvk, bcode, rloc);
   return 0;
 }
@@ -3033,9 +3054,12 @@ int sp_decompress_kmv_sparse(void* h, const uint8_t* src, long len,
     emit_all_tiles(d->latest());
     return 0;
   }
-  std::vector<int32_t> cb(nb), cm(nb * 2), cr(nb * 4);
-  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb.data(),
-                          cm.data(), cr.data());
+  // no-change early-out before any scratch work (see sp_decompress_kmv2)
+  if (len == 0 || !d->decoded_i || src[0] == 0) return 1;
+  d->ensure_scratch();
+  int32_t *cb = d->scr_cb.data(), *cm = d->scr_cm.data(),
+          *cr = d->scr_cr.data();
+  int r = d->decompress_p(src, (size_t)len, nullptr, signif, cb, cm, cr);
   if (r != 0) return r;
   const uint32_t* curf = d->latest();
   const uint32_t* prevf = d->older();
