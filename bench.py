@@ -227,6 +227,22 @@ def main() -> None:
             sp_recon.decode_sequence_kmv_compact, *cat, scale=Bb)
     except Exception:  # noqa: BLE001
         results["kmv_batch_elision"] = None
+    # mid-GOP PADDED fallback: the per-stream bucketed masked scans used
+    # when a window is NOT keyframe-led.  Keyframe-aligned window
+    # scheduling (round 4) keeps production windows on the CONCAT layout
+    # whenever the stream's keyframe cadence allows; this row records what
+    # the fallback costs on the same content (delivered-frame convention
+    # identical to kmv_batch_elision: scale=B, frames=T)
+    try:
+        pstack = jnp.array(np.stack(pccs))
+        mstack = jnp.array(np.stack(mvkcs))
+        vstack = jnp.ones(pstack.shape[:2], bool)
+        pdev = jax.device_put((jnp.zeros((Bb, Y, X), jnp.uint32),
+                               pstack, mstack, vstack))
+        results["kmv_padded_elision"] = timed(
+            sp_recon.decode_batch_kmv, *pdev, scale=Bb, tries=3)
+    except Exception:  # noqa: BLE001
+        results["kmv_padded_elision"] = None
 
     def native_kmv_single(streams_s):
         from jsplayer_tpu import native as _nat

@@ -61,6 +61,26 @@ def _put(a):
     return jax.device_put(_np.ascontiguousarray(a))
 
 
+def _trim_window(out: dict, n: int) -> dict:
+    """Trim a window dict's per-timeline-slot arrays to its true length
+    (keyframe-snapped windows are shorter than cfg.window; the chunk's
+    no-change padding must not be emitted — the next window owns those
+    timeline positions).  Flat elided stacks stay whole: the trimmed
+    outmap governs which rows are read."""
+    if out.get("significant") is not None:
+        out["significant"] = out["significant"][:, :n]
+    om = out.get("outmap")
+    if om is not None:
+        # [B, T] batched elision; [T] single-stream elision (frames are a
+        # compacted stack there — outmap alone governs timeline access)
+        out["outmap"] = om[:, :n] if om.ndim == 2 else om[:n]
+    else:  # dense emission: [B, T, ...] per-timeline arrays
+        for k in ("frames_u32", "model_input"):
+            if out.get(k) is not None and out[k].ndim >= 3:
+                out[k] = out[k][:, :n]
+    return out
+
+
 def _window_barrier(*arrays):
     """Synchronize a window's outputs before its pooled host buffers are
     rewritten.  Needed on the CPU backend only: the CPU PJRT client stages
@@ -306,6 +326,11 @@ class VideoIngestPipeline:
         # serving).  Indexed by reader position.
         self.quarantined: set[int] = set()
         self.quarantine_errors: list[tuple[int, str]] = []
+        #: per-run observability: which elision layout each window used
+        #: (CONCAT = keyframe-led fast path; PADDED = mid-GOP fallback,
+        #: ~2x slower — keyframe-aligned scheduling keeps windows on
+        #: CONCAT when the stream's keyframe cadence allows)
+        self.stats = {"concat_windows": 0, "padded_windows": 0}
 
     def _window_starts(self) -> list[int]:
         if self.cfg.frame_range is not None:
@@ -316,7 +341,47 @@ class VideoIngestPipeline:
             t1 = max(t0, min(int(t1), self.nframes))
             k0 = self._range_keyframe(t0)
             return list(range(k0, t1, self.cfg.window))
-        return list(range(0, self.nframes, self.cfg.window))
+        starts = list(range(0, self.nframes, self.cfg.window))
+        if (self.cfg.still_elision and not self.cfg.streaming
+                and self._gop_group == 1
+                and self.info.codec == CodecType.SCREENPRESSOR):
+            # Keyframe-aligned scheduling (VERDICT r3 item 6): a window
+            # that starts mid-GOP falls off the CONCAT elision layout onto
+            # the ~2x-slower padded scans, so snap each boundary DOWN to
+            # the latest keyframe within reach (the reference's seek logic
+            # already thinks in keyframe units, Manager.hx:244-249).
+            # Windows shorten (≤ cfg.window); chunks pad with no-change
+            # frames and the emitted slot arrays are trimmed to the true
+            # length, so the timeline tiles exactly.
+            keys = self._keyframe_positions()
+            if len(keys) > 1:  # >1 keyframe: alignment has something to do
+                W = self.cfg.window
+                snapped = [0]
+                while True:
+                    s = snapped[-1]
+                    k = max((k for k in keys if s < k <= s + W),
+                            default=None)
+                    nxt = k if k is not None else s + W
+                    if nxt >= self.nframes:
+                        break
+                    snapped.append(nxt)
+                starts = snapped
+        return starts
+
+    def _keyframe_positions(self) -> list[int]:
+        """Keyframe indices shared by EVERY stream in the batch (probed
+        from frame bytes like _range_keyframe; alignment must hold for all
+        streams or the concat invariant breaks for the others)."""
+        vi = self.info
+        from ..codecs.screenpressor import ScreenPressor
+
+        prober = ScreenPressor(vi.width, vi.height, vi.bpp)
+        keys = None
+        for r in self.readers:
+            ks = {t for t, f in enumerate(r.frames)
+                  if f and prober.is_key_frame(f)}
+            keys = ks if keys is None else (keys & ks)
+        return sorted(keys or ())
 
     def _range_keyframe(self, t0: int) -> int:
         """Nearest common keyframe ≤ t0 across the batch (the seek reset
@@ -714,16 +779,23 @@ class VideoIngestPipeline:
                     for out in self._decode_sp_window_group(chunks, grp):
                         yield out
                 return
-            for start in self._window_starts():
+            starts = self._window_starts()
+            for i, start in enumerate(starts):
+                # keyframe-aligned windows may be shorter than W (snapped
+                # boundaries, _window_starts): decode [start, end), pad the
+                # chunk to W with no-change frames, trim the emission
+                end = starts[i + 1] if i + 1 < len(starts) else start + W
                 chunk = []
                 for r in self.readers:
-                    frames = r.frames[start : start + W]
+                    frames = r.frames[start : end]
                     frames += [b""] * (W - len(frames))  # empty = no change
                     chunk.append(frames)
                 if vi.codec == CodecType.SCREENPRESSOR:
                     out = self._decode_sp_window(chunk, start)
                 else:
                     out = self._decode_msv1_window(chunk, start)
+                if end - start < W:
+                    out = _trim_window(out, end - start)
                 if pending is not None:
                     yield pending
                 pending = out
@@ -1227,6 +1299,7 @@ class VideoIngestPipeline:
             or (bool((bcc[b, 0] == 1).all())
                 and bool((rlc[b, 0] == (0, 0, 16, 16)).all()))
             for b in range(B))
+        self.stats["concat_windows" if full_first else "padded_windows"] += 1
         if full_first:
             offsets = np.zeros(B, dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
@@ -1379,6 +1452,7 @@ class VideoIngestPipeline:
             counts[b] == 0
             or bool((((pcc[b, 0] >> 24) & 3) == 1).all())
             for b in range(B))
+        self.stats["concat_windows" if full_first else "padded_windows"] += 1
         if full_first:
             # concat layout: per-stream compacted runs back to back
             offsets = np.zeros(B, dtype=np.int64)

@@ -533,6 +533,49 @@ def test_ingest_still_elision_batched():
         _check_elided_stream(batches, golds[b], b)
 
 
+def test_ingest_keyframe_aligned_windows():
+    """Window boundaries snap DOWN to keyframes (VERDICT r3 item 6) so
+    multi-GOP streams stay on the CONCAT elision layout for every window:
+    keys every 5 with window=8 → snapped windows [0,5),[5,10), ... all
+    keyframe-led (previously windows 1+ started mid-GOP and fell to the
+    ~2x-slower padded scans).  Timeline tiles exactly; bit-exact."""
+    nf = 20
+    avis, golds = zip(*(sp_avi(s, nframes=nf) for s in (31, 32)))
+    pipe = VideoIngestPipeline(
+        [MemorySource(a) for a in avis],
+        IngestConfig(window=8, still_elision=True))
+    batches = list(pipe)
+    assert [(b["start_frame"], np.asarray(b["outmap"]).shape[1])
+            for b in batches] == [(0, 5), (5, 5), (10, 5), (15, 8)]
+    assert pipe.stats == {"concat_windows": 4, "padded_windows": 0}
+    for b in range(2):
+        _check_elided_stream(batches, golds[b], b)
+
+    # control: a single-keyframe stream cannot align — fixed windows, the
+    # mid-GOP ones on the padded fallback, still bit-exact
+    rng = np.random.default_rng(0)
+    enc = ScreenPressorEncoder(4, X, Y)
+    streams, gold = [], []
+    f = np.full((Y, X), pack_rgb(9, 9, 9), dtype=np.uint32)
+    for t in range(nf):
+        if t % 3 != 2:
+            f = f.copy()
+            f[(t % 6) * 4 : (t % 6) * 4 + 4, 4:20] = pack_rgb(
+                *rng.integers(0, 256, 3))
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t == 0 else enc.encode_p(flat))
+        gold.append(flat.copy())
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4",
+                  keyflags=[t == 0 for t in range(nf)])
+    pipe2 = VideoIngestPipeline(
+        [MemorySource(avi), MemorySource(avi)],
+        IngestConfig(window=8, still_elision=True))
+    batches2 = list(pipe2)
+    assert pipe2.stats["padded_windows"] == 2, pipe2.stats
+    for b in range(2):
+        _check_elided_stream(batches2, gold, b)
+
+
 def test_ingest_still_elision_sharded():
     """Sharded still-elision: the compacted masked scan rides the same
     shard_map kmv step over the dp mesh; bit-exact reconstruction."""
