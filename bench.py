@@ -365,6 +365,7 @@ def main() -> None:
     model_fps = None
     model_elision_fps = None
     model_packed_fps = None
+    model_packed_consumer_fps = model_consumer_fps = None
     try:
         if not over_budget():
             model_elision_fps = timed(
@@ -375,6 +376,35 @@ def main() -> None:
                 lambda i, p, m: sp_recon.decode_sequence_kmv_compact_model(
                     i, p, m, downscale=2, packed=True)[1],
                 *cdev, tries=3)
+        if not over_budget():
+            # packed-ds2 CONSUMER contract (VERDICT r3 item 7): delivered
+            # fps INCLUDING the consuming model step (ViT-style patch
+            # embed whose first op fuses the unpack) — vs the same step
+            # fed the unfused bf16 tensors.  The packed claim only stands
+            # if this row holds near the packed emit rate.
+            from jsplayer_tpu.kernels import rgb_convert
+
+            wrng = np.random.default_rng(7)
+            wconv = jnp.array(wrng.normal(0, 0.05, (8, 8, 3, 128)),
+                              jnp.bfloat16)
+
+            def packed_then_consume(i, p, m, w):
+                red = sp_recon.decode_sequence_kmv_compact_model(
+                    i, p, m, downscale=2, packed=True)[1]
+                return rgb_convert.packed_consumer_step(red, w)
+
+            def unpacked_then_consume(i, p, m, w):
+                x = sp_recon.decode_sequence_kmv_compact_model(
+                    i, p, m, downscale=2)[1]
+                return jax.lax.conv_general_dilated(
+                    x, w.astype(x.dtype), window_strides=(8, 8),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            model_packed_consumer_fps = timed(
+                packed_then_consume, *cdev, wconv, tries=3)
+            model_consumer_fps = timed(
+                unpacked_then_consume, *cdev, wconv, tries=3)
         if not over_budget():
             model_fps = timed(
                 lambda i, p, m, c: sp_recon.decode_batch_kmv_model(
@@ -439,6 +469,12 @@ def main() -> None:
             None if model_elision_fps is None else round(model_elision_fps, 1)),
         "model_ingest_ds2_packed_fps": (
             None if model_packed_fps is None else round(model_packed_fps, 1)),
+        "model_packed_consumer_fps": (
+            None if model_packed_consumer_fps is None
+            else round(model_packed_consumer_fps, 1)),
+        "model_unpacked_consumer_fps": (
+            None if model_consumer_fps is None
+            else round(model_consumer_fps, 1)),
         "stills_curve_fps": stills_curve or None,
         "terminal_corpus_fps": (
             None if terminal_fps is None else round(terminal_fps, 1)),

@@ -65,15 +65,18 @@ Wire layout (little-endian):
            | u32 n_frames | u16 window | u32 fps_num | u32 fps_den
   window record:
            u32 record_bytes (excluding this field)
-           u16 T (frames in window) | u32 U (payload units)
+           u16 T (frames in window) | u32 U (PAYLOAD units, deduped)
            | u32 n_active (blocks) | u32 steps (lane scan length; 0 raw)
            | u8 flags (bit0 init plane present | bit1 raw payload
-                       | bit2 bulk deflated | bit3 restart window)
+                       | bit2 bulk deflated | bit3 restart window
+                       | bit4 dedup indices present)
            changed[T] u8 | signif[T] u8 | mvk[T*K*2] i16
            per-frame active-block counts u32[T]
            active blocks: (u32 block_index | u8 btype | u8 rect[4]) each
-           per-frame unit counts u32[T]
-           unit plane-row ids u32[U]
+           per-frame unit REFERENCE counts u32[T] (sum = n_refs; == U
+             when no dedup indices)
+           unit plane-row ids u32[n_refs]
+           [payload unit indices u32[n_refs] if dedup flag]
            [u32 bulk_clen if deflated]
            bulk (zlib-deflated when flagged):
              raw:  payload u8[U * 3 * 128]
@@ -114,7 +117,12 @@ class LaneWindow:
     btype: np.ndarray            # [T, NB] uint8 (dense; 0/1/2+k)
     rect: np.ndarray             # [T, NB, 4] uint8 (block-local x1,y1,x2,y2)
     unit_rows: list              # per frame: np.ndarray of plane-row ids
-    n_units: int                 # U — total unit count across frames
+    n_units: int                 # U — PAYLOAD unit count (deduped)
+    # unit-level dedup (round 4): identical payload units are stored once
+    # and referenced by index — cursor blinks, repeated paints, and flat
+    # keyframe rows collapse (bench corpus 197x, terminal 2.1x fewer
+    # units).  None = references are implicitly sequential (no dedup).
+    unit_idx: Optional[list] = None  # per frame: np.ndarray payload indices
     # rans payload mode (None in raw mode):
     freq: Optional[np.ndarray] = None     # [256] int32
     states: Optional[np.ndarray] = None   # [N] uint32
@@ -137,13 +145,18 @@ class LaneWindow:
         return self.payload is not None
 
     def inv_index(self, R: int) -> np.ndarray:
-        """[T, R] int32: plane row → global unit row (0 where absent; the
-        device compose masks absent rows out via the data-rect test)."""
+        """[T, R] int32: plane row → payload unit index (0 where absent;
+        the device compose masks absent rows out via the data-rect test).
+        With dedup, references come from unit_idx; the device gather
+        handles repeated indices natively."""
         inv = np.zeros((self.T, R), dtype=np.int32)
         off = 0
         for t, rows in enumerate(self.unit_rows):
-            inv[t, rows] = off + np.arange(rows.size, dtype=np.int32)
-            off += rows.size
+            if self.unit_idx is not None:
+                inv[t, rows] = self.unit_idx[t]
+            else:
+                inv[t, rows] = off + np.arange(rows.size, dtype=np.int32)
+                off += rows.size
         return inv
 
 
@@ -203,7 +216,9 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     bi_map = (yy >> 4) * nbx + (xx >> 4)
     ly, lx = yy & 15, xx & 15
     unit_rows: list[np.ndarray] = []
-    unit_px: list[np.ndarray] = []
+    unit_idx_l: list[np.ndarray] = []
+    uniq_px: list[np.ndarray] = []
+    seen: dict = {}
     per_frame_units = np.zeros(T, dtype=np.int64)
     pay = payload & np.uint32(0x00FFFFFF)
     # window-leading keyframe: frame 0 a full-frame data paint (every
@@ -226,6 +241,7 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
         if t == 0 and init_plane is not None:
             # all-copy changed frame: the scan passes the init through
             unit_rows.append(np.zeros(0, dtype=np.int64))
+            unit_idx_l.append(np.zeros(0, dtype=np.int64))
             continue
         is_mot_block = (bts[t] == 3) | (bts[t] == 4)
         data_blk = (bts[t] > 0) & ~is_mot_block
@@ -243,6 +259,7 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
 
         if not changed[t]:
             unit_rows.append(np.zeros(0, dtype=np.int64))
+            unit_idx_l.append(np.zeros(0, dtype=np.int64))
             continue
         bt_px = btype[t][bi_map]
         r_px = rloc[t][bi_map]
@@ -257,11 +274,30 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
         if rows.size:
             plane = np.zeros((Y, Xp), dtype=np.uint32)
             plane[:, :X] = pay[t]
-            unit_px.append(plane.reshape(Y * nxu, 128)[rows])
+            sel = plane.reshape(Y * nxu, 128)[rows]
+            # unit-level dedup: identical payload rows (cursor blinks,
+            # repeated paints, flat keyframe background) store once and
+            # reference by index — bench corpus 197x, terminal 2.1x
+            idxs = np.empty(rows.size, dtype=np.int64)
+            for j in range(rows.size):
+                key = sel[j].tobytes()
+                k = seen.get(key)
+                if k is None:
+                    k = len(uniq_px)
+                    seen[key] = k
+                    uniq_px.append(sel[j])
+                idxs[j] = k
+            unit_idx_l.append(idxs)
+        else:
+            unit_idx_l.append(np.zeros(0, dtype=np.int64))
 
-    U = int(per_frame_units.sum())
-    units = (np.concatenate(unit_px, axis=0) if U
+    n_refs = int(per_frame_units.sum())
+    U = len(uniq_px)
+    units = (np.stack(uniq_px, axis=0) if U
              else np.zeros((0, 128), dtype=np.uint32))
+    # no duplicates → references are sequential by construction; drop the
+    # index arrays so the wire stays on the compact legacy layout
+    unit_idx = None if U == n_refs else unit_idx_l
     # per-unit byte-plane triplets [U, 3, 128]: each unit's byte0 row, then
     # byte1, byte2.  The device unpack (lane_recon.units_from_pack) is a
     # free middle-dim reshape/slice and — crucially — stays correct when U
@@ -275,8 +311,8 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
         return LaneWindow(T=T, changed=changed.astype(bool),
                           signif=signif.astype(bool),
                           mvk=mvk.astype(np.int32), btype=btype, rect=rloc,
-                          unit_rows=unit_rows, n_units=U, payload=arr,
-                          restart=restart)
+                          unit_rows=unit_rows, unit_idx=unit_idx,
+                          n_units=U, payload=arr, restart=restart)
     syms = arr.reshape(-1)
     freq = rans_lanes.build_freq_table(syms if syms.size
                                        else np.zeros(1, np.uint8))
@@ -289,7 +325,8 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     return LaneWindow(T=T, changed=changed.astype(bool),
                       signif=signif.astype(bool),
                       mvk=mvk.astype(np.int32), btype=btype, rect=rloc,
-                      unit_rows=unit_rows, n_units=U, freq=freq,
+                      unit_rows=unit_rows, unit_idx=unit_idx,
+                      n_units=U, freq=freq,
                       states=states, refills=refills, init_plane=init_plane,
                       restart=restart)
 
@@ -302,6 +339,7 @@ _FLAG_INIT = 1        # raw u32 init plane present (rans mode)
 _FLAG_RAW = 2         # payload mode raw (uncoded u24 unit bytes)
 _FLAG_DEFLATE = 4     # bulk section zlib-deflated at rest
 _FLAG_RESTART = 8     # frame 0 fully paints the plane (carry-independent)
+_FLAG_DEDUP = 16      # explicit payload-unit indices (unit dedup)
 
 
 def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
@@ -327,6 +365,10 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
         flags |= _FLAG_INIT
     if w.restart:
         flags |= _FLAG_RESTART
+    unit_idx = b""
+    if w.unit_idx is not None:
+        flags |= _FLAG_DEDUP
+        unit_idx = b"".join(i.astype("<u4").tobytes() for i in w.unit_idx)
     if w.raw_mode:
         flags |= _FLAG_RAW
         steps = 0
@@ -353,6 +395,7 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
             + bytes(blocks)
             + unit_counts.astype("<u4").tobytes()
             + bytes(unit_rows)
+            + unit_idx
             + bulk)
     return struct.pack("<I", len(body)) + body
 
@@ -435,7 +478,7 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     pos = struct.calcsize("<HIIIB")
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
-            or steps > 1 << 24 or flags > 15:
+            or steps > 1 << 24 or flags > 31:
         raise ValueError("implausible lane window header")
     has_init = flags & _FLAG_INIT
     raw_mode = bool(flags & _FLAG_RAW)
@@ -465,12 +508,25 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     if bt_bad.any():
         raise ValueError("lane window: block type out of range")
     unit_counts = np.frombuffer(take(T * 4), dtype="<u4").astype(np.int64)
-    if int(unit_counts.sum()) != U:
+    n_refs = int(unit_counts.sum())
+    dedup = bool(flags & _FLAG_DEDUP)
+    if n_refs > 1 << 26:
+        raise ValueError("lane window: implausible reference count")
+    if not dedup and n_refs != U:
         raise ValueError("lane window: unit counts disagree")
-    rows_all = np.frombuffer(take(U * 4), dtype="<u4").astype(np.int64)
+    if dedup and U > n_refs:
+        raise ValueError("lane window: more payload units than references")
+    rows_all = np.frombuffer(take(n_refs * 4), dtype="<u4").astype(np.int64)
     if (rows_all >= R).any():
         raise ValueError("lane window: unit row out of range")
+    idx_all = None
+    if dedup:
+        idx_all = np.frombuffer(take(n_refs * 4), dtype="<u4").astype(
+            np.int64)
+        if n_refs and (idx_all >= U).any():
+            raise ValueError("lane window: unit index out of range")
     unit_rows = []
+    unit_idx = [] if dedup else None
     o = 0
     for t in range(T):
         n = int(unit_counts[t])
@@ -478,6 +534,8 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         if n and (np.diff(rows) <= 0).any():
             raise ValueError("lane window: unit rows not strictly increasing")
         unit_rows.append(rows)
+        if dedup:
+            unit_idx.append(idx_all[o : o + n])
         o += n
     if flags & _FLAG_DEFLATE:
         import zlib
@@ -524,6 +582,7 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
             np.uint32).reshape(Y, X)
     return LaneWindow(T=T, changed=changed, signif=signif, mvk=mvk,
                       btype=btype, rect=rect, unit_rows=unit_rows,
-                      n_units=U, freq=freq, states=states, refills=refills,
+                      unit_idx=unit_idx, n_units=U, freq=freq,
+                      states=states, refills=refills,
                       init_plane=init_plane, payload=payload,
                       restart=bool(flags & _FLAG_RESTART))

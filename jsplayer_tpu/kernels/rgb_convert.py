@@ -253,6 +253,26 @@ def unpack_ds2(
     return x
 
 
+def packed_consumer_step(red: jax.Array, w: jax.Array,
+                         **unpack_kw) -> jax.Array:
+    """The consuming side of the packed-ds2 contract (VERDICT r3 item 7):
+    a ViT-style patch-embed conv whose FIRST op takes unpack_ds2's output,
+    so XLA fuses the ~15 us/frame unpack arithmetic into the conv's input
+    pipeline and the delivered rate stays at the packed emit's (measured —
+    BENCH_NOTES round-4 packed-consumer row; the epilogue analog of
+    Manager.fill_bitmap_data feeding the canvas, Manager.hx:325-390).
+
+    red: [.., H, W] i32 packed planes (ds2_packed_output contract — flip
+    already applied).  w: [ph, pw, 3, D] patch-embed weights.  Returns
+    [.., H', W', D] embeddings in w/unpack dtype (bf16 default)."""
+    unpack_kw.setdefault("flip_vertical", False)
+    x = unpack_ds2(red, **unpack_kw)            # [.., H, W, 3]
+    ph, pw = w.shape[0], w.shape[1]
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(ph, pw), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def resize_half(frame_u8: jax.Array) -> jax.Array:
     """2x box downsample on [..., H, W, C] uint8 (ingestion resize).
 

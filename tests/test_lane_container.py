@@ -438,3 +438,34 @@ def test_lane_deflate_bomb_rejected():
             + struct.pack("<I", len(rec)) + rec)
     with pytest.raises(ValueError):
         lane_format.container_from_bytes(blob)
+
+
+def test_lane_unit_dedup():
+    """Identical payload units (a blinking rect) store once and are
+    referenced by index (wire flag bit4); decode stays bit-exact and the
+    payload count drops below the reference count."""
+    X, Y, T = 64, 48, 10
+    enc = ScreenPressorEncoder(4, X, Y)
+    streams, gold, keys = [], [], []
+    f = np.full((Y, X), pack_rgb(10, 10, 10), dtype=np.uint32)
+    on = f.copy()
+    on[16:32, 16:48] = pack_rgb(200, 50, 50)
+    for t in range(T):
+        cur = on if t % 2 else f  # blink: two alternating states
+        streams.append(enc.encode_i(cur.reshape(-1).copy()) if t == 0
+                       else enc.encode_p(cur.reshape(-1).copy()))
+        gold.append(cur.reshape(-1).copy())
+        keys.append(t == 0)
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys)
+    cont = lane_format.container_from_bytes(transcode_to_lane(avi, window=T))
+    w = cont.windows[0]
+    n_refs = sum(r.size for r in w.unit_rows)
+    assert w.unit_idx is not None and w.n_units < n_refs, \
+        (w.n_units, n_refs)
+    pipe = VideoIngestPipeline([MemorySource(
+        lane_format.container_to_bytes(cont))],
+        IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(got[t] & 0x00FFFFFF,
+                                      gold[t] & 0x00FFFFFF, err_msg=str(t))
