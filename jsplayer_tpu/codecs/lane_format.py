@@ -1,9 +1,9 @@
 """Lane-container stream format — device-entropy re-encode of SP streams.
 
 BASELINE config 4 end-to-end (VERDICT round-2 item 1): a re-encoded stream
-whose payload rides interleaved rANS lanes so BOTH entropy decode and frame
-reconstruction run on device — after demux the host never touches entropy,
-removing the system bottleneck (host ~2.4k fps/core vs ~30k device fps).
+whose payload the device decodes wholesale — after demux the host never
+touches entropy, removing the system bottleneck (host ~3-5k fps/core for
+legacy streams vs ~30k device fps).
 
 Design (TPU-first; the reference has no analog — its entropy is inherently
 host/serial, ANS.hx adaptive contexts):

@@ -106,15 +106,18 @@ class IngestConfig:
     model_downscale: int = 1  # power-of-two box downsample in the epilogue
     # downscale==2 only: emit the PACKED ds2 plane ([.., H/2, W/2] i32 of
     # r/g/b 10-bit field sums, rgb_convert.ds2_pack) instead of unpacked
-    # NHWC tensors.  The unpack (rgb_convert.unpack_ds2) is ~15 us/frame
-    # of pure tensor relayout a consumer can fuse into its first model op
-    # instead — the packed emit runs the decode scan at the full ~31k
-    # fps decode bound vs ~22k with the in-pipeline unpack.
+    # NHWC tensors; consumers fuse rgb_convert.unpack_ds2 into their
+    # first model op (rgb_convert.packed_consumer_step).  The packed
+    # EMIT runs ~26k fps vs ~22k unpacked, but the round-4 consumer A/B
+    # measured NO delivered-rate advantage once a real model step runs
+    # (~12k either way — BENCH_NOTES); packed's value is the ~1.5x
+    # smaller intermediate (i32 plane vs bf16 NHWC), so it stays opt-in.
     model_packed: bool = False
     insignificant_lines: int = 0
     # SP device compose:
     #   "kmv"        dense paycode plane (K-distinct-mv roll; fastest in
-    #                HBM, ~27k fps/chip @1080p) — for co-located hosts;
+    #                HBM, ~31-34k delivered fps/chip @1080p with
+    #                still-elision) — for co-located hosts;
     #   "bc"         block-command transport: per-block types/rects + a
     #                pixel-only plane (motion/copy blocks cost the host
     #                NOTHING to fill — ~1.5x the kmv host stage; same
