@@ -143,6 +143,66 @@ def main():
         results["kmv_sparse_parity"] = f"fail: {str(e)[:160]}"
     print("kmv sparse transport:", results["kmv_sparse_parity"])
 
+    # 1d. bc transport parity on-chip (block-command arrays + pixel plane)
+    try:
+        from jsplayer_tpu import native
+        if native.available():
+            bch = native.native_sp_decode_streams_bc([streams], X, Y, K=2)
+            frames = sp_recon.decode_sequence_bc(
+                jnp.zeros((Y, X), jnp.uint32), jnp.array(bch["plane"][0]),
+                jnp.array(bch["bcode"][0]), jnp.array(bch["rloc"][0]),
+                jnp.array(bch["mvk"][0]), jnp.array(bch["changed"][0]))
+            ok = all(np.array_equal(np.asarray(frames[t]).reshape(-1),
+                                    golds[t]) for t in range(len(golds)))
+            results["bc_parity"] = ok
+        else:
+            results["bc_parity"] = "native unavailable"
+    except Exception as e:  # noqa: BLE001
+        results["bc_parity"] = f"fail: {str(e)[:160]}"
+    print("bc transport:", results["bc_parity"])
+
+    # 1e. lane-container parity on-chip, both payload modes (round 4:
+    # raw+dedup default and rans) — the full transcode → parse → fused
+    # device decode path
+    from jsplayer_tpu.codecs import lane_format
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.kernels import lane_recon
+    from jsplayer_tpu.transcode import transcode_to_lane
+
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4",
+                  keyflags=[t == 0 for t in range(len(streams))])
+    R = Y * (lane_format.plane_cols(X) // 128)
+    for mode in ("raw", "rans"):
+        key = f"lane_{mode}_parity"
+        try:
+            cont = lane_format.container_from_bytes(transcode_to_lane(
+                avi, window=len(streams), K=2, payload=mode))
+            w = cont.windows[0]
+            inv = jnp.asarray(w.inv_index(R))
+            if mode == "raw":
+                frames = lane_recon.decode_window_raw(
+                    jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
+                    jnp.asarray(w.btype), jnp.asarray(w.rect),
+                    jnp.asarray(w.mvk), inv, jnp.asarray(w.changed))
+            else:
+                init0 = (jnp.asarray(w.init_plane)
+                         if w.init_plane is not None
+                         else jnp.zeros((Y, X), jnp.uint32))
+                frames = lane_recon.decode_window_lane(
+                    init0, jnp.asarray(w.refills), jnp.asarray(w.states),
+                    jnp.asarray(w.freq), jnp.asarray(w.btype),
+                    jnp.asarray(w.rect), jnp.asarray(w.mvk), inv,
+                    jnp.asarray(w.changed), U=w.n_units)
+            ok = all(np.array_equal(
+                np.asarray(frames[t]).reshape(-1) & 0x00FFFFFF,
+                golds[t] & 0x00FFFFFF) for t in range(len(golds)))
+            if mode == "raw":
+                ok = bool(ok and w.unit_idx is not None)  # dedup engaged
+            results[key] = ok
+        except Exception as e:  # noqa: BLE001
+            results[key] = f"fail: {str(e)[:160]}"
+        print(key + ":", results[key])
+
     # 2. bench
     import bench
     print("running bench...")
