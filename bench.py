@@ -260,7 +260,7 @@ def main() -> None:
     # so these rows are independent of host entropy throughput).  Round-4
     # A/B: raw unit bytes (default) vs renorm-aligned rANS lanes, plus the
     # wire sizes of both (VERDICT round-3 items 2+3).
-    lane_fps = lane_rans_fps = lane_prep_ms = None
+    lane_fps = lane_rans_fps = lane_elision_fps = lane_prep_ms = None
     lane_bytes = {}
     try:
         if real is not None:
@@ -286,6 +286,17 @@ def main() -> None:
                  jnp.asarray(w.mvk), jnp.asarray(inv),
                  jnp.asarray(w.changed)))
             lane_fps = timed(lane_recon.decode_window_raw, *raw_args)
+            # production lane config: still-elision keeps stills out of
+            # the scan (ingest's compact_arrays_batch semantics) —
+            # delivered-frame convention as the kmv headline
+            sel = np.nonzero(np.asarray(w.changed))[0]
+            el_args = jax.device_put(
+                (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
+                 jnp.asarray(w.btype[sel]), jnp.asarray(w.rect[sel]),
+                 jnp.asarray(w.mvk[sel]), jnp.asarray(inv[sel]),
+                 jnp.ones(sel.size, bool)))
+            lane_elision_fps = timed(lane_recon.decode_window_raw,
+                                     *el_args, tries=3)
             lane_bytes["raw"] = len(transcode_to_lane(
                 avi, window=T, K=2, compress=False))
         if real is not None and not over_budget():
@@ -484,6 +495,9 @@ def main() -> None:
             None if terminal_host_bc_fps is None
             else round(terminal_host_bc_fps, 1)),
         "lane_ingest_fps": None if lane_fps is None else round(lane_fps, 1),
+        "lane_ingest_elision_fps": (
+            None if lane_elision_fps is None
+            else round(lane_elision_fps, 1)),
         "lane_rans_ingest_fps": (
             None if lane_rans_fps is None else round(lane_rans_fps, 1)),
         "lane_container_bytes": lane_bytes or None,
