@@ -1,0 +1,319 @@
+"""Browser player chrome — the Main.hx UI layer, served over HTTP.
+
+Closes the one "headless by design" gap in the component inventory: the
+reference's in-page player UI (Main.hx init_controls:515-720 — play/pause
+button, seek bar with loaded-range fill and decode-ahead "worker dot",
+timecode, next-change button, zoom, fullscreen) and its JS embed API
+(ExternalInterface, Main.hx:1025-1034).  The decode stack stays exactly the
+headless Player facade; this module adds
+
+  * a stdlib ThreadingHTTPServer wrapping one Player behind a lock
+    (endpoints: / page, /info, /state, /frame.rgba, /control),
+  * an embedded single-file HTML/JS page that renders frames to a canvas
+    (the RGBA bytes from Manager.get_rgba are already canvas byte order —
+    the reference's ABGR swizzle, Manager.hx:377-380) and implements the
+    full control chrome,
+  * the reference's JS API verbatim on window: spplay / sppause /
+    spposition / spseek / spload / spnextchange / spresize, plus the
+    on_player_loaded and on_next_btn page callbacks (Main.hx:1098-1102,
+    760-762),
+  * the six UI-color flashvars (buttonbg/buttonhover/buttonface/frame/
+    loaded/textcolor, Main.hx:244-249) honored from PlayerConfig.colors.
+
+The page polls /state at the reference's 50 ms UI tick (timer_play,
+Main.hx:1037) and refetches the frame only when a new one was presented.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .core.source import open_source
+from .player import Player, PlayerConfig
+
+_DEFAULT_COLORS = {
+    # Main.hx:244-249 flashvar defaults, as CSS colors
+    "buttonbg": "#222222",
+    "buttonhover": "#444444",
+    "buttonface": "#dddddd",
+    "frame": "#333333",
+    "loaded": "#2a6fbb",
+    "textcolor": "#dddddd",
+}
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>jsplayer_tpu</title>
+<style>
+  body { background:#111; color:%(textcolor)s; font:13px monospace;
+         display:flex; flex-direction:column; align-items:center; }
+  #wrap { border:2px solid %(frame)s; display:inline-block; }
+  canvas { display:block; image-rendering:pixelated; }
+  #bar { display:flex; align-items:center; gap:6px; padding:6px;
+         background:%(buttonbg)s; }
+  button { background:%(buttonbg)s; color:%(buttonface)s;
+           border:1px solid %(buttonface)s; font:13px monospace;
+           cursor:pointer; }
+  button:hover { background:%(buttonhover)s; }
+  #seek { position:relative; flex:1; height:14px; background:#000;
+          cursor:pointer; }
+  #loaded { position:absolute; top:0; height:100%%; background:%(loaded)s;
+            opacity:.45; }
+  #pos { position:absolute; top:0; width:2px; height:100%%;
+         background:%(buttonface)s; }
+  #dot { position:absolute; top:4px; width:6px; height:6px;
+         border-radius:3px; background:#e3b341; }
+  #tc { min-width:72px; text-align:center; }
+</style></head><body>
+<div id="wrap"><canvas id="cv"></canvas>
+<div id="bar">
+  <button id="play" onclick="toggle()">&#9654;</button>
+  <button onclick="spstep(-1)" title="prev frame">&#8249;</button>
+  <button onclick="spstep(1)" title="next frame">&#8250;</button>
+  <button onclick="spnextchange()" title="skip stills">&#8677;</button>
+  <div id="seek" onclick="seekClick(event)">
+    <div id="loaded"></div><div id="dot"></div><div id="pos"></div>
+  </div>
+  <span id="tc">00:00:00</span>
+  <select id="zoom" onchange="applyZoom()">
+    <option value="1">1x</option><option value="2">2x</option>
+    <option value="0.5">0.5x</option><option value="fit">fit</option>
+  </select>
+  <button onclick="fullscreen()" title="fullscreen">&#9974;</button>
+</div></div>
+<script>
+let info = null, lastSerial = -1, playing = false;
+const cv = document.getElementById('cv'), ctx2 = () => cv.getContext('2d');
+async function post(cmd, arg) {
+  const r = await fetch('/control', {method:'POST',
+    body: JSON.stringify({cmd:cmd, arg:arg})});
+  return r.json();
+}
+// ---- the reference's ExternalInterface JS API (Main.hx:1025-1034) ----
+window.spplay = () => post('play');
+window.sppause = () => post('pause');
+window.spposition = async () => (await (await fetch('/state')).json()).position;
+window.spseek = (frac) => post('seek', frac);
+window.spload = (name) => post('load', name);
+window.spnextchange = () => post('next_change').then(r => {
+  if (r.next_change != null && window.on_next_btn) window.on_next_btn(r.next_change);
+});
+window.spresize = (w, h) => post('resize', [w, h]);
+window.spstep = (dir) => post('step_frame', dir > 0);
+function toggle() { playing ? sppause() : spplay(); }
+function seekClick(ev) {
+  const r = document.getElementById('seek').getBoundingClientRect();
+  spseek((ev.clientX - r.left) / r.width);
+}
+function applyZoom() {
+  const z = document.getElementById('zoom').value;
+  if (!info) return;
+  if (z === 'fit') { cv.style.width = '90vw'; cv.style.height = 'auto'; }
+  else { cv.style.width = (info.width * z) + 'px'; cv.style.height = 'auto'; }
+}
+function fullscreen() { document.getElementById('wrap').requestFullscreen(); }
+async function drawFrame() {
+  const buf = await (await fetch('/frame.rgba')).arrayBuffer();
+  const img = new ImageData(new Uint8ClampedArray(buf), info.width, info.height);
+  ctx2().putImageData(img, 0, 0);
+}
+async function uiTick() {   // the 50 ms play tick (Main.hx:1037)
+  const st = await (await fetch('/state')).json();
+  if (!st.ok) return;
+  playing = st.playing;
+  document.getElementById('play').innerHTML = playing ? '&#10074;&#10074;' : '&#9654;';
+  document.getElementById('tc').textContent = st.timecode;
+  const seek = document.getElementById('seek');
+  const lw = seek.clientWidth;
+  const ld = document.getElementById('loaded');
+  ld.style.left = (st.loaded[0] * lw) + 'px';
+  ld.style.width = ((st.loaded[1] - st.loaded[0]) * lw) + 'px';
+  document.getElementById('pos').style.left = (st.position * lw) + 'px';
+  document.getElementById('dot').style.left = (st.worker * lw) + 'px';
+  if (st.frame_serial !== lastSerial) {
+    lastSerial = st.frame_serial;
+    await drawFrame();
+    if (st.frame_serial >= 0 && window.on_player_loaded && !window._loadedFired) {
+      window._loadedFired = true; window.on_player_loaded();
+    }
+  }
+}
+(async () => {
+  info = await (await fetch('/info')).json();
+  cv.width = info.width; cv.height = info.height;
+  applyZoom();
+  setInterval(uiTick, 50);
+})();
+</script></body></html>
+"""
+
+
+class PlayerServer:
+    """One Player behind a lock, exposed over HTTP for the page chrome."""
+
+    def __init__(self, source=None, config: Optional[PlayerConfig] = None,
+                 port: int = 0):
+        self.player = Player(config or PlayerConfig())
+        self.lock = threading.Lock()
+        self.frame_serial = -1
+        if source is not None:
+            self.load(source)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    colors = dict(_DEFAULT_COLORS)
+                    colors.update(outer.player.config.colors or {})
+                    body = (_PAGE % colors).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/info":
+                    self._json(outer.info())
+                elif self.path == "/state":
+                    self._json(outer.state())
+                elif self.path == "/frame.rgba":
+                    data = outer.frame_rgba()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                if self.path != "/control":
+                    return self._json({"error": "not found"}, 404)
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    self._json(outer.control(req.get("cmd", ""),
+                                             req.get("arg")))
+                except (ValueError, KeyError) as e:
+                    self._json({"error": str(e)}, 400)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # -- player operations (all under the lock: Player is single-threaded
+    # by design, like the reference's cooperative timers) ------------------
+
+    def load(self, source) -> None:
+        with self.lock:
+            if isinstance(source, (str, bytes)):
+                source = open_source(source)
+            self.player.load(source)
+            self.frame_serial = -1
+
+    def info(self) -> dict:
+        with self.lock:
+            vi = self.player.video_info
+            if vi is None:
+                return {"loaded": False}
+            return {"loaded": True, "width": vi.width, "height": vi.height,
+                    "fps": vi.fps, "nframes": vi.nframes,
+                    "total_time": self.player.manager.total_time()}
+
+    def state(self) -> dict:
+        from .pipeline.manager import FrameResult
+
+        with self.lock:
+            p = self.player
+            if p.manager is None:
+                return {"ok": False}
+            res = p.tick()
+            if res == FrameResult.DECOMPRESSED:
+                serial = p.manager.last_frame_drawn
+                if serial != self.frame_serial:
+                    self.frame_serial = serial
+            return {"ok": True, "playing": p.playing,
+                    "position": p.position(),
+                    "timecode": p.timecode(),
+                    "loaded": list(p.loaded_range()),
+                    "worker": p.worker_dot(),
+                    "frame_serial": self.frame_serial}
+
+    def frame_rgba(self) -> bytes:
+        with self.lock:
+            m = self.player.manager
+            rgba = m.get_rgba() if m is not None else None
+            if rgba is None:
+                vi = self.player.video_info
+                if vi is None:
+                    return b""
+                return bytes(vi.width * vi.height * 4)  # black until 1st frame
+            # u32 little-endian ABGR words == R,G,B,A byte order — exactly
+            # what canvas ImageData wants (Manager.hx:377-380 swizzle)
+            return rgba.tobytes()
+
+    def control(self, cmd: str, arg=None) -> dict:
+        with self.lock:
+            p = self.player
+            if cmd == "play":
+                p.play()
+            elif cmd == "pause":
+                p.pause()
+            elif cmd == "seek":
+                p.seek(float(arg))
+            elif cmd == "seek_time":
+                p.seek_time(float(arg))
+            elif cmd == "step_frame":
+                p.step_frame(bool(arg))
+            elif cmd == "step_key":
+                p.step_key(bool(arg))
+            elif cmd == "next_change":
+                t = None
+                for _ in range(1000):  # THINK_LIMIT slices (Manager.hx:287)
+                    t = p.next_change()
+                    if t is not None:
+                        break
+                return {"ok": True, "next_change": t}
+            elif cmd == "resize":
+                w, h = arg
+                return {"ok": True, "size": list(p.resize(int(w), int(h)))}
+            elif cmd == "load":
+                if isinstance(arg, str):
+                    self.lock.release()
+                    try:
+                        self.load(arg)
+                    finally:
+                        self.lock.acquire()
+            else:
+                return {"ok": False, "error": f"unknown cmd {cmd!r}"}
+            return {"ok": True}
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        print(f"jsplayer_tpu player at http://127.0.0.1:{self.port}/")
+        self.httpd.serve_forever()

@@ -1,0 +1,154 @@
+"""Browser chrome server: the Main.hx UI layer (init_controls, Main.hx:515-720)
+served over HTTP by jsplayer_tpu.web.PlayerServer.
+
+Exercises every endpoint the embedded page uses — / (page with flashvar
+colors), /info, /state (the 50 ms UI tick), /frame.rgba (canvas bytes), and
+/control (the ExternalInterface JS API verbs, Main.hx:1025-1034) — against a
+real muxed AVI fixture over a real local HTTP connection.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from jsplayer_tpu.core.source import MemorySource
+from jsplayer_tpu.player import PlayerConfig
+from jsplayer_tpu.web import PlayerServer
+
+from test_player import make_sp_avi
+
+
+@pytest.fixture()
+def server():
+    avi, golds = make_sp_avi(nframes=12, keyevery=4)
+    srv = PlayerServer(MemorySource(avi), PlayerConfig(indexed=False))
+    srv.start()
+    try:
+        yield srv, golds
+    finally:
+        srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=10) as r:
+        return r.read()
+
+
+def _post(srv, cmd, arg=None):
+    body = json.dumps({"cmd": cmd, "arg": arg}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/control", data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _state(srv):
+    return json.loads(_get(srv, "/state"))
+
+
+def test_page_carries_js_api_and_colors(server):
+    srv, _ = server
+    page = _get(srv, "/").decode()
+    # the reference's window-level JS API (Main.hx:1025-1034)
+    for fn in ("spplay", "sppause", "spposition", "spseek", "spload",
+               "spnextchange", "spresize"):
+        assert f"window.{fn}" in page
+    # flashvar color defaults (Main.hx:244-249)
+    assert "#2a6fbb" in page       # loaded-range fill
+    assert "on_player_loaded" in page and "on_next_btn" in page
+
+
+def test_page_honors_config_colors():
+    avi, _ = make_sp_avi(nframes=4)
+    srv = PlayerServer(MemorySource(avi),
+                       PlayerConfig(indexed=False,
+                                    colors={"loaded": "#ff0000"}))
+    srv.start()
+    try:
+        page = _get(srv, "/").decode()
+        assert "#ff0000" in page and "#2a6fbb" not in page
+    finally:
+        srv.stop()
+
+
+def test_info_reports_stream_metadata(server):
+    srv, _ = server
+    info = json.loads(_get(srv, "/info"))
+    assert info["loaded"] and info["width"] == 32 and info["height"] == 32
+    assert info["nframes"] == 12 and info["fps"] == pytest.approx(10.0)
+
+
+def test_state_tick_presents_first_frame_rgba(server):
+    srv, golds = server
+    st = None
+    for _ in range(500):  # each /state poll is one UI tick (Main.hx:1037)
+        st = _state(srv)
+        if st["ok"] and st["frame_serial"] >= 0:
+            break
+    assert st["frame_serial"] == 0
+    assert st["loaded"][1] > 0.0
+    raw = _get(srv, "/frame.rgba")
+    assert len(raw) == 32 * 32 * 4
+    got = np.frombuffer(raw, dtype="<u4")
+    g = golds[0].astype(np.uint32)
+    # the canvas swizzle (Manager.hx:377-380): packed RGB word → ABGR word
+    want = (0xFF000000 | ((g & 0xFF) << 16) | (g & 0xFF00)
+            | ((g >> 16) & 0xFF)).astype(np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_play_pause_seek_and_resize(server):
+    srv, golds = server
+    for _ in range(200):
+        if _state(srv)["frame_serial"] >= 0:
+            break
+    assert _post(srv, "play")["ok"]
+    last = -1
+    for _ in range(2000):
+        st = _state(srv)
+        if st["playing"] and st["frame_serial"] > 0:
+            last = st["frame_serial"]
+            break
+    assert last > 0
+    assert _post(srv, "pause")["ok"]
+    assert _state(srv)["playing"] is False
+    # seek back to the start fraction → frame 0 again
+    assert _post(srv, "seek", 0.0)["ok"]
+    for _ in range(200):
+        st = _state(srv)
+        if st["frame_serial"] == 0:
+            break
+    assert st["frame_serial"] == 0
+    raw = _get(srv, "/frame.rgba")
+    got = np.frombuffer(raw, dtype="<u4")
+    g = golds[0].astype(np.uint32)
+    want = (0xFF000000 | ((g & 0xFF) << 16) | (g & 0xFF00)
+            | ((g >> 16) & 0xFF)).astype(np.uint32)
+    assert np.array_equal(got, want)
+    r = _post(srv, "resize", [64, 48])
+    assert r["ok"] and r["size"] == [48, 48]  # aspect preserved (32x32)
+
+
+def test_next_change_and_unknown_cmd(server):
+    srv, _ = server
+    for _ in range(200):
+        if _state(srv)["frame_serial"] >= 0:
+            break
+    r = _post(srv, "next_change")
+    assert r["ok"] and r["next_change"] is not None
+    r = _post(srv, "bogus")
+    assert r["ok"] is False and "unknown" in r["error"]
+
+
+def test_frame_before_first_decode_is_black():
+    avi, _ = make_sp_avi(nframes=4)
+    srv = PlayerServer(MemorySource(avi), PlayerConfig(indexed=False))
+    srv.start()
+    try:
+        raw = _get(srv, "/frame.rgba")  # no /state tick yet → nothing shown
+        assert raw == bytes(32 * 32 * 4)
+    finally:
+        srv.stop()
