@@ -1,4 +1,4 @@
-"""Command-line surface: info / play / transcode / ingest / render.
+"""Command-line surface: info / play / transcode / ingest / render / serve.
 
 Headless counterparts of the reference's browser embed (readme.txt:1-6):
 
@@ -7,6 +7,7 @@ Headless counterparts of the reference's browser embed (readme.txt:1-6):
   python -m jsplayer_tpu transcode in.avi out.avi --version 4
   python -m jsplayer_tpu ingest a.avi b.avi     # batched decode → tensor shapes
   python -m jsplayer_tpu render file.avi out/   # PNG/PPM frames + WAV audio
+  python -m jsplayer_tpu serve file.avi         # browser player UI (web.py)
 """
 
 from __future__ import annotations
@@ -207,6 +208,19 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .player import PlayerConfig
+    from .web import PlayerServer
+
+    srv = PlayerServer(args.file, PlayerConfig(indexed=not args.seq),
+                       port=args.port)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jsplayer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -275,6 +289,12 @@ def main(argv=None) -> int:
                    help="kmv_sparse: lane-rANS-coded tile payload decoded"
                         " on device (link-fed serving)")
     a.set_defaults(fn=cmd_ingest)
+
+    a = sub.add_parser("serve", help="browser player UI over HTTP")
+    a.add_argument("file")
+    a.add_argument("--port", type=int, default=8470)
+    a.add_argument("--seq", action="store_true", help="sequential loader")
+    a.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

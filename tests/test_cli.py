@@ -128,3 +128,40 @@ def test_cli_render_frames_and_wav(tmp_path):
         with wave.open(res["wav"], "rb") as w:
             assert w.getframerate() == rate
             assert w.getnframes() == n_mp3 * 1152
+
+
+def test_cli_serve(avi_path):
+    # `serve` blocks in serve_forever; drive it from a subprocess and hit
+    # the page + info endpoints (the chrome itself is tested in test_web).
+    import json
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "jsplayer_tpu", "serve", avi_path,
+         "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(100):
+            try:
+                with urllib.request.urlopen(base + "/info", timeout=2) as r:
+                    info = json.loads(r.read())
+                break
+            except OSError:
+                time.sleep(0.1)
+        else:
+            raise AssertionError("serve did not come up")
+        assert info["loaded"] and info["width"] == 32
+        with urllib.request.urlopen(base + "/", timeout=5) as r:
+            page = r.read()
+        assert b"spplay" in page and b"<canvas" in page
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
