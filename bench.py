@@ -26,7 +26,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -103,6 +105,7 @@ def main() -> None:
     try:
         real = real_stream_commands()
     except Exception:  # noqa: BLE001 — never lose the JSON line
+        traceback.print_exc(file=sys.stderr)
         real = None
     if real is not None:
         got, kmv_host, host_fps, bc_host, host_bc_fps, corpus_streams = real
@@ -192,7 +195,8 @@ def main() -> None:
                 np.asarray(payload), K=2)
         kdev = jax.device_put((init, pc, mvk, changed))
         results["kmv"] = timed(sp_recon.decode_sequence_kmv, *kdev)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["kmv"] = None
     # strategy 2b: kmv + still-elision (production pipeline shape: stills
     # never enter the device scan; the host's `changed` flags map outputs).
@@ -204,7 +208,8 @@ def main() -> None:
         cdev = jax.device_put((init, pcc, mvkc))
         results["kmv_still_elision"] = timed(
             sp_recon.decode_sequence_kmv_compact, *cdev)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["kmv_still_elision"] = None
     # strategy 2c: BATCHED kmv + still-elision, CONCAT layout (the
     # production batch shape, ingest._kmv_elided): keyframe-led streams'
@@ -227,7 +232,8 @@ def main() -> None:
                               jnp.array(np.concatenate(mvkcs))))
         results["kmv_batch_elision"] = timed(
             sp_recon.decode_sequence_kmv_compact, *cat, scale=Bb)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["kmv_batch_elision"] = None
     # mid-GOP PADDED fallback: the per-stream bucketed masked scans used
     # when a window is NOT keyframe-led.  Keyframe-aligned window
@@ -243,7 +249,8 @@ def main() -> None:
                                pstack, mstack, vstack))
         results["kmv_padded_elision"] = timed(
             sp_recon.decode_batch_kmv, *pdev, scale=Bb, tries=3)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["kmv_padded_elision"] = None
 
     def native_kmv_single(streams_s):
@@ -318,8 +325,8 @@ def main() -> None:
                 lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
                                               iv, ch, U=w2.n_units),
                 *rans_args, tries=3)
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
 
     # realistic capture-like corpus: rendered scrolling-terminal session
     terminal_fps = terminal_host_bc_fps = None
@@ -346,8 +353,8 @@ def main() -> None:
                                                        K=2, out=bct)
                 best = min(best, time.perf_counter() - t0)
             terminal_host_bc_fps = Tt / best
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
 
     # delivered-fps vs stills-ratio sensitivity curve (VERDICT r2 item 3):
     # same event mix, only the idle fraction varies
@@ -370,8 +377,8 @@ def main() -> None:
                 sdev = jax.device_put((init, pcc_s, mvkc_s))
                 stills_curve[f"{s:.2f}"] = round(timed(
                     sp_recon.decode_sequence_kmv_compact, *sdev, tries=3), 1)
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
 
     # fused ML-ingest paths (different output contract): kmv decode -> 2x
     # box downscale -> normalized bf16 NHWC tensors
@@ -423,8 +430,8 @@ def main() -> None:
                 lambda i, p, m, c: sp_recon.decode_batch_kmv_model(
                     i[None], p[None], m[None], c[None], downscale=2)[1],
                 *kdev, tries=3)
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
 
     # bc transport device scan (same traffic as kmv; host feed is 1.5x)
     try:
@@ -435,7 +442,8 @@ def main() -> None:
                        jax.device_put(bc_host["mvk"][0]), changed)
             results["bc"] = timed(sp_recon.decode_sequence_bc, *bc_args,
                                   tries=3)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["bc"] = None
 
     # ---- slow reference/fallback paths last (never headline winners) ----
@@ -445,7 +453,8 @@ def main() -> None:
             results["xla"] = timed(
                 lambda *a: sp_recon.decode_sequence(*a, jnp.int32(0))[0],
                 *dev, tries=2)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["xla"] = None
     # strategy 3: Pallas DMA/MXU paths (TPU only; may not compile everywhere)
     try:
@@ -456,7 +465,8 @@ def main() -> None:
             results["pallas_patch"] = timed(
                 lambda *a: decode_sequence_fused(*a, jnp.int32(0))[0],
                 *dev, tries=2)
-    except Exception:  # noqa: BLE001
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
         results["pallas_patch"] = None
 
     live = [(v, k) for k, v in results.items() if v]

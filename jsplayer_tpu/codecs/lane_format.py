@@ -72,11 +72,18 @@ Wire layout (little-endian):
                        | bit4 dedup indices present)
            changed[T] u8 | signif[T] u8 | mvk[T*K*2] i16
            per-frame active-block counts u32[T]
-           active blocks: (u32 block_index | u8 btype | u8 rect[4]) each
-           per-frame unit REFERENCE counts u32[T] (sum = n_refs; == U
-             when no dedup indices)
-           unit plane-row ids u32[n_refs]
-           [payload unit indices u32[n_refs] if dedup flag]
+           meta section — two layouts, selected by flag bit5:
+             legacy (bit5 clear):
+               active blocks: (u32 block_index | u8 btype | u8 rect[4]) each
+               per-frame unit REFERENCE counts u32[T] (sum = n_refs; == U
+                 when no dedup indices)
+               unit plane-row ids u32[n_refs]
+               [payload unit indices u32[n_refs] if dedup flag]
+             meta-deflated (bit5 set; the command/reference arrays were
+             the terminal corpus's wire dominator — they deflate ~4.5x):
+               per-frame unit REFERENCE counts u32[T]
+               u32 meta_clen
+               zlib( active blocks | unit plane-row ids | [unit indices] )
            [u32 bulk_clen if deflated]
            bulk (zlib-deflated when flagged):
              raw:  payload u8[U * 3 * 128]
@@ -340,6 +347,7 @@ _FLAG_RAW = 2         # payload mode raw (uncoded u24 unit bytes)
 _FLAG_DEFLATE = 4     # bulk section zlib-deflated at rest
 _FLAG_RESTART = 8     # frame 0 fully paints the plane (carry-independent)
 _FLAG_DEDUP = 16      # explicit payload-unit indices (unit dedup)
+_FLAG_META = 32       # block/reference arrays zlib-deflated (see docstring)
 
 
 def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
@@ -381,21 +389,30 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
     if w.init_plane is not None:
         bulk += w.init_plane.astype("<u4").tobytes()
     if compress:
-        # level 1: on screen content the win is in the run/repeat
+        # bulk at level 1: on screen content the win is in the run/repeat
         # structure, not entropy squeezing — higher levels measured much
         # slower for single-digit-% extra shrink (BENCH_NOTES round 4)
         flags |= _FLAG_DEFLATE
         comp = zlib.compress(bulk, 1)
         bulk = struct.pack("<I", len(comp)) + comp
+        # meta at level 6: the block/reference arrays dominated the
+        # terminal-corpus wire once payload was deduped (BENCH_NOTES
+        # round 4); they are small enough that the better ratio is free
+        flags |= _FLAG_META
+        mcomp = zlib.compress(bytes(blocks) + bytes(unit_rows) + unit_idx, 6)
+        meta = (unit_counts.astype("<u4").tobytes()
+                + struct.pack("<I", len(mcomp)) + mcomp)
+    else:
+        meta = (bytes(blocks)
+                + unit_counts.astype("<u4").tobytes()
+                + bytes(unit_rows)
+                + unit_idx)
     body = (struct.pack("<HIIIB", T, w.n_units, n_active, steps, flags)
             + w.changed.astype(np.uint8).tobytes()
             + w.signif.astype(np.uint8).tobytes()
             + w.mvk.astype("<i2").tobytes()
             + n_active_t.astype("<u4").tobytes()
-            + bytes(blocks)
-            + unit_counts.astype("<u4").tobytes()
-            + bytes(unit_rows)
-            + unit_idx
+            + meta
             + bulk)
     return struct.pack("<I", len(body)) + body
 
@@ -464,6 +481,29 @@ def container_from_bytes(data: bytes) -> LaneContainer:
     return c
 
 
+def _inflate_exact(comp: memoryview, expect: int, what: str) -> bytes:
+    """Bounded inflate: adversarial input must not drive an unbounded
+    decompression, so the output is capped at (and must equal) the size
+    the surrounding fields imply."""
+    import zlib
+
+    try:
+        dec = zlib.decompressobj()
+        # max_length bounds the inflate output (zlib.decompress's bufsize
+        # is only an initial hint — a deflate bomb would still expand
+        # unboundedly through it).  max_length=0 means UNBOUNDED, so an
+        # expected-empty section still caps at 1 byte and fails the exact
+        # size check below instead of expanding a bomb in memory
+        out = dec.decompress(bytes(comp), expect if expect else 1)
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            raise ValueError(f"lane window: deflated {what} oversized")
+    except zlib.error as e:
+        raise ValueError(f"lane window: bad deflate {what} ({e})")
+    if len(out) != expect:
+        raise ValueError(f"lane window: deflated {what} size mismatch")
+    return out
+
+
 def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
                        R: int, X: int, Y: int) -> LaneWindow:
     def take(n):
@@ -478,7 +518,7 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     pos = struct.calcsize("<HIIIB")
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
-            or steps > 1 << 24 or flags > 31:
+            or steps > 1 << 24 or flags > 63:
         raise ValueError("implausible lane window header")
     has_init = flags & _FLAG_INIT
     raw_mode = bool(flags & _FLAG_RAW)
@@ -491,7 +531,52 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     n_active_t = np.frombuffer(take(T * 4), dtype="<u4").astype(np.int64)
     if int(n_active_t.sum()) != n_active:
         raise ValueError("lane window: active-block counts disagree")
-    rec = np.frombuffer(take(n_active * 9), dtype=np.uint8).reshape(-1, 9)
+    dedup = bool(flags & _FLAG_DEDUP)
+
+    def check_refs(unit_counts):
+        n_refs = int(unit_counts.sum())
+        if n_refs > 1 << 26:
+            raise ValueError("lane window: implausible reference count")
+        if not dedup and n_refs != U:
+            raise ValueError("lane window: unit counts disagree")
+        if dedup and U > n_refs:
+            raise ValueError(
+                "lane window: more payload units than references")
+        return n_refs
+
+    if flags & _FLAG_META:
+        # meta-deflated layout: reference counts first (they size the
+        # inflate bound), then one zlib stream of blocks | rows | [idx]
+        unit_counts = np.frombuffer(take(T * 4), dtype="<u4").astype(
+            np.int64)
+        n_refs = check_refs(unit_counts)
+        if pos + 4 > len(buf):
+            raise ValueError("lane window truncated")
+        (mclen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        expect_m = n_active * 9 + n_refs * 4 * (2 if dedup else 1)
+        mb = memoryview(_inflate_exact(take(mclen), expect_m, "meta"))
+        rec = np.frombuffer(mb[: n_active * 9],
+                            dtype=np.uint8).reshape(-1, 9)
+        mo = n_active * 9
+        rows_all = np.frombuffer(mb[mo : mo + n_refs * 4],
+                                 dtype="<u4").astype(np.int64)
+        mo += n_refs * 4
+        idx_all = (np.frombuffer(mb[mo : mo + n_refs * 4],
+                                 dtype="<u4").astype(np.int64)
+                   if dedup else None)
+    else:
+        rec = np.frombuffer(take(n_active * 9),
+                            dtype=np.uint8).reshape(-1, 9)
+        unit_counts = np.frombuffer(take(T * 4), dtype="<u4").astype(
+            np.int64)
+        n_refs = check_refs(unit_counts)
+        rows_all = np.frombuffer(take(n_refs * 4),
+                                 dtype="<u4").astype(np.int64)
+        idx_all = (np.frombuffer(take(n_refs * 4),
+                                 dtype="<u4").astype(np.int64)
+                   if dedup else None)
+
     bi_all = rec[:, 0:4].copy().view("<u4").reshape(-1).astype(np.int64)
     if (bi_all >= NB).any():
         raise ValueError("lane window: block index out of range")
@@ -507,24 +592,10 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     bt_bad = (btype > 1 + K)  # valid codes 0..K+1 (motion slots 0..K-1)
     if bt_bad.any():
         raise ValueError("lane window: block type out of range")
-    unit_counts = np.frombuffer(take(T * 4), dtype="<u4").astype(np.int64)
-    n_refs = int(unit_counts.sum())
-    dedup = bool(flags & _FLAG_DEDUP)
-    if n_refs > 1 << 26:
-        raise ValueError("lane window: implausible reference count")
-    if not dedup and n_refs != U:
-        raise ValueError("lane window: unit counts disagree")
-    if dedup and U > n_refs:
-        raise ValueError("lane window: more payload units than references")
-    rows_all = np.frombuffer(take(n_refs * 4), dtype="<u4").astype(np.int64)
     if (rows_all >= R).any():
         raise ValueError("lane window: unit row out of range")
-    idx_all = None
-    if dedup:
-        idx_all = np.frombuffer(take(n_refs * 4), dtype="<u4").astype(
-            np.int64)
-        if n_refs and (idx_all >= U).any():
-            raise ValueError("lane window: unit index out of range")
+    if idx_all is not None and n_refs and (idx_all >= U).any():
+        raise ValueError("lane window: unit index out of range")
     unit_rows = []
     unit_idx = [] if dedup else None
     o = 0
@@ -538,29 +609,14 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
             unit_idx.append(idx_all[o : o + n])
         o += n
     if flags & _FLAG_DEFLATE:
-        import zlib
-
+        if pos + 4 > len(buf):
+            raise ValueError("lane window truncated")
         (clen,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        comp = take(clen)
-        # bound the inflate by the exact expected bulk size (adversarial
-        # input must not drive an unbounded decompression)
         expect = (3 * U * 128 if raw_mode
                   else 256 * 4 + n_lanes * 4 + steps * n_lanes * 2)
         expect += X * Y * 4 if has_init else 0
-        try:
-            dec = zlib.decompressobj()
-            # max_length bounds the inflate output (zlib.decompress's
-            # bufsize is only an initial hint — a deflate bomb would
-            # still expand unboundedly through it)
-            bulk = dec.decompress(bytes(comp), expect)
-            if dec.unconsumed_tail or dec.decompress(b"", 1):
-                raise ValueError("lane window: deflated bulk oversized")
-        except zlib.error as e:
-            raise ValueError(f"lane window: bad deflate bulk ({e})")
-        if len(bulk) != expect:
-            raise ValueError("lane window: deflated bulk size mismatch")
-        buf = memoryview(bulk)
+        buf = memoryview(_inflate_exact(take(clen), expect, "bulk"))
         pos = 0
     freq = states = refills = payload = None
     if raw_mode:

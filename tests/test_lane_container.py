@@ -469,3 +469,63 @@ def test_lane_unit_dedup():
     for t in range(T):
         np.testing.assert_array_equal(got[t] & 0x00FFFFFF,
                                       gold[t] & 0x00FFFFFF, err_msg=str(t))
+
+
+def test_lane_meta_deflate_roundtrip_and_flag():
+    """Round 4: the block/reference arrays ride a zlib stream (wire flag
+    bit5) when compression is on — they dominated the terminal-corpus
+    wire once payload was deduped.  Parse must agree field-for-field with
+    the legacy (uncompressed) layout and the wire must shrink."""
+    import struct
+
+    X, Y, T = 64, 48, 10
+    avi, _ = make_avi(5, X, Y, T)
+    comp = transcode_to_lane(avi, window=T)
+    legacy = transcode_to_lane(avi, window=T, compress=False)
+    assert len(comp) < len(legacy)
+    # flag bit5 present on the compressed record
+    hs = struct.calcsize("<4sHHBBHIHII")
+    flags = comp[hs + 4 + struct.calcsize("<HIII")]
+    assert flags & 32, f"meta-deflate flag missing (flags={flags:#x})"
+    ca = lane_format.container_from_bytes(comp)
+    cb = lane_format.container_from_bytes(legacy)
+    for wa, wb in zip(ca.windows, cb.windows):
+        np.testing.assert_array_equal(wa.btype, wb.btype)
+        np.testing.assert_array_equal(wa.rect, wb.rect)
+        np.testing.assert_array_equal(wa.payload, wb.payload)
+        assert wa.n_units == wb.n_units
+        for ra, rb in zip(wa.unit_rows, wb.unit_rows):
+            np.testing.assert_array_equal(ra, rb)
+        if wa.unit_idx is not None:
+            for ia, ib in zip(wa.unit_idx, wb.unit_idx):
+                np.testing.assert_array_equal(ia, ib)
+
+
+def test_lane_empty_bulk_bomb_rejected():
+    """zlib max_length=0 means UNBOUNDED: a window whose expected bulk is
+    empty (U=0, no payload) must still cap a bomb at 1 byte and reject it
+    instead of expanding it in memory."""
+    import struct
+    import zlib
+
+    X, Y, T = 48, 32, 4
+    avi, _ = make_avi(9, X, Y, T)
+    cont = transcode_to_lane(avi, window=4)
+    c = lane_format.container_from_bytes(cont)
+    w = c.windows[0]
+    # empty the window: no payload units, no references, all-still frames
+    w.unit_rows = [np.zeros(0, dtype=np.int64) for _ in range(w.T)]
+    w.unit_idx = None
+    w.n_units = 0
+    w.payload = np.zeros((0, 3, 128), dtype=np.uint8)
+    body = lane_format._window_to_bytes(w, c.K, c.n_lanes, compress=False)
+    bulk_len = 0
+    meta = bytearray(body[4:])
+    flags_off = struct.calcsize("<HIII")
+    meta[flags_off] |= 4  # deflate flag, bulk expected EMPTY
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # 64 MB of zeros, ~64 KB
+    rec = bytes(meta) + struct.pack("<I", len(bomb)) + bomb
+    blob = (cont[: struct.calcsize("<4sHHBBHIHII")]
+            + struct.pack("<I", len(rec)) + rec)
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(blob)
