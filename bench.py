@@ -281,17 +281,17 @@ def main() -> None:
             lane_bytes["avi"] = len(avi)
             cont_bytes = transcode_to_lane(avi, window=T, K=2)  # raw+deflate
             lane_bytes["raw_deflate"] = len(cont_bytes)
-            R = Y * (lane_format.plane_cols(X) // 128)
+            ncol = lane_format.plane_cols(X) // 128
             t0 = time.perf_counter()
             cont = lane_format.container_from_bytes(cont_bytes)
             w = cont.windows[0]
-            inv = w.inv_index(R)
+            row_table, row_idx = w.row_index(Y, ncol)
             lane_prep_ms = (time.perf_counter() - t0) * 1e3
             raw_args = jax.device_put(
                 (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
                  jnp.asarray(w.btype), jnp.asarray(w.rect),
-                 jnp.asarray(w.mvk), jnp.asarray(inv),
-                 jnp.asarray(w.changed)))
+                 jnp.asarray(w.mvk), jnp.asarray(row_table),
+                 jnp.asarray(row_idx), jnp.asarray(w.changed)))
             lane_fps = timed(lane_recon.decode_window_raw, *raw_args)
             # production lane config: still-elision keeps stills out of
             # the scan (ingest's compact_arrays_batch semantics) —
@@ -300,8 +300,8 @@ def main() -> None:
             el_args = jax.device_put(
                 (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
                  jnp.asarray(w.btype[sel]), jnp.asarray(w.rect[sel]),
-                 jnp.asarray(w.mvk[sel]), jnp.asarray(inv[sel]),
-                 jnp.ones(sel.size, bool)))
+                 jnp.asarray(w.mvk[sel]), jnp.asarray(row_table),
+                 jnp.asarray(row_idx[sel]), jnp.ones(sel.size, bool)))
             lane_elision_fps = timed(lane_recon.decode_window_raw,
                                      *el_args, tries=3)
             lane_bytes["raw"] = len(transcode_to_lane(
@@ -315,15 +315,17 @@ def main() -> None:
             init2 = (jnp.asarray(w2.init_plane)
                      if w2.init_plane is not None
                      else jnp.zeros((Y, X), jnp.uint32))
+            rt2, ri2 = w2.row_index(Y, ncol)
             rans_args = jax.device_put(
                 (init2, jnp.asarray(w2.refills), jnp.asarray(w2.states),
                  jnp.asarray(w2.freq), jnp.asarray(w2.btype),
                  jnp.asarray(w2.rect), jnp.asarray(w2.mvk),
-                 jnp.asarray(w2.inv_index(R)), jnp.asarray(w2.changed)))
+                 jnp.asarray(rt2), jnp.asarray(ri2),
+                 jnp.asarray(w2.changed)))
             lane_rans_fps = timed(
-                lambda i, rf, st, fq, bt, rc, mk, iv, ch:
+                lambda i, rf, st, fq, bt, rc, mk, rt, ri, ch:
                 lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
-                                              iv, ch, U=w2.n_units),
+                                              rt, ri, ch, U=w2.n_units),
                 *rans_args, tries=3)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)

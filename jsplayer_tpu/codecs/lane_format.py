@@ -166,6 +166,69 @@ class LaneWindow:
                 off += rows.size
         return inv
 
+    def row_index(self, Y: int, ncol: int):
+        """Row-level dedup of the unit references (the device decode's
+        input shape since round 4 — kernels/lane_recon module docstring):
+
+          row_table [Ur, ncol] i32 — each unique plane row's per-128-px
+            unit ids (row 'absent' slots are unit 0, masked out by the
+            device's data-rect test exactly as inv_index's zeros were);
+          row_idx [T, Y] i32 — per frame, each plane row's row_table id.
+
+        The device assembles rows_unique [Ur, X] ONCE per window (the
+        only relayout) and every frame then does a pure row gather —
+        the [R,128]→[Y,X] per-frame reshape the slot layout paid was a
+        lane-dim-merging relayout (~2x 8.3 MB/frame extra traffic;
+        scripts/exp_lane_rowgather.py measured the fix +36% dense).
+
+        Untouched rows map to the all-zero tuple; only touched rows pay
+        host work, and the window-wide dedup is ONE void-view np.unique
+        over the touched tuples."""
+        row_idx = np.zeros((self.T, Y), dtype=np.int32)
+        zero = np.zeros((1, ncol), dtype=np.int32)
+        empty = np.zeros(0, dtype=np.int64)
+        chunks = [zero]  # the all-zero tuple always exists (id via unique)
+        locs = []
+        off = 0
+        for t, slots in enumerate(self.unit_rows):
+            n = slots.size
+            if self.unit_idx is not None:
+                refs = self.unit_idx[t].astype(np.int32, copy=False)
+            else:
+                refs = off + np.arange(n, dtype=np.int32)
+                off += n
+            if n == 0:
+                locs.append((t, empty))
+                continue
+            ys = (slots // ncol).astype(np.int64)
+            # slots arrive row-major sorted (derive_window), so the
+            # per-frame unique is a diff scan — np.unique's argsort was
+            # the profile's whole cost at keyframe sizes
+            if ys.size > 1 and (ys[1:] < ys[:-1]).any():
+                order = np.argsort(ys, kind="stable")
+                ys, refs = ys[order], refs[order]
+                slots = slots[order]
+            new = np.empty(ys.size, dtype=bool)
+            new[0] = True
+            np.not_equal(ys[1:], ys[:-1], out=new[1:])
+            uy = ys[new]
+            rid = np.cumsum(new) - 1
+            tv = np.zeros((uy.size, ncol), dtype=np.int32)
+            tv[rid, slots % ncol] = refs
+            chunks.append(tv)
+            locs.append((t, uy))
+        allv = np.ascontiguousarray(np.concatenate(chunks, axis=0))
+        keys = allv.view([("", allv.dtype)] * ncol).ravel()
+        _, first, inverse = np.unique(keys, return_index=True,
+                                      return_inverse=True)
+        row_table = allv[first]
+        row_idx[:] = inverse[0]  # default: every row is the zero tuple
+        pos = 1
+        for t, uy in locs:
+            row_idx[t, uy] = inverse[pos : pos + uy.size]
+            pos += uy.size
+        return row_table, row_idx
+
 
 @dataclass
 class LaneContainer:

@@ -7,11 +7,23 @@ BASELINE config 4 end-to-end: ONE jitted program per window does
      - rans: renorm-aligned multi-lane rANS decode of the symbols
        (rans_lanes.decode_lanes_aligned, ~2 Gsym/s on v5e at N=4096),
        then the same combine (byte-triplet symbol order),
-  2. a lax.scan over frames where each step row-GATHERS its units into the
-     padded data plane and composes with block-broadcast types/rects and
-     K motion rolls — the same pixel semantics as sp_recon's dense-paycode
-     compose (ScreenPressor.hx:302-484 block model), with the 8.3 MB/frame
-     dense plane replaced by `units` + free structured broadcasts.
+  2. rows_from_units: assemble the window's UNIQUE data rows
+     rows_unique [Ur, X] from the 128-px units (lane_format's
+     row_index dedups each plane row's ncol-unit id tuple) — the ONE
+     lane-dim-merging relayout the whole window pays,
+  3. a lax.scan over frames where each step does a PURE ROW GATHER
+     tp = take(rows_unique, row_idx[t]) and composes with
+     block-broadcast types/rects and K motion rolls — the same pixel
+     semantics as sp_recon's dense-paycode compose
+     (ScreenPressor.hx:302-484 block model).
+
+Why rows, not unit slots: the round-3 shape gathered [R, 128] unit
+rows per frame and reshaped to [Y, X] — that reshape merges 15 sublane
+rows into the lane dim, a RELAYOUT costing ~2x 8.3 MB extra traffic
+per frame.  Measured on chip (scripts/exp_lane_rowgather.py): in-scan
+slot gather ~12.3k fps, planes hoisted (bc-shape) ~6.9k, row-level
+gather ~17.4k dense on the 1080p bench window — row gathers are the
+one cheap gather (BENCH_NOTES layout table), so pay the relayout once.
 
 Sharding: make_lane_decode_step shards the leading window axis over the
 mesh's dp axis, and — for RESTART (carry-independent) windows — over the
@@ -19,7 +31,6 @@ gop axis too (SURVEY §2 GOP/context row; round 3 was dp-only).
 
 No dynamic_update_slice chains (serial, ~2.8 us/tile) and no 16x16 block
 relayouts — the two measured TPU anti-patterns the sparse transport paid.
-Row gathers of 512 B rows are ~free (BENCH_NOTES ragged transport).
 """
 
 from __future__ import annotations
@@ -46,19 +57,27 @@ def units_from_pack(refills: jax.Array, states: jax.Array, freq: jax.Array,
     return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
 
 
-def compose_frame_lane(prev: jax.Array, units: jax.Array,
-                       inv_idx: jax.Array, btype: jax.Array,
-                       rect: jax.Array, mvk: jax.Array) -> jax.Array:
-    """One frame: block types/rects broadcast to pixels + unit row gather.
+def rows_from_units(units: jax.Array, row_table: jax.Array,
+                    X: int) -> jax.Array:
+    """units [U, 128] u32 + row_table [Ur, ncol] i32 → rows_unique [Ur, X]
+    u32: the window's unique full-width data rows, assembled once (the
+    single relayout the window pays — see module docstring)."""
+    Ur, ncol = row_table.shape
+    rows = jnp.take(units, row_table.reshape(-1), axis=0)
+    return rows.reshape(Ur, ncol * 128)[:, :X]
 
-    prev [Y, X] u32, units [U, 128] u32, inv_idx [R] i32 (R = Y * Xp/128),
+
+def compose_frame_lane(prev: jax.Array, rows_unique: jax.Array,
+                       row_idx: jax.Array, btype: jax.Array,
+                       rect: jax.Array, mvk: jax.Array) -> jax.Array:
+    """One frame: block types/rects broadcast to pixels + a pure row gather.
+
+    prev [Y, X] u32, rows_unique [Ur, X] u32, row_idx [Y] i32,
     btype [NB] u8 (0 copy / 1 data / 2+k motion), rect [NB, 4] u8 in
     block-local coords, mvk [K, 2] i32."""
     Y, X = prev.shape
     nbx, nby = (X + 15) // 16, (Y + 15) // 16
-    Xp = inv_idx.shape[0] * 128 // Y
-    rows = jnp.take(units, inv_idx, axis=0)          # [R, 128]
-    tp = rows.reshape(Y, Xp)[:, :X]
+    tp = jnp.take(rows_unique, row_idx, axis=0)      # [Y, X] row gather
 
     # block structure via the packed row map + rows-only expansion
     # (sp_recon.bc_row_map: block_broadcast's lane split measured ~60 us
@@ -77,16 +96,17 @@ def compose_frame_lane(prev: jax.Array, units: jax.Array,
     return out
 
 
-def _scan_frames(init, units, btype, rect, mvk, inv_idx, changed):
+def _scan_frames(init, rows_unique, btype, rect, mvk, row_idx, changed):
     """The recon scan shared by both payload modes: P-chain over frames,
-    each changed frame composed from its units + block commands."""
+    each changed frame composed by a row gather + block commands."""
     def step(prev, inp):
-        bt, r, mk, idx, chg = inp
-        out = jnp.where(chg, compose_frame_lane(prev, units, idx, bt, r, mk),
+        bt, r, mk, ri, chg = inp
+        out = jnp.where(chg,
+                        compose_frame_lane(prev, rows_unique, ri, bt, r, mk),
                         prev)
         return out, out
 
-    _, frames = jax.lax.scan(step, init, (btype, rect, mvk, inv_idx, changed))
+    _, frames = jax.lax.scan(step, init, (btype, rect, mvk, row_idx, changed))
     return frames
 
 
@@ -99,42 +119,47 @@ def units_from_raw(payload: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("U",))
 def decode_window_lane(init, refills, states, freq, btype, rect, mvk,
-                       inv_idx, changed, U: int):
+                       row_table, row_idx, changed, U: int):
     """One stream window, rans payload mode: entropy + recon in one program.
 
     init [Y, X] u32; refills [steps, N, 2] u8; states [N] u32;
     freq [256] i32; btype [T, NB]; rect [T, NB, 4]; mvk [T, K, 2];
-    inv_idx [T, R]; changed [T] bool → frames [T, Y, X] u32."""
+    row_table [Ur, ncol] i32; row_idx [T, Y] i32; changed [T] bool
+    → frames [T, Y, X] u32."""
     units = units_from_pack(refills, states, freq, U)
-    return _scan_frames(init, units, btype, rect, mvk, inv_idx, changed)
+    rows_unique = rows_from_units(units, row_table, init.shape[1])
+    return _scan_frames(init, rows_unique, btype, rect, mvk, row_idx, changed)
 
 
 @jax.jit
-def decode_window_raw(init, payload, btype, rect, mvk, inv_idx, changed):
+def decode_window_raw(init, payload, btype, rect, mvk, row_table, row_idx,
+                      changed):
     """One stream window, raw payload mode: recon only (payload [U, 3, 128]
     u8 uncoded unit bytes; everything else as decode_window_lane)."""
     units = units_from_raw(payload)
-    return _scan_frames(init, units, btype, rect, mvk, inv_idx, changed)
+    rows_unique = rows_from_units(units, row_table, init.shape[1])
+    return _scan_frames(init, rows_unique, btype, rect, mvk, row_idx, changed)
 
 
 @functools.partial(jax.jit, static_argnames=("U",))
 def decode_batch_lane(init, refills, states, freq, btype, rect, mvk,
-                      inv_idx, changed, U: int):
-    """Batched lane decode, leading [B] axis on every input (same U bucket
-    per stream).  Unrolled over B like every kmv scan (vmapped dynamic
-    rolls lower to gathers — sp_recon.decode_batch_kmv's lesson)."""
+                      row_table, row_idx, changed, U: int):
+    """Batched lane decode, leading [B] axis on every input (same U/Ur
+    buckets per stream).  Unrolled over B like every kmv scan (vmapped
+    dynamic rolls lower to gathers — sp_recon.decode_batch_kmv's lesson)."""
     outs = [decode_window_lane(init[b], refills[b], states[b], freq[b],
-                               btype[b], rect[b], mvk[b], inv_idx[b],
-                               changed[b], U)
+                               btype[b], rect[b], mvk[b], row_table[b],
+                               row_idx[b], changed[b], U)
             for b in range(btype.shape[0])]
     return jnp.stack(outs)
 
 
 @jax.jit
-def decode_batch_raw(init, payload, btype, rect, mvk, inv_idx, changed):
+def decode_batch_raw(init, payload, btype, rect, mvk, row_table, row_idx,
+                     changed):
     """Batched raw-mode decode; same unrolled-leading-axis contract."""
     outs = [decode_window_raw(init[b], payload[b], btype[b], rect[b],
-                              mvk[b], inv_idx[b], changed[b])
+                              mvk[b], row_table[b], row_idx[b], changed[b])
             for b in range(btype.shape[0])]
     return jnp.stack(outs)
 
@@ -154,24 +179,26 @@ def make_lane_decode_step(mesh, U: int, axes=("dp",), raw: bool = False):
     spec = P(axes if len(axes) > 1 else axes[0])
 
     if raw:
-        def per_shard(init, payload, btype, rect, mvk, inv_idx, changed):
+        def per_shard(init, payload, btype, rect, mvk, row_table, row_idx,
+                      changed):
             outs = [decode_window_raw(init[b], payload[b], btype[b],
-                                      rect[b], mvk[b], inv_idx[b],
-                                      changed[b])
+                                      rect[b], mvk[b], row_table[b],
+                                      row_idx[b], changed[b])
                     for b in range(btype.shape[0])]
             return jnp.stack(outs)
 
-        n_in = 7
+        n_in = 8
     else:
         def per_shard(init, refills, states, freq, btype, rect, mvk,
-                      inv_idx, changed):
+                      row_table, row_idx, changed):
             outs = [decode_window_lane(init[b], refills[b], states[b],
                                        freq[b], btype[b], rect[b], mvk[b],
-                                       inv_idx[b], changed[b], U)
+                                       row_table[b], row_idx[b],
+                                       changed[b], U)
                     for b in range(btype.shape[0])]
             return jnp.stack(outs)
 
-        n_in = 9
+        n_in = 10
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,

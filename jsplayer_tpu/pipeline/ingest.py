@@ -506,7 +506,7 @@ class VideoIngestPipeline:
         c0 = self.containers[0]
         B = len(self.containers)
         Y, X, K, N = c0.Y, c0.X, c0.K, c0.n_lanes
-        R = Y * (plane_cols(X) // 128)
+        ncol = plane_cols(X) // 128
         nb = ((X + 15) // 16) * ((Y + 15) // 16)
         Tw = c0.window
         n_windows = max(len(c.windows) for c in self.containers)
@@ -553,10 +553,11 @@ class VideoIngestPipeline:
             btype = np.zeros((BG, Tw, nb), dtype=np.uint8)
             rect = np.zeros((BG, Tw, nb, 4), dtype=np.uint8)
             mvk = np.zeros((BG, Tw, K, 2), dtype=np.int32)
-            inv = np.zeros((BG, Tw, R), dtype=np.int32)
+            row_idx = np.zeros((BG, Tw, Y), dtype=np.int32)
             changed = np.zeros((BG, Tw), dtype=bool)
             sig = np.zeros((B, G * Tw), dtype=bool)
             u_real = [0] * BG
+            rtabs = [None] * BG
             wins = []
             for b, c in enumerate(self.containers):
                 for g in range(G):
@@ -569,14 +570,25 @@ class VideoIngestPipeline:
                     btype[e, : w.T] = w.btype
                     rect[e, : w.T] = w.rect
                     mvk[e, : w.T] = w.mvk
-                    inv[e, : w.T] = w.inv_index(R)
+                    rt, ri = w.row_index(Y, ncol)
+                    rtabs[e] = rt
+                    row_idx[e, : w.T] = ri
                     changed[e, : w.T] = w.changed
                     sig[b, g * Tw : g * Tw + w.T] = w.signif
                     u_real[e] = w.n_units
-            # shared buckets: U to a power of two (and steps to cover
-            # 3*U*128 symbols in rans mode) — derived deterministically so
-            # jit keys stay bounded; padded payload decodes into unit rows
-            # nothing references (inv_idx only maps real units)
+            # shared buckets: U and Ur to powers of two (and steps to
+            # cover 3*U*128 symbols in rans mode) — derived
+            # deterministically so jit keys stay bounded; padded payload
+            # decodes into unit rows nothing references, padded row-table
+            # rows are all-zero tuples no frame's row_idx points at
+            ur_pad = 1
+            while ur_pad < max((rt.shape[0] for rt in rtabs
+                                if rt is not None), default=1):
+                ur_pad <<= 1
+            row_table = np.zeros((BG, ur_pad, ncol), dtype=np.int32)
+            for e, rt in enumerate(rtabs):
+                if rt is not None:
+                    row_table[e, : rt.shape[0]] = rt
             u_pad = 1
             while u_pad < max(max(u_real), 1):
                 u_pad <<= 1
@@ -634,9 +646,9 @@ class VideoIngestPipeline:
             # window's carry-in frame)
             outmap = None
             if self.cfg.still_elision:
-                (btype, rect, mvk, inv), valid, outmap = \
+                (btype, rect, mvk, row_idx), valid, outmap = \
                     sp_recon.compact_arrays_batch(
-                        (btype, rect, mvk, inv), changed)
+                        (btype, rect, mvk, row_idx), changed)
                 cpad = btype.shape[1]
                 changed = valid
                 outmap = np.where(
@@ -656,7 +668,8 @@ class VideoIngestPipeline:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 spec = self._lane_spec(G)
-                key = (u_pad, raw_mode or steps, changed.shape[1], G)
+                key = (u_pad, ur_pad, raw_mode or steps,
+                       changed.shape[1], G)
                 steps_cache = getattr(self, "_lane_steps", None)
                 if steps_cache is None:
                     steps_cache = self._lane_steps = {}
@@ -670,21 +683,23 @@ class VideoIngestPipeline:
                 if raw_mode:
                     frames = steps_cache[key](
                         init_dev, put(payload), put(btype), put(rect),
-                        put(mvk), put(inv), put(changed))
+                        put(mvk), put(row_table), put(row_idx),
+                        put(changed))
                 else:
                     frames = steps_cache[key](
                         init_dev, put(refills), put(states), put(freq),
-                        put(btype), put(rect), put(mvk), put(inv),
-                        put(changed))
+                        put(btype), put(rect), put(mvk), put(row_table),
+                        put(row_idx), put(changed))
             elif raw_mode:
                 frames = lane_recon.decode_batch_raw(
                     init_e, _put(payload), _put(btype), _put(rect),
-                    _put(mvk), _put(inv), _put(changed))
+                    _put(mvk), _put(row_table), _put(row_idx),
+                    _put(changed))
             else:
                 frames = lane_recon.decode_batch_lane(
                     init_e, _put(refills), _put(states), _put(freq),
-                    _put(btype), _put(rect), _put(mvk), _put(inv),
-                    _put(changed), u_pad)
+                    _put(btype), _put(rect), _put(mvk), _put(row_table),
+                    _put(row_idx), _put(changed), u_pad)
             # per-stream carry = the last entry's last frame (stream-major
             # layout; None tails pass the carry through unchanged)
             carry = (frames[:, -1] if G == 1

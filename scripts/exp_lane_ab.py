@@ -73,19 +73,19 @@ def main():
         t1, t2 = t_at(4), t_at(24)
         return frames_n * 20 / max(t2 - t1, 1e-9)
 
-    R = Y * (lane_format.plane_cols(X) // 128)
+    ncol = lane_format.plane_cols(X) // 128
     out = {"sizes_bench_corpus": sizes}
 
     c = lane_format.container_from_bytes(raw_defl)
     w = c.windows[0]
     t0 = time.perf_counter()
     c2 = lane_format.container_from_bytes(raw_defl)
-    inv = c2.windows[0].inv_index(R)
+    rt_np, ri_np = c2.windows[0].row_index(Y, ncol)
     out["raw_prep_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     raw_args = jax.device_put(
         (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
          jnp.asarray(w.btype), jnp.asarray(w.rect), jnp.asarray(w.mvk),
-         jnp.asarray(inv), jnp.asarray(w.changed)))
+         jnp.asarray(rt_np), jnp.asarray(ri_np), jnp.asarray(w.changed)))
     out["raw_fps"] = round(timed(lane_recon.decode_window_raw, *raw_args), 1)
     out["raw_units"] = w.n_units
 
@@ -93,14 +93,15 @@ def main():
     w2 = cr.windows[0]
     init2 = (jnp.asarray(w2.init_plane) if w2.init_plane is not None
              else jnp.zeros((Y, X), jnp.uint32))
+    rt2, ri2 = w2.row_index(Y, ncol)
     rans_args = jax.device_put(
         (init2, jnp.asarray(w2.refills), jnp.asarray(w2.states),
          jnp.asarray(w2.freq), jnp.asarray(w2.btype), jnp.asarray(w2.rect),
-         jnp.asarray(w2.mvk), jnp.asarray(w2.inv_index(R)),
+         jnp.asarray(w2.mvk), jnp.asarray(rt2), jnp.asarray(ri2),
          jnp.asarray(w2.changed)))
     out["rans_fps"] = round(timed(
-        lambda i, rf, st, fq, bt, rc, mk, iv, ch:
-        lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk, iv, ch,
+        lambda i, rf, st, fq, bt, rc, mk, rt, ri, ch:
+        lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk, rt, ri, ch,
                                       U=w2.n_units), *rans_args), 1)
     out["rans_units"] = w2.n_units
     out["rans_steps"] = int(w2.refills.shape[0])

@@ -37,8 +37,8 @@ def main():
                   keyflags=[t == 0 for t in range(T)])
     c = lane_format.container_from_bytes(transcode_to_lane(avi, window=T))
     w = c.windows[0]
-    R = Y * (lane_format.plane_cols(X) // 128)
-    inv = w.inv_index(R)
+    ncol = lane_format.plane_cols(X) // 128
+    row_table, row_idx = w.row_index(Y, ncol)
     ch = w.changed
     # still-elision: keep only changed frames (the ingest path's
     # compact_arrays_batch semantics, single stream, no padding)
@@ -46,12 +46,13 @@ def main():
     args = jax.device_put(
         (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
          jnp.asarray(w.btype[sel]), jnp.asarray(w.rect[sel]),
-         jnp.asarray(w.mvk[sel]), jnp.asarray(inv[sel]),
-         jnp.ones(sel.size, bool)))
+         jnp.asarray(w.mvk[sel]), jnp.asarray(row_table),
+         jnp.asarray(row_idx[sel]), jnp.ones(sel.size, bool)))
     dense_args = jax.device_put(
         (jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
          jnp.asarray(w.btype), jnp.asarray(w.rect),
-         jnp.asarray(w.mvk), jnp.asarray(inv), jnp.asarray(ch)))
+         jnp.asarray(w.mvk), jnp.asarray(row_table),
+         jnp.asarray(row_idx), jnp.asarray(ch)))
 
     def timed(fn, *a, tries=5):
         @jax.jit

@@ -171,19 +171,20 @@ def main():
 
     avi = mux_avi(streams, X, Y, 24, codec="SPV4",
                   keyflags=[t == 0 for t in range(len(streams))])
-    R = Y * (lane_format.plane_cols(X) // 128)
+    ncol = lane_format.plane_cols(X) // 128
     for mode in ("raw", "rans"):
         key = f"lane_{mode}_parity"
         try:
             cont = lane_format.container_from_bytes(transcode_to_lane(
                 avi, window=len(streams), K=2, payload=mode))
             w = cont.windows[0]
-            inv = jnp.asarray(w.inv_index(R))
+            rt_np, ri_np = w.row_index(Y, ncol)
+            rt, ri = jnp.asarray(rt_np), jnp.asarray(ri_np)
             if mode == "raw":
                 frames = lane_recon.decode_window_raw(
                     jnp.zeros((Y, X), jnp.uint32), jnp.asarray(w.payload),
                     jnp.asarray(w.btype), jnp.asarray(w.rect),
-                    jnp.asarray(w.mvk), inv, jnp.asarray(w.changed))
+                    jnp.asarray(w.mvk), rt, ri, jnp.asarray(w.changed))
             else:
                 init0 = (jnp.asarray(w.init_plane)
                          if w.init_plane is not None
@@ -191,7 +192,7 @@ def main():
                 frames = lane_recon.decode_window_lane(
                     init0, jnp.asarray(w.refills), jnp.asarray(w.states),
                     jnp.asarray(w.freq), jnp.asarray(w.btype),
-                    jnp.asarray(w.rect), jnp.asarray(w.mvk), inv,
+                    jnp.asarray(w.rect), jnp.asarray(w.mvk), rt, ri,
                     jnp.asarray(w.changed), U=w.n_units)
             ok = all(np.array_equal(
                 np.asarray(frames[t]).reshape(-1) & 0x00FFFFFF,
