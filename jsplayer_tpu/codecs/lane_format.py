@@ -217,11 +217,24 @@ class LaneWindow:
             tv[rid, slots % ncol] = refs
             chunks.append(tv)
             locs.append((t, uy))
-        allv = np.ascontiguousarray(np.concatenate(chunks, axis=0))
-        keys = allv.view([("", allv.dtype)] * ncol).ravel()
-        _, first, inverse = np.unique(keys, return_index=True,
+        allv = np.concatenate(chunks, axis=0)
+        # u64-hash the tuples so unique sorts integers, not 64-byte void
+        # keys (the void argsort was 8 of row_index's 10.8 ms/window);
+        # the representative-compare guard catches any 64-bit collision
+        # and falls back to the exact lexicographic path
+        h = np.zeros(allv.shape[0], dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(ncol):
+            h = h * mult + allv[:, j].astype(np.uint64)
+        _, first, inverse = np.unique(h, return_index=True,
                                       return_inverse=True)
         row_table = allv[first]
+        if not (row_table[inverse] == allv).all():
+            allv = np.ascontiguousarray(allv)
+            keys = allv.view([("", allv.dtype)] * ncol).ravel()
+            _, first, inverse = np.unique(keys, return_index=True,
+                                          return_inverse=True)
+            row_table = allv[first]
         row_idx[:] = inverse[0]  # default: every row is the zero tuple
         pos = 1
         for t, uy in locs:
