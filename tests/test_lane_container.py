@@ -529,3 +529,56 @@ def test_lane_empty_bulk_bomb_rejected():
             + struct.pack("<I", len(rec)) + rec)
     with pytest.raises(ValueError):
         lane_format.container_from_bytes(blob)
+
+
+def test_row_index_matches_inv_index_tuples():
+    """row_index (round-4 row-gather layout) must agree with inv_index:
+    for every frame and plane row, the row_table tuple selected by
+    row_idx equals that row's ncol unit ids — across keyframe-led and
+    mid-GOP windows (explicit unit_idx), empty frames, and both payload
+    modes."""
+    X, Y, T = 64, 48, 10
+    avi, _ = make_avi(0, X, Y, T, key_every=4)
+    ncol = lane_format.plane_cols(X) // 128 or 1
+    for mode in ("raw", "rans"):
+        cont = transcode_to_lane(avi, window=4, K=2, payload=mode)
+        c = lane_format.container_from_bytes(cont)
+        ncol = lane_format.plane_cols(c.X) // 128
+        R = c.Y * ncol
+        for w in c.windows:
+            rt, ri = w.row_index(c.Y, ncol)
+            tup = w.inv_index(R).reshape(len(w.unit_rows), c.Y, ncol)
+            assert (rt[ri] == tup).all()
+            # untouched rows must resolve to the all-zero tuple
+            zero_id = ri[0, 0] if not w.unit_rows[0].size else None
+            if zero_id is not None:
+                assert not rt[zero_id].any()
+
+
+def test_row_index_collision_fallback():
+    """If the u64 row-tuple hash ever collides, the representative-
+    compare guard must reroute through the exact lexicographic path —
+    forced here by collapsing the hash to a constant."""
+    X, Y, T = 64, 48, 6
+    avi, _ = make_avi(1, X, Y, T)
+    c = lane_format.container_from_bytes(transcode_to_lane(avi, window=T))
+    w = c.windows[0]
+    ncol = lane_format.plane_cols(c.X) // 128
+    rt, ri = w.row_index(c.Y, ncol)
+
+    import unittest.mock as mock
+
+    real_unique = np.unique
+    calls = {"n": 0}
+
+    def degenerate_first_unique(a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 and a.dtype == np.uint64:
+            a = np.zeros_like(a)  # every hash collides
+        return real_unique(a, **kw)
+
+    with mock.patch.object(lane_format.np, "unique",
+                           side_effect=degenerate_first_unique):
+        rt2, ri2 = w.row_index(c.Y, ncol)
+    assert calls["n"] >= 2  # guard fired and took the exact path
+    assert (rt2[ri2] == rt[ri]).all()
