@@ -108,9 +108,12 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                       use_native: Optional[bool] = None,
                       payload: str = "raw",
                       compress: bool = True) -> bytes:
-    """Re-encode an SP AVI into the lane-container format
-    (codecs/lane_format) so the host never touches entropy after demux
-    (BASELINE config 4 end-to-end).
+    """Re-encode a supported AVI (ScreenPressor v2/v3/v4 or MSVideo1
+    8/16-bit) into the lane-container format (codecs/lane_format) so the
+    host never touches entropy after demux (BASELINE config 4
+    end-to-end).  SP inputs carry their captured command stream; MSV1
+    inputs synthesize data-block commands from the decoded pixel diff
+    (_diff_commands) — one serving container for both reference codecs.
 
     payload: "raw" (default — uncoded u24 unit bytes, zero device entropy
     work; measured round 4 as both smaller and faster than rans on every
@@ -143,8 +146,9 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
     if not info:
         raise ValueError("no video stream found")
     vi = info[0]
-    if vi.codec != CodecType.SCREENPRESSOR:
-        raise ValueError("transcode_to_lane handles ScreenPressor inputs only")
+    is_msv = vi.codec in (CodecType.MSVC16, CodecType.MSVC8)
+    if not is_msv and vi.codec != CodecType.SCREENPRESSOR:
+        raise ValueError(f"transcode_to_lane: unsupported codec {vi.codec}")
     X, Y = vi.width, vi.height
     if n_lanes is None:
         # 4096 lanes: 2,050 Msym/s on v5e (vs 1,474 @2048, 2,185 @8192 —
@@ -152,12 +156,30 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         n_lanes = 4096 if X * Y >= (1 << 20) else 128
     nbx, nby = (X + 15) // 16, (Y + 15) // 16
     nb = nbx * nby
-    dec, _enc = _make_codecs(vi, 4, use_native)
+    if is_msv:
+        # MSVideo1 (CRAM) has no SP command stream: decode to pixels and
+        # synthesize data-block commands from the per-frame diff — the
+        # lane container becomes the universal serving format for BOTH
+        # reference codecs (MSVideo1.hx:106-209 block paint; pixels are
+        # carried as u24, so 8-bit palettes must keep the high byte 0,
+        # as the reference's quad layout does — MSVideo1.hx:281-291)
+        if vi.codec == CodecType.MSVC8:
+            from .codecs.msvideo1 import MSVideo1_8bit
+
+            dec = MSVideo1_8bit(X, Y, vi.palette or b"")
+        else:
+            from .codecs.msvideo1 import MSVideo1_16bit
+
+            dec = MSVideo1_16bit(X, Y)
+        dec.preinit(0)
+    else:
+        dec, _enc = _make_codecs(vi, 4, use_native)
 
     cont = lane_format.LaneContainer(
         X=X, Y=Y, bpp=vi.bpp, K=K, n_lanes=n_lanes, n_frames=len(frames),
         window=window, fps=vi.fps,
         audio=(b"".join(sound) if sound else None))
+    prev_px = np.zeros((Y, X), dtype=np.uint32)
     for start in range(0, len(frames), window):
         chunk = frames[start : start + window]
         T = len(chunk)
@@ -168,6 +190,21 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         changed = np.zeros(T, dtype=bool)
         sig = np.zeros(T, dtype=bool)
         for t, src in enumerate(chunk):
+            if is_msv:
+                dst = np.zeros(X * Y, dtype=np.uint32)
+                if dec.is_key_frame(src):
+                    dec.decompress_i(src, dst)
+                    sig[t] = True
+                else:
+                    res = dec.decompress_p(src, dst)
+                    sig[t] = bool(res.significant_changes)
+                cur = dec.previous_frame()
+                pixbuf[t] = (np.asarray(cur).reshape(Y, X)
+                             if cur is not None else prev_px)
+                bts[t], rect[t], changed[t] = _diff_commands(
+                    pixbuf[t], prev_px, X, Y, nbx, nby)
+                prev_px = pixbuf[t]
+                continue
             if use_native:
                 isk = dec.is_key_frame(src)
                 view, s, cap = dec.decompress(src, isk, capture=True,
@@ -193,6 +230,33 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
             bts, mv, rect, pixbuf, changed, sig, X, Y, K, n_lanes,
             payload_mode=payload))
     return lane_format.container_to_bytes(cont, compress=compress)
+
+
+def _diff_commands(px: np.ndarray, prev: np.ndarray, X: int, Y: int,
+                   nbx: int, nby: int):
+    """Synthesize SP-shaped data-block commands from a pixel diff: each
+    16x16 block whose pixels changed becomes a data block whose rect is
+    the tight bounding box of the change (absolute coords, the capture
+    convention derive_window expects).  Used by the MSVideo1 lane path,
+    which has no native command stream."""
+    nb = nbx * nby
+    bts = np.zeros(nb, dtype=np.int32)
+    rect = np.zeros((nb, 4), dtype=np.int32)
+    diff = px != prev
+    if not diff.any():
+        return bts, rect, False
+    d = np.zeros((nby * 16, nbx * 16), dtype=bool)
+    d[:Y, :X] = diff
+    blk = d.reshape(nby, 16, nbx, 16).any(axis=(1, 3))
+    for by, bx in zip(*np.nonzero(blk)):
+        b = d[by * 16 : (by + 1) * 16, bx * 16 : (bx + 1) * 16]
+        ys, xs = np.nonzero(b)
+        i = by * nbx + bx
+        bts[i] = 1
+        rect[i] = (bx * 16 + xs.min(), by * 16 + ys.min(),
+                   min(bx * 16 + xs.max() + 1, X),
+                   min(by * 16 + ys.max() + 1, Y))
+    return bts, rect, True
 
 
 def _make_codecs(vi: VideoInfo, target_version: int, use_native: bool):

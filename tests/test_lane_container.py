@@ -582,3 +582,73 @@ def test_row_index_collision_fallback():
         rt2, ri2 = w.row_index(c.Y, ncol)
     assert calls["n"] >= 2  # guard fired and took the exact path
     assert (rt2[ri2] == rt[ri]).all()
+
+
+def _msv1_16_avi(seed, X, Y, T):
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+
+    rng = np.random.default_rng(seed)
+    f = np.full((Y, X), from_rgb15(0x2222), dtype=np.uint32)
+    streams, gold, prev = [], [], None
+    for t in range(T):
+        f = f.copy()
+        if t % 3 != 2:  # leave true stills in the mix
+            x0 = int(rng.integers(0, (X - 8) // 4)) * 4
+            y0 = int(rng.integers(0, (Y - 8) // 4)) * 4
+            f[y0 : y0 + 8, x0 : x0 + 8] = from_rgb15(
+                int(rng.integers(0, 0x8000)))
+        flat = f.reshape(-1)
+        streams.append(encode_frame_16(flat, prev, X, Y))
+        gold.append(flat)
+        prev = flat
+    return mux_avi(streams, X, Y, 16, codec="CRAM",
+                   keyflags=[t == 0 for t in range(T)]), gold
+
+
+def test_lane_from_msv1_16bit():
+    """MSVideo1 (CRAM) AVIs transcode into the lane container via
+    synthesized diff commands — the lane format serves BOTH reference
+    codecs (MSVideo1.hx:106-209), bit-exact through the device path."""
+    X, Y, T = 64, 48, 9
+    avi, gold = _msv1_16_avi(0, X, Y, T)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    assert lane_format.is_lane_container(cont)
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    assert len(got) == T
+    for t in range(T):
+        np.testing.assert_array_equal(
+            got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
+            err_msg=f"frame {t}")
+
+
+def test_lane_from_msv1_8bit():
+    from jsplayer_tpu.codecs.msvideo1 import palette_to_u32
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_8
+
+    X, Y, T = 64, 48, 7
+    rng = np.random.default_rng(1)
+    pal = bytes(
+        b for i in range(256) for b in (i, (i * 3) & 0xFF, (i * 7) & 0xFF, 0))
+    pal_u32 = palette_to_u32(pal)
+    idx = np.full(Y * X, 3, dtype=np.uint8)
+    streams, gold, prev = [], [], None
+    for t in range(T):
+        idx = idx.copy()
+        x0 = int(rng.integers(0, (X - 4) // 4)) * 4
+        idx.reshape(Y, X)[8:12, x0 : x0 + 4] = int(rng.integers(0, 256))
+        streams.append(encode_frame_8(idx, prev, X, Y))
+        gold.append(pal_u32[idx].astype(np.uint32))
+        prev = idx
+    avi = mux_avi(streams, X, Y, 8, codec="CRAM", palette=pal,
+                  keyflags=[t == 0 for t in range(T)])
+    cont = transcode_to_lane(avi, window=3, K=2)
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(
+            got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
+            err_msg=f"frame {t}")
