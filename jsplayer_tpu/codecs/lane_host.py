@@ -1,0 +1,233 @@
+"""Host (numpy) decode of lane containers — the Player/oracle path.
+
+The lane container is the batch serving format whose production decode
+runs on device (kernels/lane_recon); the interactive Player needs frames
+on the HOST (the Manager.fill_bitmap_data analog for `.jlv` sources),
+and tests want a parity oracle independent of the device path.  This
+module mirrors the device semantics exactly — units → data-plane row
+scatter, block rects, K motion rolls (the ScreenPressor.hx:302-484
+block model as captured by lane_format.derive_window) — and
+tests/test_lane_container.py pins host == device bit-exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..kernels.rans_lanes import PROB_BITS, PROB_SCALE, RANS_L
+from .base import DecoderState, PFrameResult, VideoCodec
+from .lane_format import LaneContainer, LaneWindow, plane_cols
+
+
+def decode_lanes_aligned_host(refills: np.ndarray, states: np.ndarray,
+                              freq: np.ndarray) -> np.ndarray:
+    """numpy twin of kernels/rans_lanes.decode_lanes_aligned:
+    refills [steps, N, 2] u8 + states [N] u32 + freq [256] i32
+    → symbols [steps, N] u8 (vectorized over lanes, looped over steps)."""
+    cumv = np.zeros(256, dtype=np.int64)
+    np.cumsum(freq.astype(np.int64)[:255], out=cumv[1:])
+    x = states.astype(np.uint64).copy()
+    steps = refills.shape[0]
+    syms = np.empty((steps, x.size), dtype=np.uint8)
+    fq = freq.astype(np.uint64)
+    cf = cumv.astype(np.uint64)
+    for t in range(steps):
+        sf = x & np.uint64(PROB_SCALE - 1)
+        s = np.searchsorted(cumv, sf.astype(np.int64), side="right") - 1
+        syms[t] = s
+        x = fq[s] * (x >> np.uint64(PROB_BITS)) + sf - cf[s]
+        r = refills[t].astype(np.uint64)
+        x = np.where(x < RANS_L, (x << np.uint64(8)) | r[:, 0], x)
+        x = np.where(x < RANS_L, (x << np.uint64(8)) | r[:, 1], x)
+    return syms
+
+
+def units_host(w: LaneWindow) -> np.ndarray:
+    """Payload units as [U, 128] u32 (raw bytes, or host rans decode)."""
+    U = w.n_units
+    if w.raw_mode:
+        m = w.payload.astype(np.uint32)
+    else:
+        syms = decode_lanes_aligned_host(w.refills, w.states, w.freq)
+        m = syms.reshape(-1)[: U * 384].reshape(U, 3, 128).astype(np.uint32)
+    return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+
+
+def compose_window_host(w: LaneWindow, X: int, Y: int,
+                        prev: Optional[np.ndarray] = None) -> np.ndarray:
+    """Decode one window on the host → frames [T, Y, X] u32.
+
+    prev: carry-in plane ([Y, X] u32) for mid-stream windows; None for
+    restart (keyframe-led) windows or stream start."""
+    Xp = plane_cols(X)
+    units = units_host(w)
+    nbx = (X + 15) // 16
+    out = np.empty((w.T, Y, X), dtype=np.uint32)
+    cur = (np.zeros((Y, X), dtype=np.uint32) if prev is None
+           else prev.astype(np.uint32).copy())
+    seq_off = 0
+    for t in range(w.T):
+        rows = w.unit_rows[t]
+        if w.unit_idx is not None:
+            refs = w.unit_idx[t]
+        else:
+            refs = seq_off + np.arange(rows.size, dtype=np.int64)
+            seq_off += rows.size
+        if w.changed[t]:
+            if t == 0 and w.init_plane is not None:
+                # rans-mode keyframe rides as a raw plane (all-copy frame)
+                cur = w.init_plane.astype(np.uint32).copy()
+            else:
+                plane = np.zeros((Y * Xp // 128, 128), dtype=np.uint32)
+                if rows.size:
+                    plane[rows] = units[refs]
+                tp = plane.reshape(Y, Xp)[:, :X]
+                nxt = cur.copy()
+                shifted = {}
+                for i in np.nonzero(w.btype[t])[0]:
+                    bt = int(w.btype[t, i])
+                    x1, y1, x2, y2 = (int(v) for v in w.rect[t, i])
+                    bx, by = i % nbx, i // nbx
+                    ax1, ay1 = bx * 16 + x1, by * 16 + y1
+                    ax2 = min(bx * 16 + x2, X)
+                    ay2 = min(by * 16 + y2, Y)
+                    src = tp
+                    if bt >= 2:  # motion slot k = bt - 2
+                        k = bt - 2
+                        if k not in shifted:
+                            dx, dy = (int(w.mvk[t, k, 0]),
+                                      int(w.mvk[t, k, 1]))
+                            shifted[k] = np.roll(cur, (-dy, -dx),
+                                                 axis=(0, 1))
+                        src = shifted[k]
+                    nxt[ay1:ay2, ax1:ax2] = src[ay1:ay2, ax1:ax2]
+                cur = nxt
+        out[t] = cur
+    return out
+
+
+def iter_frames(cont: LaneContainer,
+                frame_range: Optional[tuple] = None
+                ) -> Iterator[np.ndarray]:
+    """Decode a container on the host, yielding [Y, X] u32 frames.
+
+    frame_range=(t0, t1) clips the output; decode starts at the last
+    restart (keyframe-led) window at or before t0 — the lane analog of
+    seek-from-nearest-keyframe (Manager.hx:244-249) — and carries chain
+    through any non-restart windows in between."""
+    t0, t1 = frame_range if frame_range is not None else (0, cont.n_frames)
+    bases, b = [], 0
+    for w in cont.windows:
+        bases.append(b)
+        b += w.T
+    start_wi = 0
+    for wi, w in enumerate(cont.windows):
+        if w.restart and bases[wi] <= t0:
+            start_wi = wi
+    carry = None
+    for wi in range(start_wi, len(cont.windows)):
+        w = cont.windows[wi]
+        if bases[wi] >= t1:
+            break
+        frames = compose_window_host(w, cont.X, cont.Y,
+                                     None if w.restart else carry)
+        carry = frames[-1]
+        for i in range(w.T):
+            if t0 <= bases[wi] + i < t1:
+                yield frames[i]
+
+
+class LaneHostCodec(VideoCodec):
+    """VideoCodec facade over the host lane decode — what lets the full
+    Manager/Player surface (decode-ahead ring, seek, skip-stills,
+    thumbnails; Manager.hx:454-539) play `.jlv` lane containers
+    unchanged.  Frame "chunks" are 4-byte little-endian frame indices
+    minted by core.lane_loader.LaneDataLoader; pixels come from the
+    window-cached compose_window_host (sequential play decodes each
+    window once; Manager only ever seeks to restart-window keyframes,
+    the lane analog of Manager.hx:244-249)."""
+
+    def __init__(self, cont: LaneContainer):
+        self.cont = cont
+        self._bases: list[int] = []
+        b = 0
+        for w in cont.windows:
+            self._bases.append(b)
+            b += w.T
+        self._prev: Optional[np.ndarray] = None
+        self._win: Optional[tuple] = None      # (wi, frames [T, Y, X])
+        self._carry: Optional[np.ndarray] = None
+        self._carry_wi = -2
+
+    # -- chunk helpers ---------------------------------------------------------
+
+    @staticmethod
+    def frame_chunk(t: int) -> bytes:
+        """The loader-side mint for frame t's CompressedFrame.data."""
+        return struct.pack("<I", t)
+
+    def _locate(self, data: bytes) -> tuple[int, int]:
+        t = struct.unpack("<I", data)[0]
+        wi = 0
+        for i, b in enumerate(self._bases):
+            if b <= t:
+                wi = i
+        return wi, t - self._bases[wi]
+
+    def _window_frames(self, wi: int) -> np.ndarray:
+        if self._win is not None and self._win[0] == wi:
+            return self._win[1]
+        w = self.cont.windows[wi]
+        carry = None
+        if not w.restart:
+            if self._carry_wi == wi - 1:
+                carry = self._carry
+            else:  # cold mid-chain entry: rebuild from the last restart
+                j = wi
+                while j > 0 and not self.cont.windows[j].restart:
+                    j -= 1
+                for k in range(j, wi):
+                    wk = self.cont.windows[k]
+                    fr = compose_window_host(
+                        wk, self.cont.X, self.cont.Y,
+                        None if wk.restart else carry)
+                    carry = fr[-1]
+        frames = compose_window_host(w, self.cont.X, self.cont.Y, carry)
+        self._win = (wi, frames)
+        self._carry = frames[-1]
+        self._carry_wi = wi
+        return frames
+
+    # -- VideoCodec contract (IVideoCodec.hx:16-29) ----------------------------
+
+    def preinit(self, insignificant_lines: int) -> None:
+        pass  # signif verdicts are precomputed in the container
+
+    def previous_frame(self) -> Optional[np.ndarray]:
+        return self._prev
+
+    def is_key_frame(self, data: bytes) -> bool:
+        wi, lt = self._locate(data)
+        return bool(self.cont.windows[wi].restart and lt == 0)
+
+    def needs_index(self) -> bool:
+        return False
+
+    def decompress_i(self, src: bytes, dst: np.ndarray) -> DecoderState:
+        wi, lt = self._locate(src)
+        dst[:] = self._window_frames(wi)[lt].reshape(-1)
+        self._prev = dst
+        return DecoderState.ZERO
+
+    def decompress_p(self, src: bytes, dst: np.ndarray) -> PFrameResult:
+        wi, lt = self._locate(src)
+        w = self.cont.windows[wi]
+        sig = bool(w.signif[lt])
+        if not w.changed[lt] and self._prev is not None:
+            return PFrameResult(self._prev, sig)  # still: extend prev buffer
+        dst[:] = self._window_frames(wi)[lt].reshape(-1)
+        self._prev = dst
+        return PFrameResult(dst, sig)

@@ -22,6 +22,10 @@ class CodecType(enum.Enum):
     SCREENPRESSOR = "screenpressor"
     MSVC16 = "msvc16"
     MSVC8 = "msvc8"
+    # not in the reference enum: this framework's own lane-container
+    # serving format, playable through the same Manager surface
+    # (core/lane_loader.py + codecs/lane_host.py)
+    LANE = "lane"
 
 
 @dataclass

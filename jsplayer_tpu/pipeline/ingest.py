@@ -19,7 +19,7 @@ ranges (Manager.hx:568-578).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -297,6 +297,22 @@ class VideoIngestPipeline:
     def __init__(self, sources: Sequence[ByteSource],
                  config: Optional[IngestConfig] = None):
         self.cfg = config or IngestConfig()
+        # auto-detect lane-container sources (4-byte magic) so CLI render/
+        # ingest work on .jlv files without an explicit --path lane
+        if self.cfg.sp_device_path != "lane" and sources:
+            from ..codecs import lane_format
+
+            try:
+                heads = [lane_format.is_lane_container(s.read_range(0, 4))
+                         for s in sources]
+            except Exception:
+                heads = [False]
+            if all(heads):
+                self.cfg = replace(self.cfg, sp_device_path="lane")
+            elif any(heads):
+                raise ValueError(
+                    "batch mixes lane containers and AVIs — transcode or "
+                    "split the batch")
         if self.cfg.sp_device_path == "lane":
             self._init_lane(sources)
             return

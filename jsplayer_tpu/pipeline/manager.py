@@ -125,12 +125,19 @@ class Manager:
     def _video_info_cb(self, vi: VideoInfo) -> None:
         # Manager.video_info_cb (Manager.hx:103-142)
         self.video_info = vi
-        self.decoder = make_decoder(vi)
+        # a loader that owns non-AVI stream state (LaneDataLoader's parsed
+        # container) supplies its own decoder; AVI loaders use the codec
+        # registry (Manager.hx:105-111)
+        mk = getattr(self.loader, "make_decoder", None)
+        self.decoder = mk(vi) if mk is not None else make_decoder(vi)
         npix = vi.width * vi.height
         self.buffers = [np.zeros(npix, dtype=np.uint32)
                         for _ in range(self.num_buffers + 1)]
-        self.convert_from_rgb15 = (vi.bpp == 16
-                                   and vi.codec == CodecType.SCREENPRESSOR)
+        # 16bpp SP pixels (and lane containers transcoded from them) are
+        # RGB15 needing the <<3 display expansion; MSV1-sourced lanes are
+        # already RGB888 (transcode_to_lane records bpp=24 for those)
+        self.convert_from_rgb15 = (vi.bpp == 16 and vi.codec in (
+            CodecType.SCREENPRESSOR, CodecType.LANE))
         self.decoder.preinit(INSIGNIFICANT_LINES)
         self.fps = vi.fps
         self.nframes = vi.nframes

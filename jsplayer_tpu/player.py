@@ -74,7 +74,13 @@ class Player:
         elif source is None:
             source = open_source(self.config.fname)
         loader: DataLoader
-        if self.config.indexed:
+        if self._sniff_lane(source):
+            # .jlv lane container (this framework's serving format):
+            # same Player surface, lane loader + host codec underneath
+            from .core.lane_loader import LaneDataLoader
+
+            loader = LaneDataLoader()
+        elif self.config.indexed:
             limit = (self.config.storage_limit_bytes
                      if self.config.storage_limit_bytes is not None
                      else self.config.buffer_mb * 1_000_000)
@@ -88,6 +94,17 @@ class Player:
             raise ValueError(
                 "no video header found (file truncated before avih/strf?)")
         return self.video_info
+
+    @staticmethod
+    def _sniff_lane(source) -> bool:
+        """4-byte magic peek — works on file/memory/HTTP sources alike
+        (HttpRangeSource turns it into one tiny ranged GET)."""
+        from .codecs import lane_format
+
+        try:
+            return lane_format.is_lane_container(source.read_range(0, 4))
+        except Exception:
+            return False
 
     def _on_open(self, vi: VideoInfo) -> None:
         # Main.on_open (Main.hx:937-1052): size the surface, enable controls

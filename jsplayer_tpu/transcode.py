@@ -176,8 +176,11 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         dec, _enc = _make_codecs(vi, 4, use_native)
 
     cont = lane_format.LaneContainer(
-        X=X, Y=Y, bpp=vi.bpp, K=K, n_lanes=n_lanes, n_frames=len(frames),
-        window=window, fps=vi.fps,
+        # MSV1 pixels are palette/RGB15-resolved to RGB888 at decode, so
+        # the container records bpp=24 (consumers must NOT re-apply the
+        # SP-16bpp display shift); SP streams keep their source bpp
+        X=X, Y=Y, bpp=(24 if is_msv else vi.bpp), K=K, n_lanes=n_lanes,
+        n_frames=len(frames), window=window, fps=vi.fps,
         audio=(b"".join(sound) if sound else None))
     prev_px = np.zeros((Y, X), dtype=np.uint32)
     for start in range(0, len(frames), window):

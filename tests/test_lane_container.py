@@ -652,3 +652,68 @@ def test_lane_from_msv1_8bit():
         np.testing.assert_array_equal(
             got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
             err_msg=f"frame {t}")
+
+
+def test_lane_host_oracle_parity():
+    """Host (numpy) lane decode — the Player/oracle path (codecs/
+    lane_host) — is bit-exact vs golden pixels AND vs the device ingest
+    path, in both payload modes, across mid-stream restarts."""
+    from jsplayer_tpu.codecs import lane_host
+
+    X, Y, T = 64, 48, 12
+    avi, gold = make_avi(3, X, Y, T, key_every=5)
+    for payload in ("raw", "rans"):
+        cont_b = transcode_to_lane(avi, window=4, K=2, payload=payload)
+        cont = lane_format.container_from_bytes(cont_b)
+        host = list(lane_host.iter_frames(cont))
+        assert len(host) == T
+        for t in range(T):
+            np.testing.assert_array_equal(
+                host[t].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
+                err_msg=f"{payload} host vs gold frame {t}")
+        pipe = VideoIngestPipeline([MemorySource(cont_b)],
+                                   IngestConfig(sp_device_path="lane"))
+        dev = collect_frames(pipe, 1, T, Y, X)[0]
+        for t in range(T):
+            np.testing.assert_array_equal(
+                host[t].reshape(-1) & 0xFFFFFF, dev[t] & 0xFFFFFF,
+                err_msg=f"{payload} host vs device frame {t}")
+
+
+def test_lane_host_frame_range_seek():
+    """frame_range decode starts at the last restart window at or before
+    t0 (the Manager.hx:244-249 seek-from-keyframe analog) and yields
+    exactly the frames in [t0, t1)."""
+    from jsplayer_tpu.codecs import lane_host
+
+    X, Y, T = 64, 48, 16
+    avi, gold = make_avi(2, X, Y, T, key_every=6)
+    for payload in ("raw", "rans"):
+        cont = lane_format.container_from_bytes(
+            transcode_to_lane(avi, window=4, K=2, payload=payload))
+        for t0, t1 in [(0, 3), (5, 9), (7, 16), (10, 11), (15, 16)]:
+            fr = list(lane_host.iter_frames(cont, frame_range=(t0, t1)))
+            assert len(fr) == t1 - t0
+            for i, t in enumerate(range(t0, t1)):
+                np.testing.assert_array_equal(
+                    fr[i].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
+                    err_msg=f"{payload} seek ({t0},{t1}) frame {t}")
+
+
+def test_lane_host_msv1_container():
+    """lane_host also decodes MSV1-sourced containers (synthesized diff
+    commands), and the container records bpp=24 — MSV1 pixels are
+    palette/RGB15-resolved at transcode so consumers must not re-apply
+    the 16bpp display shift."""
+    from jsplayer_tpu.codecs import lane_host
+
+    X, Y, T = 64, 48, 9
+    avi, gold = _msv1_16_avi(0, X, Y, T)
+    cont = lane_format.container_from_bytes(
+        transcode_to_lane(avi, window=4, K=2))
+    assert cont.bpp == 24
+    host = list(lane_host.iter_frames(cont))
+    for t in range(T):
+        np.testing.assert_array_equal(
+            host[t].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
+            err_msg=f"frame {t}")

@@ -1,0 +1,119 @@
+"""Player over `.jlv` lane containers: the full interactive surface
+(load/play/seek/step/skip-stills/audio) on this framework's own serving
+format, bit-exact against the same content played from the source AVI.
+Backed by core/lane_loader.LaneDataLoader + codecs/lane_host.LaneHostCodec
+behind the unchanged Manager (Manager.hx:454-539 decode-ahead ring)."""
+
+import numpy as np
+
+from jsplayer_tpu.core.source import MemorySource
+from jsplayer_tpu.core.types import CodecType
+from jsplayer_tpu.pipeline.manager import FrameResult
+from jsplayer_tpu.player import Player, PlayerConfig
+from jsplayer_tpu.transcode import transcode_to_lane
+
+from test_player import drive_until_shown, make_msv1_avi, make_sp_avi
+
+
+def test_player_lane_load_and_playthrough():
+    avi, frames_px = make_sp_avi(nframes=12, keyevery=4)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    p = Player(PlayerConfig())
+    vi = p.load(MemorySource(cont))
+    assert vi.codec == CodecType.LANE
+    assert (vi.width, vi.height, vi.nframes) == (32, 32, 12)
+    assert drive_until_shown(p)
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    p.play()
+    fps = p.manager.fps
+    shown = {}
+    for t in range(len(frames_px)):
+        fake_t[0] = t / fps + 0.001
+        for _ in range(200):
+            if p.tick() == FrameResult.DECOMPRESSED:
+                break
+            if not p.playing:
+                p.play()
+        m = p.manager
+        if m._last_filled_buffer is not None:
+            shown[m.last_frame_drawn] = m.buffers[m._last_filled_buffer].copy()
+    for i, px in enumerate(frames_px):
+        if i in shown:
+            np.testing.assert_array_equal(shown[i] & 0xFFFFFF, px & 0xFFFFFF,
+                                          err_msg=f"frame {i}")
+    assert len(shown) >= len(frames_px) - 1
+
+
+def test_player_lane_seek_and_step():
+    avi, frames_px = make_sp_avi(nframes=16, keyevery=4)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    p = Player(PlayerConfig())
+    p.load(MemorySource(cont))
+    assert drive_until_shown(p)
+    fps = p.manager.fps
+    target = 10
+    p.seek_time(target / fps + 0.001)
+    for _ in range(300):
+        p.tick()
+        if p.manager.last_frame_drawn == target:
+            break
+    assert p.manager.last_frame_drawn == target
+    np.testing.assert_array_equal(
+        p.manager.buffers[p.manager._last_filled_buffer] & 0xFFFFFF,
+        frames_px[target] & 0xFFFFFF)
+    p.step_frame(forward=True)
+    for _ in range(300):
+        p.tick()
+        if p.manager.last_frame_drawn == target + 1:
+            break
+    assert p.manager.last_frame_drawn == target + 1
+    # step to previous restart-window keyframe (window=4 → frame 8)
+    p.step_key(forward=False)
+    for _ in range(300):
+        p.tick()
+        if p.manager.last_frame_drawn == 8:
+            break
+    assert p.manager.last_frame_drawn == 8
+    np.testing.assert_array_equal(
+        p.manager.buffers[p.manager._last_filled_buffer] & 0xFFFFFF,
+        frames_px[8] & 0xFFFFFF)
+
+
+def test_player_lane_msv1_rgb_display():
+    """MSV1-sourced lane containers record bpp=24 (pixels already
+    RGB888-resolved at transcode) — the Player must NOT apply the RGB15
+    display expansion it uses for 16bpp MSV1 AVIs; get_rgba output must
+    match between the AVI-played and lane-played frames."""
+    avi, frames_px = make_msv1_avi(nframes=8)
+    pa = Player(PlayerConfig())
+    pa.load(MemorySource(avi))
+    assert drive_until_shown(pa)
+    rgba_avi = pa.manager.get_rgba().copy()
+
+    cont = transcode_to_lane(avi, window=4, K=2)
+    pl = Player(PlayerConfig())
+    vi = pl.load(MemorySource(cont))
+    assert vi.bpp == 24 and not pl.manager.convert_from_rgb15
+    assert drive_until_shown(pl)
+    np.testing.assert_array_equal(pl.manager.get_rgba(), rgba_avi)
+
+
+def test_player_lane_audio_and_stills():
+    """MP3 passthrough reaches the Player's audio surface from a lane
+    container, and skip-stills rides the container's precomputed signif
+    verdicts (no decode-ahead classification needed)."""
+    avi, _frames_px = make_msv1_avi(nframes=12, with_sound=True)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    p = Player(PlayerConfig())
+    p.load(MemorySource(cont))
+    assert drive_until_shown(p)
+    for _ in range(100):
+        p.manager.loader.parse_sound()
+    assert p.manager.loader.audio_track.time_loaded > 0
+    # every frame's significance verdict is already present at load
+    ld = p.manager.loader
+    assert all(ld.get_frame_changes(i) is not None
+               for i in range(ld.nframes))
+    nc = p.next_change()
+    assert nc is not None
