@@ -117,3 +117,28 @@ def test_player_lane_audio_and_stills():
                for i in range(ld.nframes))
     nc = p.next_change()
     assert nc is not None
+
+
+def test_player_lane_over_http():
+    """.jlv containers stream over HTTP too: Player sniffs the magic via
+    one tiny ranged GET, then LaneDataLoader whole-blob-loads the
+    container (they are meta-deflated and small) — the lane analog of
+    the AVI path's progressive XHR (PostStream.hx:18-196)."""
+    from test_http_source import make_server
+
+    avi, frames_px = make_sp_avi(nframes=8, keyevery=4)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    srv, url = make_server(cont)
+    try:
+        from jsplayer_tpu.core.source import open_source
+
+        p = Player(PlayerConfig())
+        vi = p.load(open_source(url))
+        assert vi.codec == CodecType.LANE and vi.nframes == 8
+        assert drive_until_shown(p)
+        np.testing.assert_array_equal(
+            p.manager.buffers[p.manager._last_filled_buffer] & 0xFFFFFF,
+            frames_px[0] & 0xFFFFFF)
+    finally:
+        srv.shutdown()
+        srv.server_close()
