@@ -293,10 +293,53 @@ def test_lane_container_mutation_fuzz():
             for w in c.windows:
                 assert w.btype.shape[1] >= 0
                 _ = w.inv_index(c.Y * (lane_format.plane_cols(c.X) // 128))
+            # ... and host-decodable without crash or hang: parse-time
+            # bounds validation is the host decoder's only shield (numpy
+            # scatter has no OOB clamp, unlike the device gather)
+            from jsplayer_tpu.codecs import lane_host
+
+            hframes = list(lane_host.iter_frames(c))
+            assert len(hframes) == c.n_frames or not c.windows
             parsed += 1
         except ValueError:
             rejected += 1
     assert parsed + rejected == 60 and rejected > 0
+
+
+def test_lane_mutation_host_device_agree():
+    """On mutated-but-valid containers the host (numpy) and device decodes
+    must still agree bit-exactly — garbage pixels are fine, divergence is
+    not (the differential-fuzz discipline of tests/test_sp_differential,
+    applied to the lane stack's two independent decoders)."""
+    from jsplayer_tpu.codecs import lane_host
+
+    X, Y, T = 48, 32, 6
+    avi, _ = make_avi(7, X, Y, T)
+    cont = bytearray(transcode_to_lane(avi, window=3))
+    rng = np.random.default_rng(12)
+    compared = 0
+    trial = 0
+    while compared < 6 and trial < 80:
+        trial += 1
+        m = bytearray(cont)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        try:
+            c = lane_format.container_from_bytes(bytes(m))
+        except ValueError:
+            continue
+        if c.X != X or c.Y != Y or c.n_frames != T or len(c.windows) != 2:
+            continue  # geometry mutations would just recompile; skip
+        host = list(lane_host.iter_frames(c))
+        pipe = VideoIngestPipeline([MemorySource(bytes(m))],
+                                   IngestConfig(sp_device_path="lane"))
+        dev = collect_frames(pipe, 1, T, Y, X)[0]
+        for t in range(T):
+            np.testing.assert_array_equal(
+                host[t].reshape(-1), dev[t],
+                err_msg=f"trial {trial} frame {t}")
+        compared += 1
+    assert compared >= 3, f"only {compared} comparable trials of {trial}"
 
 
 def test_lane_wire_size_reasonable():
