@@ -125,6 +125,38 @@ def main() -> None:
                 local[0, 0, t].reshape(-1), golds[b][t] & 0x00FFFFFF,
                 err_msg=f"bc proc {pid} stream {b} frame {t}")
 
+    # lane-container leg: the serving format's device decode through the
+    # SAME cross-process mesh (round 4) — full pipeline, host prep on
+    # every process (SPMD input contract), each process verifying only
+    # the dp shards it holds
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+    from jsplayer_tpu.transcode import transcode_to_lane
+
+    keys = [t == 0 for t in range(T)]
+    conts = [transcode_to_lane(
+        mux_avi(streams[b], X, Y, 24, codec="SPV4", keyflags=keys),
+        window=T, K=2) for b in range(B)]
+    pipe = VideoIngestPipeline(
+        [MemorySource(c) for c in conts],
+        IngestConfig(sp_device_path="lane", mesh=mesh,
+                     emit_model_input=False))
+    lane_checked = 0
+    for batch in pipe:
+        for shard in batch["frames_u32"].addressable_shards:
+            b = shard.index[0].start
+            local = np.asarray(shard.data)  # [1, T, Y, X]
+            for t in range(local.shape[1]):
+                gi = batch["start_frame"] + t
+                if gi < T:
+                    np.testing.assert_array_equal(
+                        local[0, t].reshape(-1) & 0x00FFFFFF,
+                        golds[b][gi] & 0x00FFFFFF,
+                        err_msg=f"lane proc {pid} stream {b} frame {gi}")
+            lane_checked += 1
+    assert lane_checked == 2, lane_checked
+
     # a cross-process collective through the mesh (the DCN psum path)
     total = jax.jit(
         jax.shard_map(lambda c: jax.lax.psum(c.sum(), ("dp", "gop")),
