@@ -79,8 +79,9 @@ Wire layout (little-endian):
                  when no dedup indices)
                unit plane-row ids u32[n_refs]
                [payload unit indices u32[n_refs] if dedup flag]
-             meta-deflated (bit5 set; the command/reference arrays were
-             the terminal corpus's wire dominator — they deflate ~4.5x):
+             meta-deflated (bit5 set; the command/reference arrays
+             deflate ~4.5x, a free win — the deflated terminal wire
+             remains payload-dominated, see BENCH_NOTES):
                per-frame unit REFERENCE counts u32[T]
                u32 meta_clen
                zlib( active blocks | unit plane-row ids | [unit indices] )
@@ -471,9 +472,9 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
         flags |= _FLAG_DEFLATE
         comp = zlib.compress(bulk, 1)
         bulk = struct.pack("<I", len(comp)) + comp
-        # meta at level 6: the block/reference arrays dominated the
-        # terminal-corpus wire once payload was deduped (BENCH_NOTES
-        # round 4); they are small enough that the better ratio is free
+        # meta at level 6: the block/reference arrays deflate ~4.5x and
+        # are small enough that the better ratio is free (BENCH_NOTES
+        # round 4; the deflated terminal wire is still payload-dominated)
         flags |= _FLAG_META
         mcomp = zlib.compress(bytes(blocks) + bytes(unit_rows) + unit_idx, 6)
         meta = (unit_counts.astype("<u4").tobytes()
