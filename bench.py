@@ -102,11 +102,25 @@ def main() -> None:
     def over_budget():
         return time.perf_counter() - t_start > SOFT_DEADLINE_S
 
+    # per-row wall clock (stderr + JSON `row_wall_s`): slow runs through the
+    # tunnel were previously undiagnosable — the 2026-08-17 18:03 run took
+    # 1,243 s and nulled terminal/curve/model with nothing to say why
+    marks = {}
+    _mark_prev = [t_start]
+
+    def mark(label):
+        now = time.perf_counter()
+        marks[label] = round(now - _mark_prev[0], 1)
+        _mark_prev[0] = now
+        print(f"[bench] {label}: +{marks[label]}s "
+              f"(total {now - t_start:.0f}s)", file=sys.stderr, flush=True)
+
     try:
         real = real_stream_commands()
     except Exception:  # noqa: BLE001 — never lose the JSON line
         traceback.print_exc(file=sys.stderr)
         real = None
+    mark("host_encode_and_transports")
     if real is not None:
         got, kmv_host, host_fps, bc_host, host_bc_fps, corpus_streams = real
         # device_put, not jnp.array: 24x faster for big numpy uploads here
@@ -198,6 +212,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["kmv"] = None
+    mark("kmv")
     # strategy 2b: kmv + still-elision (production pipeline shape: stills
     # never enter the device scan; the host's `changed` flags map outputs).
     # Delivered-frame throughput: all T frames come out (stills alias their
@@ -211,6 +226,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["kmv_still_elision"] = None
+    mark("kmv_still_elision")
     # strategy 2c: BATCHED kmv + still-elision, CONCAT layout (the
     # production batch shape, ingest._kmv_elided): keyframe-led streams'
     # compacted frames run back to back in ONE sequential scan — zero
@@ -235,6 +251,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["kmv_batch_elision"] = None
+    mark("kmv_batch_elision")
     # mid-GOP PADDED fallback: the per-stream bucketed masked scans used
     # when a window is NOT keyframe-led.  Keyframe-aligned window
     # scheduling (round 4) keeps production windows on the CONCAT layout
@@ -252,6 +269,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["kmv_padded_elision"] = None
+    mark("kmv_padded_elision")
 
     def native_kmv_single(streams_s):
         from jsplayer_tpu import native as _nat
@@ -269,6 +287,7 @@ def main() -> None:
     # wire sizes of both (VERDICT round-3 items 2+3).
     lane_fps = lane_rans_fps = lane_elision_fps = lane_prep_ms = None
     lane_bytes = {}
+    avi = None
     try:
         if real is not None:
             from jsplayer_tpu.codecs import lane_format
@@ -306,29 +325,9 @@ def main() -> None:
                                      *el_args, tries=3)
             lane_bytes["raw"] = len(transcode_to_lane(
                 avi, window=T, K=2, compress=False))
-        if real is not None and not over_budget():
-            # rANS variant (the round-3 default) for the A/B record
-            cont_rans = transcode_to_lane(avi, window=T, K=2,
-                                          payload="rans", compress=False)
-            lane_bytes["rans"] = len(cont_rans)
-            w2 = lane_format.container_from_bytes(cont_rans).windows[0]
-            init2 = (jnp.asarray(w2.init_plane)
-                     if w2.init_plane is not None
-                     else jnp.zeros((Y, X), jnp.uint32))
-            rt2, ri2 = w2.row_index(Y, ncol)
-            rans_args = jax.device_put(
-                (init2, jnp.asarray(w2.refills), jnp.asarray(w2.states),
-                 jnp.asarray(w2.freq), jnp.asarray(w2.btype),
-                 jnp.asarray(w2.rect), jnp.asarray(w2.mvk),
-                 jnp.asarray(rt2), jnp.asarray(ri2),
-                 jnp.asarray(w2.changed)))
-            lane_rans_fps = timed(
-                lambda i, rf, st, fq, bt, rc, mk, rt, ri, ch:
-                lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
-                                              rt, ri, ch, U=w2.n_units),
-                *rans_args, tries=3)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
+    mark("lane_raw")
 
     # realistic capture-like corpus: rendered scrolling-terminal session
     terminal_fps = terminal_host_bc_fps = None
@@ -357,6 +356,7 @@ def main() -> None:
             terminal_host_bc_fps = Tt / best
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
+    mark("terminal_corpus")
 
     # delivered-fps vs stills-ratio sensitivity curve (VERDICT r2 item 3):
     # same event mix, only the idle fraction varies
@@ -381,6 +381,41 @@ def main() -> None:
                     sp_recon.decode_sequence_kmv_compact, *sdev, tries=3), 1)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
+    mark("stills_curve")
+
+    # rANS lane variant (the round-3 default) for the A/B size/fps record.
+    # Runs AFTER the VERDICT-critical terminal/curve rows: it is the losing
+    # side of a settled A/B (raw won both axes, BENCH_NOTES round 4), so it
+    # is the first row to sacrifice to the soft deadline.
+    try:
+        if avi is not None and not over_budget():
+            from jsplayer_tpu.codecs import lane_format
+            from jsplayer_tpu.kernels import lane_recon
+            from jsplayer_tpu.transcode import transcode_to_lane
+
+            ncol = lane_format.plane_cols(X) // 128
+            cont_rans = transcode_to_lane(avi, window=T, K=2,
+                                          payload="rans", compress=False)
+            lane_bytes["rans"] = len(cont_rans)
+            w2 = lane_format.container_from_bytes(cont_rans).windows[0]
+            init2 = (jnp.asarray(w2.init_plane)
+                     if w2.init_plane is not None
+                     else jnp.zeros((Y, X), jnp.uint32))
+            rt2, ri2 = w2.row_index(Y, ncol)
+            rans_args = jax.device_put(
+                (init2, jnp.asarray(w2.refills), jnp.asarray(w2.states),
+                 jnp.asarray(w2.freq), jnp.asarray(w2.btype),
+                 jnp.asarray(w2.rect), jnp.asarray(w2.mvk),
+                 jnp.asarray(rt2), jnp.asarray(ri2),
+                 jnp.asarray(w2.changed)))
+            lane_rans_fps = timed(
+                lambda i, rf, st, fq, bt, rc, mk, rt, ri, ch:
+                lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
+                                              rt, ri, ch, U=w2.n_units),
+                *rans_args, tries=3)
+    except Exception:  # noqa: BLE001 — keep the row null, but say why
+        traceback.print_exc(file=sys.stderr)
+    mark("lane_rans")
 
     # fused ML-ingest paths (different output contract): kmv decode -> 2x
     # box downscale -> normalized bf16 NHWC tensors
@@ -434,6 +469,7 @@ def main() -> None:
                 *kdev, tries=3)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
+    mark("model_rows")
 
     # bc transport device scan (same traffic as kmv; host feed is 1.5x)
     try:
@@ -447,6 +483,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["bc"] = None
+    mark("bc")
 
     # ---- slow reference/fallback paths last (never headline winners) ----
     # strategy 1: general XLA compose (arbitrary-gather motion)
@@ -470,6 +507,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
         results["pallas_patch"] = None
+    mark("xla_and_pallas_fallbacks")
 
     live = [(v, k) for k, v in results.items() if v]
     if live:
@@ -515,6 +553,7 @@ def main() -> None:
         "lane_container_bytes": lane_bytes or None,
         "lane_host_prep_ms_per_window": (
             None if lane_prep_ms is None else round(lane_prep_ms, 1)),
+        "row_wall_s": marks,
     }))
 
 
