@@ -69,7 +69,8 @@ Wire layout (little-endian):
            | u32 n_active (blocks) | u32 steps (lane scan length; 0 raw)
            | u8 flags (bit0 init plane present | bit1 raw payload
                        | bit2 bulk deflated | bit3 restart window
-                       | bit4 dedup indices present)
+                       | bit4 dedup indices present
+                       | bit6 sub-unit payload encoding)
            changed[T] u8 | signif[T] u8 | mvk[T*K*2] i16
            per-frame active-block counts u32[T]
            meta section — two layouts, selected by flag bit5:
@@ -85,9 +86,17 @@ Wire layout (little-endian):
                per-frame unit REFERENCE counts u32[T]
                u32 meta_clen
                zlib( active blocks | unit plane-row ids | [unit indices] )
+           [u32 Us | u8 S if sub-unit flag (bit6; raw mode only)]
            [u32 bulk_clen if deflated]
            bulk (zlib-deflated when flagged):
-             raw:  payload u8[U * 3 * 128]
+             raw:  payload u8[U * 3 * 128], or with the sub-unit flag
+                   span blob u8[Us * 3 * S]
+                   | span ids u16/u32[U * (128/S)] (u16 iff Us <= 65535)
+                   — S-px spans of the unit rows deduped (8-px spans ≈
+                   glyph atoms; terminal payload 1.81 MB → ~0.39 MB,
+                   scripts/exp_lane_subunits.py); the parser expands
+                   back to [U, 3, 128] so consumers are unchanged.
+                   Emitted pick-smaller per window vs the plain layout.
              rans: freq i32[256] | states u32[n_lanes]
                    | refills u8[steps * n_lanes * 2]
              then: init plane u32[Y * X] if flagged
@@ -425,6 +434,15 @@ _FLAG_DEFLATE = 4     # bulk section zlib-deflated at rest
 _FLAG_RESTART = 8     # frame 0 fully paints the plane (carry-independent)
 _FLAG_DEDUP = 16      # explicit payload-unit indices (unit dedup)
 _FLAG_META = 32       # block/reference arrays zlib-deflated (see docstring)
+_FLAG_SUBUNIT = 64    # payload stored as deduped S-px sub-unit spans + ids
+
+# sub-unit span width: 8-px spans ≈ glyph atoms on screen content —
+# measured (scripts/exp_lane_subunits.py) the terminal corpus's 21,572
+# unique 128-px units collapse to ~1,053 unique 8-px spans, cutting the
+# deflated payload section 1.81 MB → ~0.39 MB; S=16/32/64 all measured
+# worse on the id/payload trade.  Wire carries S so this can change
+# without a format break.
+_SUBUNIT_S = 8
 
 
 def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
@@ -454,10 +472,30 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
     if w.unit_idx is not None:
         flags |= _FLAG_DEDUP
         unit_idx = b"".join(i.astype("<u4").tobytes() for i in w.unit_idx)
+    sub_hdr = b""
+    sub_bulk = None
     if w.raw_mode:
         flags |= _FLAG_RAW
         steps = 0
         bulk = w.payload.tobytes()
+        if w.n_units:
+            # sub-unit WIRE encoding: dedup S-px spans of the (already
+            # unit-deduped) payload; the parser expands back to the
+            # canonical [U, 3, 128] so nothing downstream changes.  A
+            # record keeps a span's 3 byte-planes together as the dedup
+            # key.  Applied pick-smaller below: high-entropy payloads
+            # whose spans don't repeat fall back to the plain layout.
+            S = _SUBUNIT_S
+            k = 128 // S
+            pay = w.payload
+            sub = pay.reshape(pay.shape[0], 3, k, S).transpose(0, 2, 1, 3)
+            sub = np.ascontiguousarray(sub.reshape(-1, 3 * S))
+            view = sub.view([("", np.uint8)] * (3 * S)).reshape(-1)
+            uniq, inv = np.unique(view, return_inverse=True)
+            blob = uniq.view(np.uint8).reshape(-1, 3 * S)
+            idw = "<u2" if blob.shape[0] <= 0xFFFF else "<u4"
+            sub_bulk = blob.tobytes() + inv.astype(idw).tobytes()
+            sub_hdr = struct.pack("<IB", blob.shape[0], S)
     else:
         steps = w.refills.shape[0]
         bulk = (w.freq.astype("<i4").tobytes()
@@ -471,6 +509,16 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
         # slower for single-digit-% extra shrink (BENCH_NOTES round 4)
         flags |= _FLAG_DEFLATE
         comp = zlib.compress(bulk, 1)
+        if sub_bulk is not None:
+            # the id arrays are the sub-unit wire's dominant term and
+            # deflate meaningfully better at 6 (378 vs 445 KB terminal);
+            # they are small enough that the level-6 cost is one-shot
+            comp_sub = zlib.compress(sub_bulk, 6)
+            if len(sub_hdr) + len(comp_sub) < len(comp):
+                flags |= _FLAG_SUBUNIT
+                comp = comp_sub
+            else:
+                sub_hdr = b""
         bulk = struct.pack("<I", len(comp)) + comp
         # meta at level 6: the block/reference arrays deflate ~4.5x and
         # are small enough that the better ratio is free (BENCH_NOTES
@@ -480,6 +528,11 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
         meta = (unit_counts.astype("<u4").tobytes()
                 + struct.pack("<I", len(mcomp)) + mcomp)
     else:
+        if sub_bulk is not None and len(sub_hdr) + len(sub_bulk) < len(bulk):
+            flags |= _FLAG_SUBUNIT
+            bulk = sub_bulk
+        else:
+            sub_hdr = b""
         meta = (bytes(blocks)
                 + unit_counts.astype("<u4").tobytes()
                 + bytes(unit_rows)
@@ -490,6 +543,7 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
             + w.mvk.astype("<i2").tobytes()
             + n_active_t.astype("<u4").tobytes()
             + meta
+            + sub_hdr
             + bulk)
     return struct.pack("<I", len(body)) + body
 
@@ -595,12 +649,15 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     pos = struct.calcsize("<HIIIB")
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
-            or steps > 1 << 24 or flags > 63:
+            or steps > 1 << 24 or flags > 127:
         raise ValueError("implausible lane window header")
     has_init = flags & _FLAG_INIT
     raw_mode = bool(flags & _FLAG_RAW)
     if raw_mode and has_init:
         raise ValueError("lane window: raw payload excludes init planes")
+    subunit = bool(flags & _FLAG_SUBUNIT)
+    if subunit and not raw_mode:
+        raise ValueError("lane window: sub-unit payload requires raw mode")
     changed = np.frombuffer(take(T), dtype=np.uint8).astype(bool)
     signif = np.frombuffer(take(T), dtype=np.uint8).astype(bool)
     mvk = np.frombuffer(take(T * K * 2 * 2), dtype="<i2").astype(
@@ -685,20 +742,48 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         if dedup:
             unit_idx.append(idx_all[o : o + n])
         o += n
+    Us = Sw = kw = idw = 0
+    if subunit:
+        # sub-unit payload header (uncompressed — it sizes the inflate
+        # bound): u32 span count | u8 span width
+        if pos + 5 > len(buf):
+            raise ValueError("lane window truncated")
+        Us, Sw = struct.unpack_from("<IB", buf, pos)
+        pos += 5
+        if Sw not in (1, 2, 4, 8, 16, 32, 64):
+            raise ValueError("lane window: bad sub-unit width")
+        kw = 128 // Sw
+        if Us > U * kw:
+            raise ValueError("lane window: more sub-units than spans")
+        idw = 2 if Us <= 0xFFFF else 4
     if flags & _FLAG_DEFLATE:
         if pos + 4 > len(buf):
             raise ValueError("lane window truncated")
         (clen,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        expect = (3 * U * 128 if raw_mode
-                  else 256 * 4 + n_lanes * 4 + steps * n_lanes * 2)
+        if raw_mode:
+            expect = (Us * 3 * Sw + U * kw * idw if subunit
+                      else 3 * U * 128)
+        else:
+            expect = 256 * 4 + n_lanes * 4 + steps * n_lanes * 2
         expect += X * Y * 4 if has_init else 0
         buf = memoryview(_inflate_exact(take(clen), expect, "bulk"))
         pos = 0
     freq = states = refills = payload = None
     if raw_mode:
-        payload = np.frombuffer(take(3 * U * 128), dtype=np.uint8)
-        payload = payload.reshape(U, 3, 128).copy()
+        if subunit:
+            blob = np.frombuffer(take(Us * 3 * Sw), dtype=np.uint8)
+            blob = blob.reshape(Us, 3 * Sw)
+            ids = np.frombuffer(take(U * kw * idw),
+                                dtype="<u2" if idw == 2 else "<u4")
+            if ids.size and (Us == 0 or (ids >= Us).any()):
+                raise ValueError("lane window: sub-unit index out of range")
+            payload = (blob[ids.astype(np.int64)]
+                       .reshape(U, kw, 3, Sw).transpose(0, 2, 1, 3)
+                       .reshape(U, 3, 128).copy())
+        else:
+            payload = np.frombuffer(take(3 * U * 128), dtype=np.uint8)
+            payload = payload.reshape(U, 3, 128).copy()
     else:
         freq = np.frombuffer(take(256 * 4), dtype="<i4").astype(np.int32)
         if int(freq.sum()) != rans_lanes.PROB_SCALE or (freq <= 0).any():

@@ -760,3 +760,76 @@ def test_lane_host_msv1_container():
         np.testing.assert_array_equal(
             host[t].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
             err_msg=f"frame {t}")
+
+
+def _record_flags(wire: bytes) -> int:
+    """Flags byte of the FIRST window record (header layout in
+    lane_format's module docstring)."""
+    import struct
+
+    hs = struct.calcsize("<4sHHBBHIHII")
+    return wire[hs + 4 + struct.calcsize("<HIII")]
+
+
+def test_lane_subunit_wire_flag_and_parity():
+    """Sub-unit payload encoding (wire flag bit6, round 4): repetitive
+    screen content's 8-px spans dedup (scripts/exp_lane_subunits.py:
+    terminal payload 1.81 MB -> ~0.39 MB), the parser expands back to the
+    canonical [U, 3, 128], and decode stays bit-exact.  Compressed and
+    uncompressed wires must parse to identical payload fields."""
+    X, Y, T = 64, 48, 10
+    avi, gold = make_avi(5, X, Y, T)
+    comp = transcode_to_lane(avi, window=T)
+    plain = transcode_to_lane(avi, window=T, compress=False)
+    assert _record_flags(comp) & 64, "sub-unit flag missing (compressed)"
+    ca = lane_format.container_from_bytes(comp)
+    cb = lane_format.container_from_bytes(plain)
+    for wa, wb in zip(ca.windows, cb.windows):
+        np.testing.assert_array_equal(wa.payload, wb.payload)
+        assert wa.n_units == wb.n_units
+    pipe = VideoIngestPipeline([MemorySource(comp)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(got[t] & 0x00FFFFFF,
+                                      gold[t] & 0x00FFFFFF, err_msg=str(t))
+
+
+def test_lane_subunit_fallback_on_noise():
+    """Pick-smaller: white-noise payload has no repeating 8-px spans, so
+    the span table + id arrays can only add bytes — the encoder must fall
+    back to the plain payload layout (flag bit6 absent) and decode stays
+    bit-exact."""
+    X, Y, T = 64, 48, 4
+    rng = np.random.default_rng(11)
+    enc = ScreenPressorEncoder(4, X, Y)
+    streams, gold, keys = [], [], []
+    for t in range(T):
+        f = rng.integers(0, 1 << 24, size=(Y, X)).astype(np.uint32)
+        streams.append(enc.encode_i(f.reshape(-1).copy()) if t == 0
+                       else enc.encode_p(f.reshape(-1).copy()))
+        gold.append(f.reshape(-1).copy())
+        keys.append(t == 0)
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys)
+    wire = transcode_to_lane(avi, window=T)
+    assert not (_record_flags(wire) & 64), "noise should fall back to plain"
+    pipe = VideoIngestPipeline([MemorySource(wire)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(got[t] & 0x00FFFFFF,
+                                      gold[t] & 0x00FFFFFF, err_msg=str(t))
+
+
+def test_lane_subunit_oob_id_rejected():
+    """Adversarial input: a sub-unit id past the span table must raise,
+    not index out of bounds.  The id array is the tail of the last
+    window's (uncompressed) bulk, so corrupting the container tail flips
+    an id to 0xFFFF >= Us."""
+    X, Y, T = 64, 48, 6
+    avi, _ = make_avi(5, X, Y, T)
+    wire = bytearray(transcode_to_lane(avi, window=T, compress=False))
+    assert _record_flags(bytes(wire)) & 64, "test needs the sub-unit layout"
+    wire[-2:] = b"\xff\xff"
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(bytes(wire))
