@@ -8,7 +8,7 @@ timecode, next-change button, zoom, fullscreen) and its JS embed API
 headless Player facade; this module adds
 
   * a stdlib ThreadingHTTPServer wrapping one Player behind a lock
-    (endpoints: / page, /info, /state, /frame.rgba, /control),
+    (endpoints: / page, /info, /state, /frame.rgba, /audio.wav, /control),
   * an embedded single-file HTML/JS page that renders frames to a canvas
     (the RGBA bytes from Manager.get_rgba are already canvas byte order —
     the reference's ABGR swizzle, Manager.hx:377-380) and implements the
@@ -18,7 +18,12 @@ headless Player facade; this module adds
     on_player_loaded and on_next_btn page callbacks (Main.hx:1098-1102,
     760-762),
   * the six UI-color flashvars (buttonbg/buttonhover/buttonface/frame/
-    loaded/textcolor, Main.hx:244-249) honored from PlayerConfig.colors.
+    loaded/textcolor, Main.hx:244-249) honored from PlayerConfig.colors,
+  * MP3 audio playback: /audio.wav serves the Player's time-aligned PCM
+    (av.pcm.AlignedPcm — the decodeAudioData analog, AudioTrack.hx:54-65)
+    as a WAV the page plays through an <audio> element kept in sync with
+    the video clock each UI tick; the Player's own loaded-audio gating
+    (Main.hx:1082-1091) still pauses video that outruns audio.
 
 The page polls /state at the reference's 50 ms UI tick (timer_play,
 Main.hx:1037) and refetches the frame only when a new one was presented.
@@ -83,8 +88,9 @@ _PAGE = """<!doctype html>
   </select>
   <button onclick="fullscreen()" title="fullscreen">&#9974;</button>
 </div></div>
+<audio id="au" preload="auto" style="display:none"></audio>
 <script>
-let info = null, lastSerial = -1, playing = false;
+let info = null, lastSerial = -1, playing = false, hasAudio = false;
 const cv = document.getElementById('cv'), ctx2 = () => cv.getContext('2d');
 async function post(cmd, arg) {
   const r = await fetch('/control', {method:'POST',
@@ -119,10 +125,19 @@ async function drawFrame() {
   const img = new ImageData(new Uint8ClampedArray(buf), info.width, info.height);
   ctx2().putImageData(img, 0, 0);
 }
+function syncAudio(st) {    // WebAudio playback analog (AudioTrack.Play)
+  const au = document.getElementById('au');
+  if (!hasAudio) return;
+  if (st.playing) {
+    if (Math.abs(au.currentTime - st.time) > 0.25) au.currentTime = st.time;
+    if (au.paused) au.play().catch(() => {});  // autoplay may need a click
+  } else if (!au.paused) au.pause();
+}
 async function uiTick() {   // the 50 ms play tick (Main.hx:1037)
   const st = await (await fetch('/state')).json();
   if (!st.ok) return;
   playing = st.playing;
+  syncAudio(st);
   document.getElementById('play').innerHTML = playing ? '&#10074;&#10074;' : '&#9654;';
   document.getElementById('tc').textContent = st.timecode;
   const seek = document.getElementById('seek');
@@ -144,6 +159,10 @@ async function uiTick() {   // the 50 ms play tick (Main.hx:1037)
   info = await (await fetch('/info')).json();
   cv.width = info.width; cv.height = info.height;
   applyZoom();
+  const au = document.getElementById('au');
+  au.addEventListener('error', () => { hasAudio = false; });
+  au.addEventListener('canplay', () => { hasAudio = true; });
+  au.src = '/audio.wav';   // 404s cleanly when the stream has no audio
   setInterval(uiTick, 50);
 })();
 </script></body></html>
@@ -193,6 +212,15 @@ class PlayerServer:
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/audio.wav":
+                    data = outer.audio_wav()
+                    if data is None:
+                        return self._json({"error": "no audio"}, 404)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
@@ -247,6 +275,7 @@ class PlayerServer:
                     self.frame_serial = serial
             return {"ok": True, "playing": p.playing,
                     "position": p.position(),
+                    "time": p.current_time(),
                     "timecode": p.timecode(),
                     "loaded": list(p.loaded_range()),
                     "worker": p.worker_dot(),
@@ -264,6 +293,52 @@ class PlayerServer:
             # u32 little-endian ABGR words == R,G,B,A byte order — exactly
             # what canvas ImageData wants (Manager.hx:377-380 swizzle)
             return rgba.tobytes()
+
+    def audio_wav(self) -> Optional[bytes]:
+        """The stream's decoded audio as a 16-bit PCM WAV, or None without
+        audio (or without the codec backend) — the page's <audio> source.
+        The WAV covers the whole aligned timeline so browser currentTime
+        IS the player clock."""
+        import struct
+
+        import numpy as np
+
+        with self.lock:
+            p = self.player
+            if p.manager is None:
+                return None
+            # drive the worker until the audio side stops progressing —
+            # demux/MP3 parse advance with the decode ticks (the reference
+            # piggybacks ParseSound on the worker, Manager.hx:478-481)
+            stale = 0
+            for _ in range(200000):
+                mp = p.manager.loader.mp3_parser
+                before = (p.loaded_range()[1], mp.frames_processed,
+                          len(mp.sections), mp.parsing_complete)
+                p.tick()
+                mp = p.manager.loader.mp3_parser
+                after = (p.loaded_range()[1], mp.frames_processed,
+                         len(mp.sections), mp.parsing_complete)
+                stale = stale + 1 if after == before else 0
+                if stale >= 3:
+                    break
+            try:
+                pcm = p.audio_pcm()
+            except RuntimeError:  # codec backend unavailable
+                return None
+            if pcm is None or pcm.samples.shape[0] == 0:
+                return None
+            i16 = np.clip(pcm.samples, -1.0, 1.0)
+            i16 = (i16 * 32767.0).astype("<i2")
+            data = i16.tobytes()
+            ch, rate = pcm.channels, pcm.sample_rate
+            hdr = (b"RIFF"
+                   + struct.pack("<I", 36 + len(data))
+                   + b"WAVEfmt "
+                   + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                 rate * ch * 2, ch * 2, 16)
+                   + b"data" + struct.pack("<I", len(data)))
+            return hdr + data
 
     def control(self, cmd: str, arg=None) -> dict:
         with self.lock:

@@ -152,3 +152,59 @@ def test_frame_before_first_decode_is_black():
         assert raw == bytes(32 * 32 * 4)
     finally:
         srv.stop()
+
+
+def test_audio_wav_endpoint():
+    """MP3 audio reaches the page: /audio.wav serves the Player's aligned
+    PCM (the WebAudio decodeAudioData analog, AudioTrack.hx:54-65) as a
+    playable 16-bit WAV whose duration matches the PTS model, and /state
+    carries the seconds clock the page syncs <audio> to."""
+    import struct
+
+    from jsplayer_tpu.av import pcm
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.mp3_synth import make_silence_frames
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+
+    if not pcm.available():
+        pytest.skip("system libavcodec not available")
+    W, H, fps = 32, 24, 15.0
+    prev, pkts = None, []
+    for i in range(6):
+        f = np.full(W * H, from_rgb15(0x0421), dtype=np.uint32)
+        f[: W * (i + 1)] = from_rgb15(0x7C00)
+        pkts.append(encode_frame_16(f, prev, W, H))
+        prev = f
+    mp3, n_mp3, rate = make_silence_frames(20)
+    avi = mux_avi(pkts, W, H, 16, codec="CRAM", fps=fps,
+                  keyflags=[i == 0 for i in range(6)],
+                  sound_chunks=[(0, mp3)])
+    srv = PlayerServer(MemorySource(avi), PlayerConfig(indexed=False))
+    srv.start()
+    try:
+        wav = _get(srv, "/audio.wav")
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        (nch,) = struct.unpack_from("<H", wav, 22)
+        (got_rate,) = struct.unpack_from("<I", wav, 24)
+        (dlen,) = struct.unpack_from("<I", wav, 40)
+        assert got_rate == rate
+        assert dlen == len(wav) - 44
+        # PTS model: 1152 samples per MP3 frame (MP3Parser.hx:206)
+        assert dlen // (2 * nch) == n_mp3 * 1152
+        st = json.loads(_get(srv, "/state"))
+        assert "time" in st
+        # page wiring: the audio element and sync hook are in the chrome
+        page = _get(srv, "/").decode()
+        assert 'id="au"' in page and "/audio.wav" in page
+    finally:
+        srv.stop()
+
+
+def test_audio_wav_404_without_audio(server):
+    srv, _ = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/audio.wav")
+    assert ei.value.code == 404
