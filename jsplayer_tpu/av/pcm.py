@@ -30,6 +30,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..native import ffshim
+from ..utils.logging import LOG
 from .audio_track import AudioTrack, Fragment
 
 SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III (MP3Parser.hx:206)
@@ -96,7 +97,14 @@ def decode_track(track: AudioTrack) -> Optional[AlignedPcm]:
     rate = 0
     channels = 0
     for frag in track.sections:
-        pcm, r = decode_fragment(frag.data)
+        try:
+            pcm, r = decode_fragment(frag.data)
+        except ValueError:
+            # a fragment the codec rejects is dropped, playback continues —
+            # the reference's decodeAudioData error path (AudioTrack.hx:63
+            # logs "decode failed for fragment" and keeps going)
+            LOG.mlog(f"pcm: decode failed for fragment at t={frag.start_time}")
+            continue
         if pcm.shape[0] == 0:
             continue
         if rate == 0:

@@ -208,3 +208,37 @@ def test_audio_wav_404_without_audio(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/audio.wav")
     assert ei.value.code == 404
+
+
+def test_audio_wav_from_lane_container():
+    """The chrome's audio endpoint also works for .jlv sources: MP3
+    passthrough (lane_format JLAU section) -> LaneDataLoader ->
+    /audio.wav, same PCM contract as the AVI path."""
+    from jsplayer_tpu.av import pcm
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.mp3_synth import make_silence_frames
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+    from jsplayer_tpu.transcode import transcode_to_lane
+
+    if not pcm.available():
+        pytest.skip("system libavcodec not available")
+    W, H = 32, 24
+    prev, pkts = None, []
+    for i in range(6):
+        f = np.full(W * H, from_rgb15(0x0421), dtype=np.uint32)
+        f[: W * (i + 1)] = from_rgb15(0x7C00)
+        pkts.append(encode_frame_16(f, prev, W, H))
+        prev = f
+    mp3, _, _ = make_silence_frames(20)
+    avi = mux_avi(pkts, W, H, 16, codec="CRAM", fps=15.0,
+                  keyflags=[i == 0 for i in range(6)],
+                  sound_chunks=[(0, mp3)])
+    cont = transcode_to_lane(avi, window=4, K=2)
+    srv = PlayerServer(MemorySource(cont), PlayerConfig())
+    srv.start()
+    try:
+        wav = _get(srv, "/audio.wav")
+        assert wav[:4] == b"RIFF" and len(wav) > 44
+    finally:
+        srv.stop()
