@@ -102,10 +102,50 @@ def main() -> None:
     def over_budget():
         return time.perf_counter() - t_start > SOFT_DEADLINE_S
 
+    # HARD watchdog: the soft deadline only fires BETWEEN rows — a wedged
+    # axon tunnel (observed: jax.devices() hangs for hours) parks a single
+    # dispatch forever and the JSON line never prints, destroying the
+    # round's driver record.  A daemon timer emits whatever landed and
+    # hard-exits; the normal path cancels it and prints the full line.
+    import os as _os
+    import threading as _threading
+
+    HARD_DEADLINE_S = float(_os.environ.get("BENCH_HARD_DEADLINE_S", 1500))
+    results = {}
+    marks = {}
+    _emitted = _threading.Event()
+
+    def emit_once(obj) -> None:
+        if not _emitted.is_set():
+            _emitted.set()
+            print(json.dumps(obj), flush=True)
+
+    def _watchdog() -> None:
+        live = [(v, k) for k, v in results.items() if v]
+        val, path = max(live) if live else (0.0, "none")
+        emit_once({
+            "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
+            "value": round(val, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(val / BASELINE, 3),
+            "path": path,
+            "watchdog_fired": True,
+            "all_paths": {k: (round(v, 1) if v else None)
+                          for k, v in results.items()},
+            "row_wall_s": marks,
+        })
+        sys.stdout.flush()
+        # exit 0: the JSON line (with watchdog_fired set) IS the honest
+        # record — a nonzero status could make the driver discard it
+        _os._exit(0)
+
+    _wd = _threading.Timer(HARD_DEADLINE_S, _watchdog)
+    _wd.daemon = True
+    _wd.start()
+
     # per-row wall clock (stderr + JSON `row_wall_s`): slow runs through the
     # tunnel were previously undiagnosable — the 2026-08-17 18:03 run took
     # 1,243 s and nulled terminal/curve/model with nothing to say why
-    marks = {}
     _mark_prev = [t_start]
 
     def mark(label):
@@ -196,7 +236,6 @@ def main() -> None:
         t1, t2 = t_at(n_lo), t_at(n_hi)
         return scale * frames * (n_hi - n_lo) / max(t2 - t1, 1e-9)
 
-    results = {}
     # ---- headline paths (always run) -------------------------------------
     # strategy 2: K-distinct-motion-vector compose (gather-free); transport
     # comes straight from the native decoder (exact twin of prepare_kmv)
@@ -514,7 +553,8 @@ def main() -> None:
         frames_per_sec, best_path = max(live)
     else:
         frames_per_sec, best_path = 0.0, "none"  # all paths failed (tunnel?)
-    print(json.dumps({
+    _wd.cancel()
+    emit_once({
         "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
@@ -554,7 +594,7 @@ def main() -> None:
         "lane_host_prep_ms_per_window": (
             None if lane_prep_ms is None else round(lane_prep_ms, 1)),
         "row_wall_s": marks,
-    }))
+    })
 
 
 if __name__ == "__main__":
