@@ -46,6 +46,11 @@ class PlayerConfig:
     worker_steps_per_tick: int = 16
     # UI theming flashvars kept for API compatibility (Main.hx:244-249)
     colors: dict = field(default_factory=dict)
+    # ≙ -Dwait deferred-load mode (Main.hx:266-276, 406-426): don't load
+    # the stream until playback is requested; show `thumb` (an image URL,
+    # the 'thumb' flashvar) with a start button until then
+    wait: bool = False
+    thumb: str = ""
 
 
 class Player:

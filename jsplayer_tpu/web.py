@@ -155,8 +155,7 @@ async function uiTick() {   // the 50 ms play tick (Main.hx:1037)
     }
   }
 }
-(async () => {
-  info = await (await fetch('/info')).json();
+function initView() {
   cv.width = info.width; cv.height = info.height;
   applyZoom();
   const au = document.getElementById('au');
@@ -164,6 +163,26 @@ async function uiTick() {   // the 50 ms play tick (Main.hx:1037)
   au.addEventListener('canplay', () => { hasAudio = true; });
   au.src = '/audio.wav';   // 404s cleanly when the stream has no audio
   setInterval(uiTick, 50);
+}
+(async () => {
+  info = await (await fetch('/info')).json();
+  if (!info.loaded && info.wait) {
+    // -Dwait deferred load (Main.hx:266-276, 406-426): thumbnail + start
+    // button; the stream is fetched only when the user starts playback
+    const ov = document.createElement('div');
+    ov.id = 'waitov';
+    ov.innerHTML = (info.thumb ? '<img src="' + info.thumb + '">' : '')
+      + '<br><button id="start">&#9654; start</button>';
+    document.getElementById('wrap').prepend(ov);
+    document.getElementById('start').onclick = async () => {
+      await post('play');
+      ov.remove();
+      info = await (await fetch('/info')).json();
+      initView();
+    };
+    return;
+  }
+  initView();
 })();
 </script></body></html>
 """
@@ -177,8 +196,14 @@ class PlayerServer:
         self.player = Player(config or PlayerConfig())
         self.lock = threading.Lock()
         self.frame_serial = -1
+        # -Dwait deferred load (Main.hx:266-276): park the source until the
+        # page's start button (or spplay) asks for it
+        self._deferred = None
         if source is not None:
-            self.load(source)
+            if self.player.config.wait:
+                self._deferred = source
+            else:
+                self.load(source)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -256,7 +281,9 @@ class PlayerServer:
         with self.lock:
             vi = self.player.video_info
             if vi is None:
-                return {"loaded": False}
+                return {"loaded": False,
+                        "wait": self._deferred is not None,
+                        "thumb": self.player.config.thumb or None}
             return {"loaded": True, "width": vi.width, "height": vi.height,
                     "fps": vi.fps, "nframes": vi.nframes,
                     "total_time": self.player.manager.total_time()}
@@ -344,6 +371,15 @@ class PlayerServer:
         with self.lock:
             p = self.player
             if cmd == "play":
+                if p.manager is None and self._deferred is not None:
+                    # deferred start: first play loads the parked source
+                    # (Main.hx:406-426 start-button path)
+                    src, self._deferred = self._deferred, None
+                    self.lock.release()
+                    try:
+                        self.load(src)
+                    finally:
+                        self.lock.acquire()
                 p.play()
             elif cmd == "pause":
                 p.pause()

@@ -242,3 +242,31 @@ def test_audio_wav_from_lane_container():
         assert wav[:4] == b"RIFF" and len(wav) > 44
     finally:
         srv.stop()
+
+
+def test_wait_mode_defers_load_until_play():
+    """-Dwait parity (Main.hx:266-276, 406-426): with PlayerConfig(wait=
+    True) the stream is NOT loaded at server start — /info reports the
+    wait state and thumbnail URL for the page's start overlay — and the
+    first 'play' control loads it."""
+    avi, golds = make_sp_avi(nframes=8, keyevery=4)
+    srv = PlayerServer(MemorySource(avi),
+                       PlayerConfig(indexed=False, wait=True,
+                                    thumb="/my-thumb.png"))
+    srv.start()
+    try:
+        info = json.loads(_get(srv, "/info"))
+        assert info == {"loaded": False, "wait": True,
+                        "thumb": "/my-thumb.png"}
+        page = _get(srv, "/").decode()
+        assert "waitov" in page and "start" in page
+        assert _post(srv, "play")["ok"]
+        info = json.loads(_get(srv, "/info"))
+        assert info["loaded"] and info["nframes"] == 8
+        for _ in range(500):
+            st = _state(srv)
+            if st["ok"] and st["frame_serial"] >= 0:
+                break
+        assert st["frame_serial"] >= 0
+    finally:
+        srv.stop()
