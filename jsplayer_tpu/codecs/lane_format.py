@@ -305,9 +305,6 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
 
     btype = np.zeros((T, NB), dtype=np.uint8)
     rloc = np.zeros((T, NB, 4), dtype=np.uint8)
-    yy, xx = np.mgrid[0:Y, 0:X]
-    bi_map = (yy >> 4) * nbx + (xx >> 4)
-    ly, lx = yy & 15, xx & 15
     unit_rows: list[np.ndarray] = []
     unit_idx_l: list[np.ndarray] = []
     uniq_px: list[np.ndarray] = []
@@ -354,20 +351,43 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
             unit_rows.append(np.zeros(0, dtype=np.int64))
             unit_idx_l.append(np.zeros(0, dtype=np.int64))
             continue
-        bt_px = btype[t][bi_map]
-        r_px = rloc[t][bi_map]
-        is_data = ((bt_px == 1) & (lx >= r_px[..., 0]) & (lx < r_px[..., 2])
-                   & (ly >= r_px[..., 1]) & (ly < r_px[..., 3]))
-        mask_p = np.zeros((Y, Xp), dtype=bool)
-        mask_p[:, :X] = is_data
-        um = mask_p.reshape(Y, nxu, 128).any(axis=-1)
-        rows = np.nonzero(um.reshape(-1))[0]
+        # touched unit rows straight from the data-block rects — a 16-px
+        # block spans at most two 128-px unit columns, so the (plane row,
+        # unit column) pairs come from per-block row ranges instead of a
+        # [Y, X] per-pixel mask (the mask build was ~90% of transcode
+        # wall time at 1080p; exact same row set by construction)
+        di = np.nonzero(btype[t] == 1)[0]
+        r = rloc[t][di].astype(np.int64)
+        gx1 = (di % nbx) * 16 + r[:, 0]
+        gy1 = (di // nbx) * 16 + r[:, 1]
+        gx2 = np.minimum((di % nbx) * 16 + r[:, 2], X)
+        gy2 = np.minimum((di // nbx) * 16 + r[:, 3], Y)
+        ok = (gx2 > gx1) & (gy2 > gy1)
+        gx1, gy1, gx2, gy2 = gx1[ok], gy1[ok], gx2[ok], gy2[ok]
+        if gx1.size:
+            ny = gy2 - gy1
+            # grouped arange: block b contributes rows gy1[b] .. gy2[b]-1
+            off = np.concatenate(([0], np.cumsum(ny)[:-1]))
+            ys = (np.arange(int(ny.sum()), dtype=np.int64)
+                  - np.repeat(off, ny) + np.repeat(gy1, ny))
+            c1 = np.repeat(gx1 // 128, ny)
+            c2 = np.repeat((gx2 - 1) // 128, ny)
+            ids = ys * nxu + c1
+            two = c2 > c1
+            rows = np.unique(
+                np.concatenate([ids, ys[two] * nxu + c2[two]]))
+        else:
+            rows = np.zeros(0, dtype=np.int64)
         per_frame_units[t] = rows.size
         unit_rows.append(rows)
         if rows.size:
-            plane = np.zeros((Y, Xp), dtype=np.uint32)
-            plane[:, :X] = pay[t]
-            sel = plane.reshape(Y * nxu, 128)[rows]
+            # unit values: whole-row absolute content (XOR/masked variants
+            # measured worse, scripts/exp_lane_xor.py), zero-padded past X;
+            # one 2D fancy index — no [n, X] row intermediate (a keyframe
+            # references each plane row once per unit column)
+            cols = (rows % nxu)[:, None] * 128 + np.arange(128)
+            sel = pay[t][(rows // nxu)[:, None], np.minimum(cols, X - 1)]
+            sel[cols >= X] = 0
             # unit-level dedup: identical payload rows (cursor blinks,
             # repeated paints, flat keyframe background) store once and
             # reference by index — bench corpus 197x, terminal 2.1x
