@@ -212,7 +212,9 @@ def cmd_serve(args) -> int:
     from .player import PlayerConfig
     from .web import PlayerServer
 
-    srv = PlayerServer(args.file, PlayerConfig(indexed=not args.seq),
+    srv = PlayerServer(args.file,
+                       PlayerConfig(indexed=not args.seq, wait=args.wait,
+                                    thumb=args.thumb),
                        port=args.port)
     try:
         srv.serve_forever()
@@ -294,6 +296,11 @@ def main(argv=None) -> int:
     a.add_argument("file")
     a.add_argument("--port", type=int, default=8470)
     a.add_argument("--seq", action="store_true", help="sequential loader")
+    a.add_argument("--wait", action="store_true",
+                   help="defer stream load until playback starts "
+                        "(the reference's -Dwait mode)")
+    a.add_argument("--thumb", default="",
+                   help="thumbnail image URL for the --wait start overlay")
     a.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(cont_bytes, widths=(128, 64, 32, 16)):
+def measure(cont_bytes, widths=(128, 64, 32, 16, 8, 4)):
     from jsplayer_tpu.codecs import lane_format
 
     c = lane_format.container_from_bytes(cont_bytes)
