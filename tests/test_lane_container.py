@@ -833,3 +833,23 @@ def test_lane_subunit_oob_id_rejected():
     wire[-2:] = b"\xff\xff"
     with pytest.raises(ValueError):
         lane_format.container_from_bytes(bytes(wire))
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_lane_from_sp_v2_v3(version):
+    """Legacy SP versions (v2 range coder, v3 rANS f0=64) transcode into
+    lane containers through the same capture path as v4 — the lane format
+    is version-agnostic once commands are derived (ScreenPressor.hx:66-79
+    initEntro is the only per-version fork)."""
+    X, Y, T = 64, 48, 8
+    avi, gold = make_avi(7, X, Y, T, version=version)
+    cont = transcode_to_lane(avi, window=T, K=2)
+    c = lane_format.container_from_bytes(cont)
+    assert c.windows[0].restart
+    pipe = VideoIngestPipeline([MemorySource(cont)],
+                               IngestConfig(sp_device_path="lane"))
+    got = collect_frames(pipe, 1, T, Y, X)[0]
+    for t in range(T):
+        np.testing.assert_array_equal(
+            got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
+            err_msg=f"v{version} frame {t}")
