@@ -665,9 +665,12 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         pos += n
         return out
 
-    pos = 0
-    T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     pos = struct.calcsize("<HIIIB")
+    if len(buf) < pos:
+        # fuzz-found: a record shrunk below its fixed header must reject
+        # as ValueError like every other truncation, not struct.error
+        raise ValueError("lane window truncated (header)")
+    T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
             or steps > 1 << 24 or flags > 127:
         raise ValueError("implausible lane window header")

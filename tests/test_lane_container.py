@@ -853,3 +853,20 @@ def test_lane_from_sp_v2_v3(version):
         np.testing.assert_array_equal(
             got[t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
             err_msg=f"v{version} frame {t}")
+
+
+def test_lane_truncated_record_header_rejected():
+    """Fuzz-found (3000-trial extended run, round 4): a record whose length
+    field shrinks below the fixed window header must reject as ValueError,
+    not escape as struct.error."""
+    import struct
+
+    X, Y, T = 48, 32, 4
+    avi, _ = make_avi(9, X, Y, T)
+    wire = bytearray(transcode_to_lane(avi, window=4))
+    hs = struct.calcsize("<4sHHBBHIHII")
+    # shrink the first record to 0 bytes; the (now misaligned) remainder
+    # must not crash the parser either way
+    wire[hs : hs + 4] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        lane_format.container_from_bytes(bytes(wire))
