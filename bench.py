@@ -113,31 +113,49 @@ def main() -> None:
     HARD_DEADLINE_S = float(_os.environ.get("BENCH_HARD_DEADLINE_S", 1500))
     results = {}
     marks = {}
-    _emitted = _threading.Event()
+    _emit_lock = _threading.Lock()
+    _emitted = [False]
 
     def emit_once(obj) -> None:
-        if not _emitted.is_set():
-            _emitted.set()
+        # lock, not a bare Event check: Timer.cancel() can't stop an
+        # in-flight callback, so the watchdog and the normal completion
+        # path may race here — exactly one JSON line must print
+        with _emit_lock:
+            if _emitted[0]:
+                return
+            _emitted[0] = True
             print(json.dumps(obj), flush=True)
 
     def _watchdog() -> None:
-        live = [(v, k) for k, v in results.items() if v]
-        val, path = max(live) if live else (0.0, "none")
-        emit_once({
-            "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
-            "value": round(val, 1),
-            "unit": "frames/s",
-            "vs_baseline": round(val / BASELINE, 3),
-            "path": path,
-            "watchdog_fired": True,
-            "all_paths": {k: (round(v, 1) if v else None)
-                          for k, v in results.items()},
-            "row_wall_s": marks,
-        })
-        sys.stdout.flush()
-        # exit 0: the JSON line (with watchdog_fired set) IS the honest
-        # record — a nonzero status could make the driver discard it
-        _os._exit(0)
+        # snapshot under retry: the main thread mutates results/marks
+        # without a lock, and a mid-iteration RuntimeError here would kill
+        # the watchdog silently — the one failure it exists to prevent
+        snap, msnap = {}, {}
+        for _ in range(5):
+            try:
+                snap, msnap = dict(results), dict(marks)
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        try:
+            live = [(v, k) for k, v in snap.items() if v]
+            val, path = max(live) if live else (0.0, "none")
+            emit_once({
+                "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
+                "value": round(val, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(val / BASELINE, 3),
+                "path": path,
+                "watchdog_fired": True,
+                "all_paths": {k: (round(v, 1) if v else None)
+                              for k, v in snap.items()},
+                "row_wall_s": msnap,
+            })
+            sys.stdout.flush()
+        finally:
+            # exit 0: the JSON line (with watchdog_fired set) IS the honest
+            # record — a nonzero status could make the driver discard it
+            _os._exit(0)
 
     _wd = _threading.Timer(HARD_DEADLINE_S, _watchdog)
     _wd.daemon = True

@@ -529,7 +529,11 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
         # slower for single-digit-% extra shrink (BENCH_NOTES round 4)
         flags |= _FLAG_DEFLATE
         comp = zlib.compress(bulk, 1)
-        if sub_bulk is not None:
+        # raw-size prefilter: when span dedup gained nothing the sub-unit
+        # candidate is the same payload bytes plus id arrays — don't pay a
+        # level-6 pass over payload-sized data just to discard it (noise
+        # windows; the fallback is test-pinned)
+        if sub_bulk is not None and len(sub_hdr) + len(sub_bulk) < len(bulk):
             # the id arrays are the sub-unit wire's dominant term and
             # deflate meaningfully better at 6 (378 vs 445 KB terminal);
             # they are small enough that the level-6 cost is one-shot
@@ -539,6 +543,8 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
                 comp = comp_sub
             else:
                 sub_hdr = b""
+        else:
+            sub_hdr = b""
         bulk = struct.pack("<I", len(comp)) + comp
         # meta at level 6: the block/reference arrays deflate ~4.5x and
         # are small enough that the better ratio is free (BENCH_NOTES

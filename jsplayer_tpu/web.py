@@ -171,11 +171,20 @@ function initView() {
     // button; the stream is fetched only when the user starts playback
     const ov = document.createElement('div');
     ov.id = 'waitov';
-    ov.innerHTML = (info.thumb ? '<img src="' + info.thumb + '">' : '')
-      + '<br><button id="start">&#9654; start</button>';
+    if (info.thumb) {            // setAttribute, not innerHTML: the thumb
+      const img = document.createElement('img');  // string must not inject
+      img.src = info.thumb;                       // markup into the page
+      ov.appendChild(img);
+      ov.appendChild(document.createElement('br'));
+    }
+    const btn = document.createElement('button');
+    btn.id = 'start';
+    btn.textContent = '▶ start';
+    ov.appendChild(btn);
     document.getElementById('wrap').prepend(ov);
-    document.getElementById('start').onclick = async () => {
-      await post('play');
+    btn.onclick = async () => {
+      const r = await post('play');
+      if (r.ok === false) { btn.textContent = 'load failed — retry'; return; }
       ov.remove();
       info = await (await fetch('/info')).json();
       initView();
@@ -199,6 +208,7 @@ class PlayerServer:
         # -Dwait deferred load (Main.hx:266-276): park the source until the
         # page's start button (or spplay) asks for it
         self._deferred = None
+        self._wav_cache: Optional[bytes] = None
         if source is not None:
             if self.player.config.wait:
                 self._deferred = source
@@ -244,11 +254,36 @@ class PlayerServer:
                     data = outer.audio_wav()
                     if data is None:
                         return self._json({"error": "no audio"}, 404)
-                    self.send_response(200)
+                    # byte-range support: browsers (Safari especially)
+                    # require it for media elements
+                    rng = self.headers.get("Range", "")
+                    lo, hi = 0, len(data) - 1
+                    partial = False
+                    if rng.startswith("bytes="):
+                        try:
+                            s, _, e = rng[6:].partition("-")
+                            lo = int(s) if s else 0
+                            hi = int(e) if e else len(data) - 1
+                            partial = True
+                        except ValueError:
+                            lo, hi, partial = 0, len(data) - 1, False
+                    if partial and (lo > hi or lo >= len(data)):
+                        self.send_response(416)
+                        self.send_header("Content-Range",
+                                         f"bytes */{len(data)}")
+                        self.end_headers()
+                        return
+                    hi = min(hi, len(data) - 1)
+                    body = data[lo : hi + 1]
+                    self.send_response(206 if partial else 200)
+                    if partial:
+                        self.send_header("Content-Range",
+                                         f"bytes {lo}-{hi}/{len(data)}")
+                    self.send_header("Accept-Ranges", "bytes")
                     self.send_header("Content-Type", "audio/wav")
-                    self.send_header("Content-Length", str(len(data)))
+                    self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
-                    self.wfile.write(data)
+                    self.wfile.write(body)
                 else:
                     self._json({"error": "not found"}, 404)
 
@@ -276,6 +311,7 @@ class PlayerServer:
                 source = open_source(source)
             self.player.load(source)
             self.frame_serial = -1
+            self._wav_cache = None  # re-decoded lazily per loaded stream
 
     def info(self) -> dict:
         with self.lock:
@@ -325,35 +361,50 @@ class PlayerServer:
         """The stream's decoded audio as a 16-bit PCM WAV, or None without
         audio (or without the codec backend) — the page's <audio> source.
         The WAV covers the whole aligned timeline so browser currentTime
-        IS the player clock."""
+        IS the player clock.  Built once per loaded stream (cached); the
+        worker drive runs in SHORT lock-released batches so /state and
+        /control stay responsive while audio assembles, and is bounded by
+        wall clock — an indexed loader whose memory window evicts never
+        reaches a stable 'fully loaded' state."""
         import struct
+        import time
 
         import numpy as np
 
         with self.lock:
-            p = self.player
-            if p.manager is None:
+            if self._wav_cache is not None:
+                return self._wav_cache or None  # b"" caches "no audio"
+            if self.player.manager is None:
                 return None
-            # drive the worker until the audio side stops progressing —
-            # demux/MP3 parse advance with the decode ticks (the reference
-            # piggybacks ParseSound on the worker, Manager.hx:478-481)
-            stale = 0
-            for _ in range(200000):
+        # drive the worker until the audio side stops progressing —
+        # demux/MP3 parse advance with the decode ticks (the reference
+        # piggybacks ParseSound on the worker, Manager.hx:478-481)
+        stale = 0
+        deadline = time.monotonic() + 10.0
+        for _ in range(256):
+            with self.lock:
+                p = self.player
+                if p.manager is None:
+                    return None
                 mp = p.manager.loader.mp3_parser
                 before = (p.loaded_range()[1], mp.frames_processed,
                           len(mp.sections), mp.parsing_complete)
-                p.tick()
+                for _ in range(64):
+                    p.tick()
                 mp = p.manager.loader.mp3_parser
                 after = (p.loaded_range()[1], mp.frames_processed,
                          len(mp.sections), mp.parsing_complete)
-                stale = stale + 1 if after == before else 0
-                if stale >= 3:
-                    break
+            stale = stale + 1 if after == before else 0
+            if stale >= 3 or time.monotonic() > deadline:
+                break
+        with self.lock:
+            p = self.player
             try:
                 pcm = p.audio_pcm()
             except RuntimeError:  # codec backend unavailable
                 return None
             if pcm is None or pcm.samples.shape[0] == 0:
+                self._wav_cache = b""
                 return None
             i16 = np.clip(pcm.samples, -1.0, 1.0)
             i16 = (i16 * 32767.0).astype("<i2")
@@ -365,7 +416,8 @@ class PlayerServer:
                    + struct.pack("<IHHIIHH", 16, 1, ch, rate,
                                  rate * ch * 2, ch * 2, 16)
                    + b"data" + struct.pack("<I", len(data)))
-            return hdr + data
+            self._wav_cache = hdr + data
+            return self._wav_cache
 
     def control(self, cmd: str, arg=None) -> dict:
         with self.lock:
@@ -373,11 +425,17 @@ class PlayerServer:
             if cmd == "play":
                 if p.manager is None and self._deferred is not None:
                     # deferred start: first play loads the parked source
-                    # (Main.hx:406-426 start-button path)
+                    # (Main.hx:406-426 start-button path).  A failed load
+                    # re-parks the source so a later play can retry, and
+                    # reports the error instead of letting it escape the
+                    # handler (which would leave wait mode silently dead)
                     src, self._deferred = self._deferred, None
                     self.lock.release()
                     try:
                         self.load(src)
+                    except Exception as e:  # noqa: BLE001 — report, re-park
+                        self._deferred = src
+                        return {"ok": False, "error": f"load failed: {e}"}
                     finally:
                         self.lock.acquire()
                 p.play()

@@ -249,14 +249,12 @@ def main():
 
         def all_bands(carry, *flat):
             tot = jnp.uint32(0)
-            outs = []
             for i in range(0, len(flat), 3):
                 ini, pcb, mvkb = flat[i], flat[i + 1], flat[i + 2]
                 ini = ini ^ (carry & jnp.uint32(1))
                 fr = sp_recon.decode_sequence_kmv_compact(ini, pcb, mvkb)
                 tot ^= (jnp.bitwise_xor.reduce(fr.reshape(-1))
                         if fr.size else jnp.uint32(0))
-                outs.append(fr)
             return tot
 
         flat = [a for tup in args_dev for a in tup]

@@ -270,3 +270,58 @@ def test_wait_mode_defers_load_until_play():
         assert st["frame_serial"] >= 0
     finally:
         srv.stop()
+
+
+def test_audio_wav_range_request():
+    """Browsers require byte-range support for media elements (Safari
+    refuses sources without it): /audio.wav honors Range with 206 +
+    Content-Range and advertises Accept-Ranges."""
+    from jsplayer_tpu.av import pcm
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.mp3_synth import make_silence_frames
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+
+    if not pcm.available():
+        pytest.skip("system libavcodec not available")
+    W, H = 32, 24
+    f = np.full(W * H, from_rgb15(0x0421), dtype=np.uint32)
+    pkts = [encode_frame_16(f, None, W, H)]
+    mp3, _, _ = make_silence_frames(12)
+    avi = mux_avi(pkts, W, H, 16, codec="CRAM", fps=15.0, keyflags=[True],
+                  sound_chunks=[(0, mp3)])
+    srv = PlayerServer(MemorySource(avi), PlayerConfig(indexed=False))
+    srv.start()
+    try:
+        whole = _get(srv, "/audio.wav")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/audio.wav",
+            headers={"Range": "bytes=4-11"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 206
+            assert r.headers["Content-Range"] == f"bytes 4-11/{len(whole)}"
+            assert r.headers["Accept-Ranges"] == "bytes"
+            assert r.read() == whole[4:12]
+        # open-ended suffix range
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/audio.wav",
+            headers={"Range": f"bytes={len(whole) - 8}-"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 206 and r.read() == whole[-8:]
+    finally:
+        srv.stop()
+
+
+def test_wait_mode_failed_load_is_retryable():
+    """A failed deferred load must re-park the source and report the error
+    — not leave wait mode silently dead behind an ok:true no-op."""
+    srv = PlayerServer("/nonexistent/path.avi",
+                       PlayerConfig(indexed=False, wait=True))
+    srv.start()
+    try:
+        for _ in range(2):  # still failing on retry, still reported
+            r = _post(srv, "play")
+            assert r["ok"] is False and "load failed" in r["error"]
+        assert json.loads(_get(srv, "/info"))["wait"] is True
+    finally:
+        srv.stop()
