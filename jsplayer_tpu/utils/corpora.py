@@ -8,7 +8,10 @@ The bench headline historically used one fixed mix (1/3 scroll, 1/3 paint,
   * ``terminal_session`` — a rendered scrolling-terminal session
     (typing bursts, cursor blink, line scrolls, window repaints, idle
     stretches) modeled on real screencast behavior rather than three
-    fixed primitives.
+    fixed primitives;
+  * ``video_call`` — a desktop hosting an embedded playing-video region
+    (every frame changes, rect-local, mid-entropy) — the dense end of
+    realistic screen content.
 
 Frames are uint32 packed pixels (the codec's native format).  Generators
 are deterministic per seed.
@@ -152,6 +155,51 @@ def terminal_session(T: int = 240, Y: int = 1080, X: int = 1920,
             cur_row, cur_col = 0, 0
             for _ in range(int(rng.integers(4, rows // 2))):
                 new_line(int(rng.integers(10, 140)))
+        frames.append(f.copy())
+    return frames
+
+
+def video_call(T: int = 120, Y: int = 1080, X: int = 1920, seed: int = 0,
+               vw: int = 640, vh: int = 360):
+    """Screencast with an embedded PLAYING VIDEO region — the dense end of
+    realistic screen content (terminal_session is the sparse end, noise
+    the adversarial floor).
+
+    A static desktop (window chrome, text-like rows) hosts a vw x vh
+    video rect whose every frame changes: a smoothly-drifting two-axis
+    gradient plus sparse camera-noise speckles.  Every frame is
+    "changed" (no stills to elide) but the change is rect-local, so
+    per-band/sub-frame strategies and the host's rect-shaped capture are
+    what this corpus exercises; entropy-wise the gradient is compressible
+    while the speckles are not — between the terminal corpus's ~5.5 KB
+    and noise's ~8.4 MB per frame.  → list of [Y, X] u32 frames."""
+    rng = np.random.default_rng(seed)
+    f = np.full((Y, X), pack(28, 30, 36), dtype=np.uint32)
+    # desktop dressing: a title bar and a column of text-like lines
+    f[0:24, :] = pack(55, 58, 66)
+    for i in range(24):
+        y0 = 60 + i * 22
+        if y0 + 12 < Y:
+            _draw_text_line(f, 40, y0, int(rng.integers(20, 70)), rng,
+                            pack(205, 205, 210), pack(28, 30, 36))
+    vx = (X - vw) // 2
+    vy = (Y - vh) // 2
+    f[vy - 4 : vy + vh + 4, vx - 4 : vx + vw + 4] = pack(70, 70, 76)
+    yy, xx = np.mgrid[0:vh, 0:vw]
+    frames = []
+    for t in range(T):
+        ph = 2 * np.pi * t / 48.0
+        r = (128 + 96 * np.sin(xx / 97.0 + ph)).astype(np.uint32)
+        g = (128 + 96 * np.cos(yy / 61.0 - ph)).astype(np.uint32)
+        b = (128 + 96 * np.sin((xx + yy) / 131.0 + 0.5 * ph)).astype(
+            np.uint32)
+        vid = (r << 16) | (g << 8) | b
+        n_speck = 800
+        sy = rng.integers(0, vh, n_speck)
+        sx = rng.integers(0, vw, n_speck)
+        vid[sy, sx] = rng.integers(0, 1 << 24, n_speck).astype(np.uint32)
+        f = f.copy()
+        f[vy : vy + vh, vx : vx + vw] = vid
         frames.append(f.copy())
     return frames
 
