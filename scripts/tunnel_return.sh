@@ -18,3 +18,4 @@ timeout 900 python scripts/exp_video_call.py >/tmp/r4/video_call.json 2>&1
 # 4. full on-chip parity validation (all legs incl. lane wire changes)
 timeout 1200 python scripts/tpu_validate.py >/tmp/r4/validate.json 2>&1
 tail -n 1 /tmp/r4/bench.json
+timeout 900 python scripts/exp_plane_carry.py >/tmp/r4/plane_carry.json 2>&1
