@@ -15,7 +15,8 @@ timeout 900 python scripts/exp_band_elision.py --corpus bench \
     >/tmp/r4/band_bench.json 2>&1
 # 3. video_call corpus device rows (kmv vs lane on dense content)
 timeout 900 python scripts/exp_video_call.py >/tmp/r4/video_call.json 2>&1
-# 4. full on-chip parity validation (all legs incl. lane wire changes)
+# 4. plane-carry model-path A/B
+timeout 900 python scripts/exp_plane_carry.py >/tmp/r4/plane_carry.json 2>&1
+# 5. full on-chip parity validation (all legs incl. lane wire changes)
 timeout 1200 python scripts/tpu_validate.py >/tmp/r4/validate.json 2>&1
 tail -n 1 /tmp/r4/bench.json
-timeout 900 python scripts/exp_plane_carry.py >/tmp/r4/plane_carry.json 2>&1
