@@ -512,9 +512,39 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
             pay = w.payload
             sub = pay.reshape(pay.shape[0], 3, k, S).transpose(0, 2, 1, 3)
             sub = np.ascontiguousarray(sub.reshape(-1, 3 * S))
-            view = sub.view([("", np.uint8)] * (3 * S)).reshape(-1)
-            uniq, inv = np.unique(view, return_inverse=True)
-            blob = uniq.view(np.uint8).reshape(-1, 3 * S)
+            # u64-hash the records so unique sorts integers, not 24-byte
+            # void keys (the void argsort dominated transcode time — the
+            # row_index fix applied here); collision guard falls back to
+            # the exact lexicographic path
+            blob = inv = None
+            if (3 * S) % 8 == 0 and sub.size:
+                w64 = sub.view(np.uint64).reshape(sub.shape[0],
+                                                  3 * S // 8)
+                h = np.zeros(sub.shape[0], dtype=np.uint64)
+                mult = np.uint64(0x9E3779B97F4A7C15)
+                for j in range(w64.shape[1]):
+                    h = h * mult + w64[:, j]
+                _, first, inv = np.unique(h, return_index=True,
+                                          return_inverse=True)
+                blob = sub[first]
+                if not (blob[inv] == sub).all():
+                    blob = inv = None
+                else:
+                    # lex-sort just the UNIQUE records (hash order is
+                    # effectively random and costs ~2% deflate — similar
+                    # spans cluster under lexicographic order); this
+                    # keeps the wire byte-identical to the void path
+                    vb = np.ascontiguousarray(blob).view(
+                        [("", np.uint8)] * (3 * S)).reshape(-1)
+                    order = np.argsort(vb)
+                    rank = np.empty(order.size, dtype=np.int64)
+                    rank[order] = np.arange(order.size)
+                    blob = blob[order]
+                    inv = rank[inv]
+            if blob is None:
+                view = sub.view([("", np.uint8)] * (3 * S)).reshape(-1)
+                uniq, inv = np.unique(view, return_inverse=True)
+                blob = uniq.view(np.uint8).reshape(-1, 3 * S)
             # ids ride as BYTE PLANES (all lo bytes, then hi bytes, ...):
             # measured 378 -> 300 KB deflated on the terminal corpus vs
             # interleaved u16 (the id stream's lo bytes carry most of the
