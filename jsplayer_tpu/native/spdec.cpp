@@ -1225,20 +1225,21 @@ struct SpDecoder {
 
   // cntab index guard: the RC coder at 16bpp uses SC_CXSHIFT=0
   // (ScreenPressor.hx:59), so an ADVERSARIAL 8-bit symbol can push
-  // cx+cx1 past the 4096-entry channel bank.  The reference's typed
-  // arrays make that read harmless (undefined → garbage pixels); in C++
-  // it walked into the neighboring bank and, for channel 2, off the heap
-  // (found by the fuzz suite under ASan — deferred heap corruption).
-  // The oracle raises for such streams; mirror via the error flag.
-  // Well-formed 16bpp v2 content codes 5-bit values → cx+cx1 ≤ 2015.
+  // cx+cx1 past the 4096-entry channel bank (max 4032+255=4287).  The
+  // reference's cntab is ONE FLAT Uint32Array of 3*4096 contexts
+  // (EntroCoders.hx:55), so channel-0/1 overflow legally reads the
+  // NEIGHBORING bank and decode proceeds deterministically — the fresh-
+  // seed round-4 fuzz caught the earlier per-channel guard rejecting
+  // streams the oracle decodes.  Only channel-2 overflow leaves the
+  // array (JS undefined → NaN; the oracle raises): mirror via cx_err.
   bool cx_err = false;
   int clr_guarded(int chan) {
-    int ci = cx + cx1;
-    if ((unsigned)ci > 4095u) {
+    int ci = chan * 4096 + cx + cx1;
+    if ((unsigned)ci >= 3u * 4096u) {
       cx_err = true;
       return 0;
     }
-    return dec_clr(chan * 4096 + ci);
+    return dec_clr(ci);
   }
 
   uint32_t decode_rgb() {

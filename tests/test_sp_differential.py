@@ -335,3 +335,27 @@ def test_sp_mutation_differential_fuzz(version, bpp):
     # the fuzz must actually exercise cross-implementation agreement on
     # mutated packets (not reject everything)
     assert n_ff_agree > 0
+
+
+def test_v2_16bpp_cntab_bank_overflow_native_oracle():
+    """Fresh-seed fuzz (round 4) found the native clr_guarded rejecting
+    streams the oracle decodes: at v2/16bpp SC_CXSHIFT=0 a corrupt symbol
+    pushes cx+cx1 past the 4096-entry channel bank, but the reference's
+    cntab is ONE FLAT Uint32Array (EntroCoders.hx:55) — channel-0/1
+    overflow legally reads the neighboring bank and decode proceeds.
+    Pin the exact mutated stream: native and oracle must agree on every
+    frame both decode."""
+    rng = np.random.default_rng(7216)
+    frames = xval.blocky_frames(rng, W, H, 5, bpp=16, scroll=1)
+    enc = ScreenPressorEncoder(2, W, H, bpp=16)
+    pkts = [enc.encode_i(frames[0].reshape(-1).copy())]
+    for f in frames[1:]:
+        pkts.append(enc.encode_p(f.reshape(-1).copy()))
+    m = [bytearray(p) for p in pkts]
+    m[0][36] ^= 1 << 5  # the fuzz trial's bit flip (seed 7216, trial 1)
+    mp = [bytes(p) for p in m]
+    ours, _ = _ours_decode_lenient(mp, 16)
+    orc, _ = _oracle_decode_lenient(mp, 16)
+    assert min(len(ours), len(orc)) > 0
+    for t in range(min(len(ours), len(orc))):
+        np.testing.assert_array_equal(ours[t], orc[t], err_msg=str(t))
