@@ -1579,7 +1579,16 @@ struct SpDecoder {
         }
       }
     if (cx_err) return -1;  // adversarial cntab index (see clr_guarded)
-    for (size_t i = 0; i < nb; i++) touched[i] = bts[i] > 0 ? 1 : 0;
+    // touched feeds the NEXT frame's sparse pre-copy.  A corrupt overlong
+    // run WALKS past its rect (reference semantics) and writes pixels in
+    // blocks the block map never declared — deriving touched from bts
+    // alone left those blocks holding t-2 on the following frame (fresh-
+    // seed fuzz, round 4: v3/16bpp t+1 split).  Walks are corrupt-stream-
+    // only, so the conservative full-touched frame costs nothing real.
+    if (walk_fixed)
+      std::fill(touched.begin(), touched.end(), 1);
+    else
+      for (size_t i = 0; i < nb; i++) touched[i] = bts[i] > 0 ? 1 : 0;
     cur ^= 1;
     if (dst) memcpy(dst, d, end * 4);
     return 0;

@@ -359,3 +359,54 @@ def test_v2_16bpp_cntab_bank_overflow_native_oracle():
     assert min(len(ours), len(orc)) > 0
     for t in range(min(len(ours), len(orc))):
         np.testing.assert_array_equal(ours[t], orc[t], err_msg=str(t))
+
+
+def test_walked_blocks_stay_touched():
+    """Fresh-seed fuzz (round 4), second find: a corrupt overlong run
+    WALKS below its rect (reference semantics) and writes pixels in
+    blocks the block map never declared; deriving the sparse pre-copy's
+    `touched` from bts alone left those blocks showing t-2 content TWO
+    frames later (the walk frame itself matched).  Pin the exact stream:
+    native == oracle on every frame, including t+1 after the walk."""
+    W2, H2 = 80, 64
+    rng = np.random.default_rng(8101 + 3 * 10 + 16)
+    frames = xval.blocky_frames(rng, W2, H2, 7, bpp=16, scroll=2)
+    enc = ScreenPressorEncoder(3, W2, H2, bpp=16)
+    pkts = [enc.encode_i(frames[0].reshape(-1).copy())]
+    for f in frames[1:]:
+        pkts.append(enc.encode_p(f.reshape(-1).copy()))
+    # replay the fuzz rng to trial 18's mutation (ti=3, bi=35)
+    mut = None
+    for trial in range(19):
+        ti = int(rng.integers(0, len(pkts)))
+        bi = int(rng.integers(1, len(pkts[ti])))
+        bit = int(rng.integers(0, 8))
+        mut = (ti, bi, bit)
+    ti, bi, bit = mut
+    assert (ti, bi) == (3, 35), "fixture drift — regenerate the repro"
+    m = [bytearray(p) for p in pkts]
+    m[ti][bi] ^= 1 << bit
+    mp = [bytes(p) for p in m]
+
+    def lenient(mk):
+        dec = mk()
+        dec.preinit(0)
+        out = []
+        for p in mp:
+            dst = np.zeros(W2 * H2, dtype=np.uint32)
+            try:
+                if dec.is_key_frame(p):
+                    dec.decompress_i(p, dst)
+                    out.append(dst.copy())
+                else:
+                    out.append(np.asarray(
+                        dec.decompress_p(p, dst).data).copy())
+            except (ValueError, AssertionError, IndexError):
+                break
+        return out
+
+    ours = lenient(lambda: NativeScreenPressorCodec(W2, H2, 16))
+    orc = lenient(lambda: ScreenPressor(W2, H2, 16))
+    assert min(len(ours), len(orc)) >= 5
+    for t in range(min(len(ours), len(orc))):
+        np.testing.assert_array_equal(ours[t], orc[t], err_msg=str(t))
