@@ -93,7 +93,11 @@ Wire layout (little-endian):
                    span blob u8[Us * 3 * S]
                    | span ids as 2 (Us <= 65535) or 4 byte PLANES of
                      u8[U * (128/S)] each, lo bytes first (byte planes
-                     deflate ~21% better than interleaved u16)
+                     deflate ~21% better than interleaved u16).  The
+                     byte-plane id layout IS bit6's definition: an
+                     interleaved-u16 draft existed for a few hours
+                     inside round 4 and never shipped — containers
+                     written before bit6 existed parse unchanged.
                    — S-px spans of the unit rows deduped (8-px spans ≈
                    glyph atoms; terminal payload 1.81 MB → ~0.39 MB,
                    scripts/exp_lane_subunits.py); the parser expands

@@ -198,7 +198,6 @@ def video_call(T: int = 120, Y: int = 1080, X: int = 1920, seed: int = 0,
         sy = rng.integers(0, vh, n_speck)
         sx = rng.integers(0, vw, n_speck)
         vid[sy, sx] = rng.integers(0, 1 << 24, n_speck).astype(np.uint32)
-        f = f.copy()
         f[vy : vy + vh, vx : vx + vw] = vid
         frames.append(f.copy())
     return frames

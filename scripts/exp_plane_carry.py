@@ -72,8 +72,6 @@ def build(X, Y, T, seed=0, corpus=None):
          else dec.decompress_p)(src, dst)
         payload[t] = dec.previous_frame().reshape(Y, X)
         bts[t], mv[t], rect[t] = cap["bts"], cap["mv"], cap["rect"]
-    from jsplayer_tpu.kernels import sp_recon
-
     pc, mvk = sp_recon.prepare_kmv(bts, mv, rect, payload, K=2)
     return pc, mvk, np.ones(T, bool)
 

@@ -340,7 +340,8 @@ def test_msv1_mutation_differential_fuzz():
                 else:
                     dst = np.zeros(X * Y, np.uint32)
                     r = dec.decompress_p(p, dst)
-                    prev = np.asarray(r.data).copy()
+                    if r.data is not None:  # no-change keeps prev
+                        prev = np.asarray(r.data).copy()
                 out.append(prev.copy())
             except (ValueError, AssertionError, IndexError):
                 return out

@@ -249,7 +249,7 @@ def _ff_decode_lenient(pkts, bpp):
     return out, None
 
 
-def _ours_decode_lenient(pkts, bpp):
+def _ours_decode_lenient(pkts, bpp, W=W, H=H):
     dec = NativeScreenPressorCodec(W, H, bpp)
     dec.preinit(0)
     out = []
@@ -266,7 +266,7 @@ def _ours_decode_lenient(pkts, bpp):
     return out, None
 
 
-def _oracle_decode_lenient(pkts, bpp):
+def _oracle_decode_lenient(pkts, bpp, W=W, H=H):
     dec = ScreenPressor(W, H, bpp)
     dec.preinit(0)
     out = []
@@ -387,26 +387,8 @@ def test_walked_blocks_stay_touched():
     m = [bytearray(p) for p in pkts]
     m[ti][bi] ^= 1 << bit
     mp = [bytes(p) for p in m]
-
-    def lenient(mk):
-        dec = mk()
-        dec.preinit(0)
-        out = []
-        for p in mp:
-            dst = np.zeros(W2 * H2, dtype=np.uint32)
-            try:
-                if dec.is_key_frame(p):
-                    dec.decompress_i(p, dst)
-                    out.append(dst.copy())
-                else:
-                    out.append(np.asarray(
-                        dec.decompress_p(p, dst).data).copy())
-            except (ValueError, AssertionError, IndexError):
-                break
-        return out
-
-    ours = lenient(lambda: NativeScreenPressorCodec(W2, H2, 16))
-    orc = lenient(lambda: ScreenPressor(W2, H2, 16))
+    ours, _ = _ours_decode_lenient(mp, 16, W=W2, H=H2)
+    orc, _ = _oracle_decode_lenient(mp, 16, W=W2, H=H2)
     assert min(len(ours), len(orc)) >= 5
     for t in range(min(len(ours), len(orc))):
         np.testing.assert_array_equal(ours[t], orc[t], err_msg=str(t))
