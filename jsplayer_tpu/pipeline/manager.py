@@ -104,6 +104,9 @@ class Manager:
         self.last_frame_drawn = -1
         self.shown_time = 0.0
         self.seek_cb: Optional[Callable[[], None]] = None
+        self._seek_t0: Optional[float] = None
+        self.last_seek_ms: Optional[float] = None  # Main.hx:1220-1226 probe
+        self.last_iframe_decode_ms: Optional[float] = None  # ScreenPressor.hx:127
         self.delayed_fill: Optional[Callable[[int, float], None]] = None
         self.convert_from_rgb15 = False
         self.loading_pause = False
@@ -273,13 +276,25 @@ class Manager:
     # -- seek ------------------------------------------------------------------
 
     def seek_to(self, t: float, seek_done: Callable[[], None]) -> bool:
-        # Manager.SeekTo (Manager.hx:262-279)
+        # Manager.SeekTo (Manager.hx:262-279); the wall-clock pair around it
+        # mirrors the reference's seek-latency probe (tseek0 at seek_start,
+        # Main.hx:1213-1214; "seek done in t=…" log, Main.hx:1220-1226)
+        self._seek_t0 = time.monotonic()
         res = self.get_decompressed_frame(t, playing=False)
         if res in (FrameResult.DECOMPRESSED, FrameResult.NOTSOON):
+            self._seek_finished()
             seek_done()
             return False
         self.seek_cb = seek_done
         return True
+
+    def _seek_finished(self) -> None:
+        if self._seek_t0 is None:
+            return
+        t1 = time.monotonic()
+        self.last_seek_ms = (t1 - self._seek_t0) * 1e3
+        LOG.fast_log("seek done", self._seek_t0, t1)
+        self._seek_t0 = None
 
     # -- skip stills -----------------------------------------------------------
 
@@ -365,7 +380,13 @@ class Manager:
         LOG.count("frames_decoded")
         new_frame = self.buffers[free_idx]
         if frm.key:
+            # per-keyframe decode-time probe ≙ the reference's DecompressI
+            # wall-clock pair (ScreenPressor.hx:127,287-288)
+            _t0 = time.monotonic()
             state = self.decoder.decompress_i(frm.data, new_frame)
+            _t1 = time.monotonic()
+            self.last_iframe_decode_ms = (_t1 - _t0) * 1e3
+            LOG.fast_log("decompress_i", _t0, _t1)
             if state == DecoderState.ZERO:
                 self._update_bufs(free_idx, self.next_frame_to_decode, True)
                 if frm.significant_changes is None:
@@ -437,4 +458,5 @@ class Manager:
             if self.seek_cb is not None:
                 cb = self.seek_cb
                 self.seek_cb = None
+                self._seek_finished()
                 cb()

@@ -352,3 +352,26 @@ def test_loaded_range_and_fractions():
     lo, hi = p.loaded_range()
     assert 0.0 <= lo <= hi <= 1.0
     assert hi > 0.9  # fully loaded memory source
+
+
+def test_timing_probes():
+    """Seek-latency + keyframe-decode-time probes mirror the reference's two
+    wall-clock pairs (Main.hx:1213-1226 "seek done in t=…";
+    ScreenPressor.hx:127,287-288 DecompressI duration)."""
+    from jsplayer_tpu.utils.logging import LOG
+
+    avi, _ = make_sp_avi(nframes=16, keyevery=4)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    assert p.manager.last_iframe_decode_ms is not None  # keyframe 0 decoded
+    assert p.manager.last_iframe_decode_ms >= 0.0
+    LOG.events.clear()
+    p.seek_time(10 / p.manager.fps + 0.001)
+    for _ in range(300):
+        p.tick()
+        if p.manager.last_frame_drawn == 10:
+            break
+    assert p.manager.last_seek_ms is not None
+    assert p.manager._seek_t0 is None  # probe closed exactly once
+    assert any(e.msg == "seek done" for e in LOG.events)
