@@ -870,3 +870,45 @@ def test_lane_truncated_record_header_rejected():
     wire[hs : hs + 4] = struct.pack("<I", 0)
     with pytest.raises(ValueError):
         lane_format.container_from_bytes(bytes(wire))
+
+
+def test_lane_ragged_frame_range_clip():
+    """frame_range over keyframe-SNAPPED (variable-length) windows: the
+    prefix-sum bases must locate the clip start/end windows (fixed-stride
+    arithmetic would misplace both)."""
+    X, Y, T = 48, 32, 14
+    avi, gold = make_avi(9, X, Y, T, key_every=5)  # windows 4,1,4,1,4
+    cont = transcode_to_lane(avi, window=4, K=2)
+    c = lane_format.container_from_bytes(cont)
+    assert sorted(set(w.T for w in c.windows)) == [1, 4]
+    pipe = VideoIngestPipeline(
+        [MemorySource(cont)],
+        IngestConfig(sp_device_path="lane", frame_range=(7, 12)))
+    got = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            got[batch["start_frame"] + t] = fr[0, t].reshape(-1)
+    # latest restart window <= 7 leads at frame 5; coverage through 11
+    assert min(got) == 5 and max(got) >= 11, (min(got), max(got))
+    for t, v in got.items():
+        if t < T:
+            np.testing.assert_array_equal(v & 0x00FFFFFF,
+                                          gold[t] & 0x00FFFFFF,
+                                          err_msg=str(t))
+
+
+def test_lane_batch_mismatched_boundaries_rejected():
+    """Streams in one lane batch must share window boundaries (the [B, T]
+    batching keeps one timeline); mismatched containers raise."""
+    X, Y, T = 48, 32, 12
+    avi_a, _ = make_avi(10, X, Y, T, key_every=4)
+    avi_b, _ = make_avi(11, X, Y, T, key_every=5)
+    ca = transcode_to_lane(avi_a, window=4, K=2)
+    cb = transcode_to_lane(avi_b, window=4, K=2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(ca), MemorySource(cb)],
+        IngestConfig(sp_device_path="lane"))
+    with pytest.raises(ValueError, match="mismatched window boundaries"):
+        for _ in pipe:
+            pass
