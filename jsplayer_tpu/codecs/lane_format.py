@@ -678,6 +678,11 @@ def container_from_bytes(data: bytes) -> LaneContainer:
         c.windows.append(_window_from_bytes(
             memoryview(data)[off:end], K, n_lanes, NB, R, X, Y))
         off = end
+    # windows tile the timeline exactly; a corrupt T field would otherwise
+    # desynchronize every consumer's frame indexing (fuzz-found once window
+    # lengths became variable under keyframe-aligned scheduling)
+    if sum(w.T for w in c.windows) != n_frames:
+        raise ValueError("lane container window lengths do not tile n_frames")
     return c
 
 

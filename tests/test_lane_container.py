@@ -912,3 +912,21 @@ def test_lane_batch_mismatched_boundaries_rejected():
     with pytest.raises(ValueError, match="mismatched window boundaries"):
         for _ in pipe:
             pass
+
+
+def test_lane_window_tiling_validated():
+    """Windows must tile n_frames exactly: a corrupt T field desyncs every
+    consumer's frame indexing (fuzz-found once keyframe-aligned scheduling
+    made window lengths variable)."""
+    X, Y, T = 48, 32, 14
+    avi, _ = make_avi(21, X, Y, T, key_every=5)
+    cont = bytes(transcode_to_lane(avi, window=4, K=2))
+    import struct
+
+    hs = struct.calcsize("<4sHHBBHIHII")
+    # duplicate the first window record: each record parses fine but the
+    # lengths sum to T+4, which must be rejected
+    (rec_len,) = struct.unpack_from("<I", cont, hs)
+    dup = cont + cont[hs : hs + 4 + rec_len]
+    with pytest.raises(ValueError, match="tile n_frames"):
+        lane_format.container_from_bytes(dup)
