@@ -72,6 +72,10 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
     nbx = (X + 15) // 16
     cur = (np.zeros((Y, X), dtype=np.uint32) if prev is None
            else prev.astype(np.uint32).copy())
+    # pooled scatter plane: zeroed once, then only the rows each frame
+    # touched are re-zeroed (a full-frame np.zeros per changed frame was
+    # ~20% of seek-replay time)
+    pool = np.zeros((Y * Xp // 128, 128), dtype=np.uint32)
     seq_off = 0
     for t in range(w.T):
         rows = w.unit_rows[t]
@@ -85,10 +89,9 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
                 # rans-mode keyframe rides as a raw plane (all-copy frame)
                 cur = w.init_plane.astype(np.uint32).copy()
             else:
-                plane = np.zeros((Y * Xp // 128, 128), dtype=np.uint32)
                 if rows.size:
-                    plane[rows] = units[refs]
-                tp = plane.reshape(Y, Xp)[:, :X]
+                    pool[rows] = units[refs]
+                tp = pool.reshape(Y, Xp)[:, :X]
                 nxt = cur.copy()
                 shifted = {}
 
@@ -128,6 +131,8 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
                     nxt[ay1[j]:ay2[j], ax1[j]:ax2[j]] = \
                         src[ay1[j]:ay2[j], ax1[j]:ax2[j]]
                 cur = nxt
+                if rows.size:
+                    pool[rows] = 0  # restore the pooled plane's zeros
         yield cur
 
 
