@@ -29,13 +29,15 @@ Y, X = 1080, 1920
 
 
 def build_avi():
+    from jsplayer_tpu import native
     from jsplayer_tpu.encode.avi_mux import mux_avi
     from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
     from jsplayer_tpu.utils import corpora
 
     t0 = time.monotonic()
     frames = corpora.terminal_session(T=T, Y=Y, X=X, seed=0)
-    enc = ScreenPressorEncoder(4, X, Y)
+    enc = (native.NativeScreenPressorEncoder(4, X, Y)
+           if native.available() else ScreenPressorEncoder(4, X, Y))
     streams, keys = [], []
     for t, f in enumerate(frames):
         flat = f.reshape(-1)
