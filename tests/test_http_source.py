@@ -170,3 +170,83 @@ def test_indexed_player_seek_over_http():
             p.manager.buffers[p.manager._last_filled_buffer], golds[target])
     finally:
         srv.shutdown()
+
+
+def make_misbehaving_server(payload: bytes, mode: str):
+    """Server that violates the range contract in a configurable way —
+    exercising the client-side response validation (the PostStream.hx
+    status/Content-Range checks, PostStream.hx:42-58 analog)."""
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+
+        def do_GET(self):
+            if mode == "ignores_range":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            if mode == "wrong_content_range":
+                body = payload[: 8]
+                self.send_response(206)
+                # lies about the slice start (claims 0, whatever was asked)
+                self.send_header("Content-Range",
+                                 f"bytes 0-7/{len(payload)}")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            # odd success status a range client must not trust
+            self.send_response(204)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/v.avi"
+
+
+def test_server_ignoring_range_rejected_and_sliceable():
+    payload = bytes(range(256)) * 4
+    srv, url = make_misbehaving_server(payload, "ignores_range")
+    try:
+        src = HttpRangeSource(url)
+        # full-file request: a 200 whole-entity response IS the answer
+        assert src.read_range(0) == payload
+        # mid-file slice: corrupt if trusted — must be rejected by default
+        with pytest.raises(IOError, match="ignored Range"):
+            src.read_range(100, 199)
+        with pytest.raises(IOError, match="ignored Range"):
+            b"".join(src.stream_range(100, 199))
+        # opt-in client-side slicing still returns the right bytes
+        lenient = HttpRangeSource(url, accept_full_body=True)
+        assert lenient.read_range(100, 199) == payload[100:200]
+    finally:
+        srv.shutdown()
+
+
+def test_wrong_content_range_rejected():
+    payload = bytes(range(256)) * 4
+    srv, url = make_misbehaving_server(payload, "wrong_content_range")
+    try:
+        src = HttpRangeSource(url)
+        with pytest.raises(IOError, match="Content-Range"):
+            src.read_range(100, 199)
+    finally:
+        srv.shutdown()
+
+
+def test_unexpected_status_rejected():
+    payload = b"x" * 64
+    srv, url = make_misbehaving_server(payload, "status_204")
+    try:
+        src = HttpRangeSource(url)
+        with pytest.raises(IOError, match="unexpected HTTP status"):
+            src.read_range(0, 7)
+    finally:
+        srv.shutdown()
