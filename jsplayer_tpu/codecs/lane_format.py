@@ -725,8 +725,10 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         # as ValueError like every other truncation, not struct.error
         raise ValueError("lane window truncated (header)")
     T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
-    if T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
+    if T == 0 or T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
             or steps > 1 << 24 or flags > 127:
+        # T == 0 would silently reset chained carries (the serializer
+        # never emits empty windows; fuzz/review-found)
         raise ValueError("implausible lane window header")
     has_init = flags & _FLAG_INIT
     raw_mode = bool(flags & _FLAG_RAW)
@@ -803,6 +805,11 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     bt_bad = (btype > 1 + K)  # valid codes 0..K+1 (motion slots 0..K-1)
     if bt_bad.any():
         raise ValueError("lane window: block type out of range")
+    # rects are within-cell coords (0..16); a rect spilling past its own
+    # 16x16 block would make decode output depend on block-application
+    # order (host fast path applies full cells before partial rects)
+    if (rec[:, 5:9] > 16).any():
+        raise ValueError("lane window: block rect out of range")
     if (rows_all >= R).any():
         raise ValueError("lane window: unit row out of range")
     if idx_all is not None and n_refs and (idx_all >= U).any():

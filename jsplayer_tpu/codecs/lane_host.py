@@ -231,6 +231,19 @@ class LaneHostCodec(VideoCodec):
                 wi = i
         return wi, t - self._bases[wi]
 
+    def _finish_window(self) -> None:
+        """Drain the cached window's generator so its carry is recorded —
+        sequential playback into window wi+1 must cost O(remaining frames
+        of wi), never a rebuild from the last restart (a window whose tail
+        frames are stills is otherwise never driven to completion, because
+        decompress_p's still shortcut skips _frame)."""
+        while self._win_gen is not None:
+            self._win_frames.append(next(self._win_gen))
+            if len(self._win_frames) == self.cont.windows[self._win_wi].T:
+                self._win_gen = None
+                self._carry = self._win_frames[-1]
+                self._carry_wi = self._win_wi
+
     def _frame(self, wi: int, lt: int) -> np.ndarray:
         """Frame lt of window wi, composing lazily up to it.  Seek latency
         is proportional to CHANGED frames between the window's entry state
@@ -240,6 +253,8 @@ class LaneHostCodec(VideoCodec):
             w = self.cont.windows[wi]
             carry = None
             if not w.restart:
+                if self._win_wi == wi - 1:
+                    self._finish_window()  # cheap: stills are free
                 if self._carry_wi == wi - 1:
                     carry = self._carry
                 else:  # cold mid-chain entry: rebuild from the last restart

@@ -72,3 +72,24 @@ def pack_batch(segs: list[GopSegment], gops_per_stream: int
             row.append(GopSegment(-1, [b""] * seglen, 0, independent=True))
         rows.append(row)
     return rows
+
+
+def snap_window_starts(keys: Sequence[int], n_frames: int,
+                       window: int) -> list[int]:
+    """Keyframe-aligned window boundaries: each boundary snaps DOWN to the
+    latest keyframe within `window` of the previous start (the reference's
+    seek logic thinks in keyframe units, Manager.hx:244-249).  Shared by
+    the ingest scheduler and transcode_to_lane — both must produce the
+    same boundaries or a lane batch's streams desynchronize
+    (ingest._iter_lane validates shared boundaries)."""
+    if n_frames <= 0:
+        return []
+    starts = [0]
+    while True:
+        s = starts[-1]
+        k = max((k for k in keys if s < k <= s + window), default=None)
+        nxt = k if k is not None else s + window
+        if nxt >= n_frames:
+            break
+        starts.append(nxt)
+    return starts

@@ -374,17 +374,10 @@ class VideoIngestPipeline:
             # length, so the timeline tiles exactly.
             keys = self._keyframe_positions()
             if len(keys) > 1:  # >1 keyframe: alignment has something to do
-                W = self.cfg.window
-                snapped = [0]
-                while True:
-                    s = snapped[-1]
-                    k = max((k for k in keys if s < k <= s + W),
-                            default=None)
-                    nxt = k if k is not None else s + W
-                    if nxt >= self.nframes:
-                        break
-                    snapped.append(nxt)
-                starts = snapped
+                from .gop import snap_window_starts
+
+                starts = snap_window_starts(keys, self.nframes,
+                                            self.cfg.window)
         return starts
 
     def _keyframe_positions(self) -> list[int]:
@@ -588,7 +581,14 @@ class VideoIngestPipeline:
             ts = Ts[wi : wi + G]          # true per-window lengths
             offs = np.concatenate([[0], np.cumsum(ts)]).astype(int)
             total_real = int(offs[-1])
-            Tpad = max(max(ts), 1)        # batch pad within the group
+            # batch pad within the group, bucketed to a power of two so
+            # ragged (keyframe-snapped) window lengths don't mint one XLA
+            # compile per distinct length (pad frames are changed=False
+            # stills: the scan passes carry through and they are never
+            # emitted — same invariant u_pad/ur_pad bucketing keeps)
+            Tpad = 1
+            while Tpad < max(max(ts), 1):
+                Tpad <<= 1
             btype = np.zeros((BG, Tpad, nb), dtype=np.uint8)
             rect = np.zeros((BG, Tpad, nb, 4), dtype=np.uint8)
             mvk = np.zeros((BG, Tpad, K, 2), dtype=np.int32)

@@ -227,6 +227,11 @@ class Manager:
 
         f = self.loader.get_frame(self.frame_of_interest)
         if f.status == FrameStatus.NOT_READY:
+            # not demuxed yet: register the deferred fill so the decode-
+            # ahead worker presents the frame when its data arrives (the
+            # reference re-polls from its always-running timers; a paused
+            # seek here would otherwise never draw the target)
+            self.delayed_fill = self._delayed_fill
             return FrameResult.NOTSOON
         if f.status == FrameStatus.READY:
             key_idx = self.loader.get_nearest_keyframe(self.frame_of_interest)
@@ -282,7 +287,10 @@ class Manager:
         self._seek_t0 = time.monotonic()
         res = self.get_decompressed_frame(t, playing=False)
         if res in (FrameResult.DECOMPRESSED, FrameResult.NOTSOON):
-            self._seek_finished()
+            if res == FrameResult.DECOMPRESSED:
+                self._seek_finished()
+            else:  # target not presentable (data still loading): the seek
+                self._seek_t0 = None  # never completed — don't log ~0 ms
             seek_done()
             return False
         self.seek_cb = seek_done

@@ -189,16 +189,11 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
     # boundaries to source keyframes makes every GOP lead a clip-seek /
     # gop-shard entry point instead of chaining the whole file to one
     # carry (measured: terminal-corpus Player seek p90 1.4 s → ~60 ms).
+    from .pipeline.gop import snap_window_starts
+
     keys = [t for t, src in enumerate(frames) if t == 0
             or (src and dec.is_key_frame(src))]
-    starts = [0]
-    while True:
-        s = starts[-1]
-        k = max((k for k in keys if s < k <= s + window), default=None)
-        nxt = k if k is not None else s + window
-        if nxt >= len(frames):
-            break
-        starts.append(nxt)
+    starts = snap_window_starts(keys, len(frames), window)
     bounds = list(zip(starts, starts[1:] + [len(frames)]))
 
     prev_px = np.zeros((Y, X), dtype=np.uint32)

@@ -375,3 +375,25 @@ def test_timing_probes():
     assert p.manager.last_seek_ms is not None
     assert p.manager._seek_t0 is None  # probe closed exactly once
     assert any(e.msg == "seek done" for e in LOG.events)
+
+
+@pytest.mark.parametrize("indexed", [False, True])
+def test_paused_seek_to_undecoded_region_presents(indexed):
+    """A paused seek into a region the loader hasn't demuxed yet must still
+    present the target once data arrives: the NOT_READY branch registers
+    the deferred fill (the reference re-polls from its always-running
+    timers; review-found — the seek was silently dropped and the old frame
+    stayed up forever)."""
+    avi, frames_px = make_sp_avi(nframes=40, keyevery=8)
+    p = Player(PlayerConfig(indexed=indexed))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    target = 37  # far past the decode-ahead ring
+    p.seek_time(target / p.manager.fps + 0.001)
+    for _ in range(5000):
+        if p.manager.last_frame_drawn == target:
+            break
+        p.tick()
+    assert p.manager.last_frame_drawn == target
+    np.testing.assert_array_equal(
+        p.manager.buffers[p.manager._last_filled_buffer], frames_px[target])

@@ -176,3 +176,46 @@ def test_lane_seek_jumps_to_restart_window():
     np.testing.assert_array_equal(
         p.manager.buffers[p.manager._last_filled_buffer], frames_px[target])
     assert len(calls) <= 8, f"seek decoded {len(calls)} frames, not <=8"
+
+
+def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
+    """Sequential playback through a CHAINED container (single keyframe,
+    several carry windows whose last frame is a still) must compose each
+    window exactly once — a window with a still tail used to never record
+    its carry, forcing an O(chain^2) rebuild at every boundary."""
+    import jsplayer_tpu.codecs.lane_host as lh
+
+    # every 3rd frame unchanged => window tails (T=4) can end on stills
+    avi, frames_px = make_sp_avi(nframes=16, keyevery=100)  # one keyframe
+    cont = transcode_to_lane(avi, window=4, K=2)
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    c = container_from_bytes(cont)
+    assert [w.restart for w in c.windows] == [True, False, False, False]
+
+    calls = []
+    orig = lh.compose_steps
+
+    def counted(w, X, Y, prev=None):
+        calls.append(w)
+        return orig(w, X, Y, prev)
+
+    monkeypatch.setattr(lh, "compose_steps", counted)
+    p = Player(PlayerConfig())
+    p.load(MemorySource(cont))
+    assert drive_until_shown(p)
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    p.play()
+    fps = p.manager.fps
+    for t in range(16):
+        fake_t[0] = t / fps + 0.001
+        for _ in range(200):
+            if p.tick() == FrameResult.DECOMPRESSED:
+                break
+            if not p.playing:
+                p.play()
+    assert p.manager.last_frame_drawn >= 14
+    # 4 windows, each composed exactly once (window_carry would re-enter
+    # compose_steps, so any rebuild shows up as an extra call)
+    assert len(calls) == 4, f"composed {len(calls)} times for 4 windows"
