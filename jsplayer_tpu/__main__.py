@@ -86,9 +86,10 @@ def cmd_transcode(args) -> int:
 
         out = transcode_to_lane(data, window=args.window, K=args.kmv_k,
                                 payload=args.lane_payload,
-                                compress=not args.no_compress)
+                                compress=not args.no_compress,
+                                align=args.align)
         desc = {"format": "lane", "window": args.window,
-                "payload": args.lane_payload}
+                "payload": args.lane_payload, "align": args.align}
     else:
         from .transcode import transcode_sp
 
@@ -253,6 +254,11 @@ def main(argv=None) -> int:
     a.add_argument("--lane-payload", choices=("raw", "rans"), default="raw",
                    help="lane payload mode: raw unit bytes (default; zero"
                         " device entropy work) or device-decoded rANS lanes")
+    a.add_argument("--align", choices=("keyframes", "stride"),
+                   default="keyframes",
+                   help="lane window boundaries: snap to keyframes (seekable"
+                        " restart windows) or fixed stride (heterogeneous"
+                        " archives stay batchable)")
     a.add_argument("--no-compress", action="store_true",
                    help="skip the at-rest deflate framing of lane windows")
     a.set_defaults(fn=cmd_transcode)

@@ -107,7 +107,8 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                       n_lanes: Optional[int] = None,
                       use_native: Optional[bool] = None,
                       payload: str = "raw",
-                      compress: bool = True) -> bytes:
+                      compress: bool = True,
+                      align: str = "keyframes") -> bytes:
     """Re-encode a supported AVI (ScreenPressor v2/v3/v4 or MSVideo1
     8/16-bit) into the lane-container format (codecs/lane_format) so the
     host never touches entropy after demux (BASELINE config 4
@@ -191,9 +192,20 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
     # carry (measured: terminal-corpus Player seek p90 1.4 s → ~60 ms).
     from .pipeline.gop import snap_window_starts
 
-    keys = [t for t, src in enumerate(frames) if t == 0
-            or (src and dec.is_key_frame(src))]
-    starts = snap_window_starts(keys, len(frames), window)
+    if align == "keyframes":
+        # every GOP lead becomes a restart window — the lane analog of
+        # seek-from-keyframe (Manager.hx:244-249); window lengths vary
+        keys = [t for t, src in enumerate(frames) if t == 0
+                or (src and dec.is_key_frame(src))]
+        starts = snap_window_starts(keys, len(frames), window)
+    elif align == "stride":
+        # fixed-stride boundaries: all containers built with the same
+        # `window` share boundaries regardless of keyframe cadence, so
+        # heterogeneous archives stay batchable on one (dp, gop) mesh
+        # (ingest._iter_lane requires shared boundaries across a batch)
+        starts = list(range(0, len(frames), window)) if frames else []
+    else:
+        raise ValueError(f"align must be 'keyframes' or 'stride': {align!r}")
     bounds = list(zip(starts, starts[1:] + [len(frames)]))
 
     prev_px = np.zeros((Y, X), dtype=np.uint32)

@@ -930,3 +930,23 @@ def test_lane_window_tiling_validated():
     dup = cont + cont[hs : hs + 4 + rec_len]
     with pytest.raises(ValueError, match="tile n_frames"):
         lane_format.container_from_bytes(dup)
+
+
+def test_lane_stride_alignment_keeps_heterogeneous_batch():
+    """align='stride' restores batch compatibility for streams with
+    different keyframe cadences (keyframe alignment would give them
+    mismatched window boundaries, which _iter_lane rejects)."""
+    X, Y, T = 48, 32, 12
+    avi_a, gold_a = make_avi(10, X, Y, T, key_every=4)
+    avi_b, gold_b = make_avi(11, X, Y, T, key_every=5)
+    ca = transcode_to_lane(avi_a, window=4, K=2, align="stride")
+    cb = transcode_to_lane(avi_b, window=4, K=2, align="stride")
+    pipe = VideoIngestPipeline(
+        [MemorySource(ca), MemorySource(cb)],
+        IngestConfig(sp_device_path="lane"))
+    frames = collect_frames(pipe, 2, T, Y, X)
+    for b, gold in enumerate((gold_a, gold_b)):
+        for t in range(T):
+            np.testing.assert_array_equal(
+                frames[b][t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
+                err_msg=f"stream {b} frame {t}")
