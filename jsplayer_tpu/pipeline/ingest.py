@@ -449,6 +449,12 @@ class VideoIngestPipeline:
         """Lane-container batch: parse headers, check shared geometry."""
         from ..codecs import lane_format
 
+        if self.cfg.streaming:
+            # containers are meta-deflated and small (bench 79 KB, terminal
+            # 490 KB); whole-blob load IS the residency model — reject the
+            # flag instead of silently ignoring it
+            raise ValueError("sp_device_path='lane' loads whole containers; "
+                             "streaming=True is the long-AVI mode")
         self.containers = []
         for s in sources:
             data = s.read_range(0)

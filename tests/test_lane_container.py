@@ -950,3 +950,15 @@ def test_lane_stride_alignment_keeps_heterogeneous_batch():
             np.testing.assert_array_equal(
                 frames[b][t] & 0x00FFFFFF, gold[t] & 0x00FFFFFF,
                 err_msg=f"stream {b} frame {t}")
+
+
+def test_lane_streaming_flag_rejected():
+    """streaming=True is the long-AVI residency mode; the lane path loads
+    whole containers and must say so instead of silently ignoring it."""
+    X, Y, T = 48, 32, 6
+    avi, _ = make_avi(4, X, Y, T)
+    cont = transcode_to_lane(avi, window=3, K=2)
+    with pytest.raises(ValueError, match="streaming"):
+        VideoIngestPipeline([MemorySource(cont)],
+                            IngestConfig(sp_device_path="lane",
+                                         streaming=True))
