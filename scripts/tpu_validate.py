@@ -204,6 +204,51 @@ def main():
             results[key] = f"fail: {str(e)[:160]}"
         print(key + ":", results[key])
 
+    # 1f. ragged (keyframe-snapped) lane windows through the FULL pipeline
+    # on-chip (round 4 late: transcode aligns window boundaries to source
+    # keyframes → variable window lengths, prefix-sum frame bases, Tpad
+    # pow2 bucketing in _iter_lane)
+    try:
+        from jsplayer_tpu.core.source import MemorySource
+        from jsplayer_tpu.pipeline.ingest import (IngestConfig,
+                                                  VideoIngestPipeline)
+
+        enc_r = ScreenPressorEncoder(4, X, Y)
+        fr = np.full((Y, X), pack_rgb(5, 6, 7), dtype=np.uint32)
+        streams_r, golds_r, keys_r = [], [], []
+        for t in range(14):
+            fr = fr.copy()
+            if t % 3 != 2:
+                fr[(t % 5) * 8 : (t % 5) * 8 + 8, 8:40] = pack_rgb(
+                    *rng.integers(0, 256, 3))
+            isk = t % 5 == 0
+            if isk:
+                enc_r = ScreenPressorEncoder(4, X, Y)
+            flat = fr.reshape(-1).copy()
+            streams_r.append(enc_r.encode_i(flat) if isk
+                             else enc_r.encode_p(flat))
+            golds_r.append(flat)
+            keys_r.append(isk)
+        avi_r = mux_avi(streams_r, X, Y, 24, codec="SPV4", keyflags=keys_r)
+        cont_r = transcode_to_lane(avi_r, window=4, K=2)
+        cr = lane_format.container_from_bytes(cont_r)
+        ragged = sorted(set(w.T for w in cr.windows))
+        pipe = VideoIngestPipeline([MemorySource(cont_r)],
+                                   IngestConfig(sp_device_path="lane"))
+        got = {}
+        for batch in pipe:
+            arr = np.asarray(batch["frames_u32"])
+            for t in range(arr.shape[1]):
+                got[batch["start_frame"] + t] = arr[0, t].reshape(-1)
+        ok = (len(ragged) > 1 and len(got) == len(golds_r)
+              and all(np.array_equal(got[t] & 0x00FFFFFF,
+                                     golds_r[t] & 0x00FFFFFF)
+                      for t in range(len(golds_r))))
+        results["lane_ragged_parity"] = bool(ok)
+    except Exception as e:  # noqa: BLE001
+        results["lane_ragged_parity"] = f"fail: {str(e)[:160]}"
+    print("lane_ragged_parity:", results["lane_ragged_parity"])
+
     # 2. bench
     import bench
     print("running bench...")
