@@ -962,3 +962,50 @@ def test_lane_streaming_flag_rejected():
         VideoIngestPipeline([MemorySource(cont)],
                             IngestConfig(sp_device_path="lane",
                                          streaming=True))
+
+
+def test_lane_ragged_gop_group_on_mesh():
+    """Ragged all-restart groups ride the gop axis: keyframes at 0/4/9 with
+    window=5 snap to restart windows of T=4,5,5, and a gop=2 mesh groups
+    windows of UNEQUAL length into one sharded dispatch — the ragged emit
+    (per-window slices concatenated per stream) must stay bit-exact."""
+    from jsplayer_tpu.pipeline.mesh import make_mesh
+
+    X, Y, T = 48, 32, 14
+    def make(seed):
+        streams, gold, keys = [], [], []
+        rng = np.random.default_rng(seed)
+        enc = ScreenPressorEncoder(4, X, Y)
+        f = np.full((Y, X), pack_rgb(9, 9, seed), dtype=np.uint32)
+        for t in range(T):
+            isk = t in (0, 4, 9)
+            if not isk and t % 3 != 2:
+                f = f.copy()
+                f[(t % 4) * 6 : (t % 4) * 6 + 5, 4:20] = pack_rgb(
+                    *rng.integers(0, 256, 3))
+            if isk:
+                enc = ScreenPressorEncoder(4, X, Y)
+                streams.append(enc.encode_i(f.reshape(-1).copy()))
+            else:
+                streams.append(enc.encode_p(f.reshape(-1).copy()))
+            gold.append(f.reshape(-1).copy())
+            keys.append(isk)
+        return mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys), gold
+
+    avis, golds = zip(*[make(s) for s in range(4)])
+    conts = [transcode_to_lane(a, window=5, K=2) for a in avis]
+    c0 = lane_format.container_from_bytes(conts[0])
+    assert [w.T for w in c0.windows] == [4, 5, 5]
+    assert all(w.restart for w in c0.windows)
+
+    mesh = make_mesh(dp=4, gop=2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(c) for c in conts],
+        IngestConfig(sp_device_path="lane", mesh=mesh))
+    got = collect_frames(pipe, 4, T, Y, X)
+    for b in range(4):
+        assert len(got[b]) == T
+        for t in range(T):
+            np.testing.assert_array_equal(
+                got[b][t] & 0x00FFFFFF, golds[b][t] & 0x00FFFFFF,
+                err_msg=f"stream {b} frame {t}")
