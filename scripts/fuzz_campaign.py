@@ -1,0 +1,237 @@
+"""One-command fresh-seed fuzz campaign across every input surface.
+
+Round lesson (BENCH_NOTES round-4 log): mutation fuzz with FIXED seeds
+regresses to a checked set — every fresh-seed rerun this round found real
+bugs (2 SP native/oracle splits, 1 lane parser escape, 1 lane tiling
+escape).  This runner re-executes all campaign dimensions with a caller-
+chosen seed block so future rounds do it in one command:
+
+    python scripts/fuzz_campaign.py --seed 12345 --scale 1.0
+
+Dimensions (each also has a CI-sized pin in tests/):
+  sp_diff      SP bit-flip mutation, native vs oracle bit-exact
+               (tests/test_sp_differential.py discipline)
+  lane_mut     lane-container mutation: parse-or-ValueError + host decode
+  lane_dev     host vs device agreement on comparable lane mutants
+  mp3          MP3 demux garbage/flip/truncate/resync robustness
+  trunc        SP packet + lane wire + AVI truncation
+
+Scale 1.0 ≈ 15-25 min on the 1-core host.  Exits nonzero on any finding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def _cpu_pin():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run_sp_diff(seed: int, scale: float) -> int:
+    import test_ffmpeg_crossval as xval
+    import test_sp_differential as D
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
+
+    trials = 0
+    per = max(1, int(60 * scale))
+    for version in (2, 3, 4):
+        for bpp in (24, 16):
+            for (W, H) in ((64, 48), (96, 64)):
+                rng = np.random.default_rng(
+                    seed + version * 1000 + bpp * 10 + W)
+                frames = xval.blocky_frames(rng, W, H, 5, bpp=bpp, scroll=1)
+                enc = ScreenPressorEncoder(version, W, H, bpp=bpp)
+                pkts = [enc.encode_i(frames[0].reshape(-1).copy())]
+                for f in frames[1:]:
+                    pkts.append(enc.encode_p(f.reshape(-1).copy()))
+                for trial in range(per):
+                    m = [bytearray(p) for p in pkts]
+                    for _ in range(int(rng.integers(1, 4))):
+                        ti = int(rng.integers(0, len(m)))
+                        bi = int(rng.integers(1, len(m[ti])))
+                        m[ti][bi] ^= 1 << int(rng.integers(0, 8))
+                    mp = [bytes(p) for p in m]
+                    ours, _ = D._ours_decode_lenient(mp, bpp)
+                    orc, _ = D._oracle_decode_lenient(mp, bpp)
+                    for t in range(min(len(ours), len(orc))):
+                        assert np.array_equal(ours[t], orc[t]), (
+                            f"SP native/oracle SPLIT v{version} bpp{bpp} "
+                            f"{W}x{H} trial {trial} frame {t}")
+                    trials += 1
+    return trials
+
+
+def _lane_bases(seed: int):
+    from test_lane_container import make_avi
+
+    from jsplayer_tpu.transcode import transcode_to_lane
+
+    X, Y, T = 48, 32, 14
+    bases = []
+    for i, (ke, w) in enumerate(((5, 4), (4, 6), (3, 8), (0, 5))):
+        avi, _ = make_avi(seed % 97 + i, X, Y, T,
+                          **({"key_every": ke} if ke else {}))
+        bases.append(bytes(transcode_to_lane(avi, window=w, K=2)))
+    return bases, (X, Y, T)
+
+
+def run_lane_mut(seed: int, scale: float) -> int:
+    from jsplayer_tpu.codecs import lane_format, lane_host
+
+    bases, (X, Y, T) = _lane_bases(seed)
+    rng = np.random.default_rng(seed)
+    trials = max(1, int(3000 * scale))
+    for trial in range(trials):
+        m = bytearray(bases[trial % len(bases)])
+        for _ in range(int(rng.integers(1, 6))):
+            m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        try:
+            c = lane_format.container_from_bytes(bytes(m))
+            for wd in c.windows:
+                _ = wd.inv_index(c.Y * (lane_format.plane_cols(c.X) // 128))
+            h = list(lane_host.iter_frames(c))
+            assert len(h) == c.n_frames or not c.windows, \
+                f"frame-count desync trial {trial}"
+        except ValueError:
+            pass
+    return trials
+
+
+def run_lane_dev(seed: int, scale: float) -> int:
+    from test_lane_container import collect_frames
+
+    from jsplayer_tpu.codecs import lane_format, lane_host
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    bases, (X, Y, T) = _lane_bases(seed + 1)
+    base = bases[0]
+    c0 = lane_format.container_from_bytes(base)
+    shape0 = (c0.X, c0.Y, c0.n_frames, tuple(w.T for w in c0.windows),
+              tuple(w.n_units for w in c0.windows))
+    rng = np.random.default_rng(seed + 1)
+    want = max(1, int(40 * scale))
+    compared = trial = 0
+    while compared < want and trial < want * 80:
+        trial += 1
+        m = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        try:
+            c = lane_format.container_from_bytes(bytes(m))
+        except ValueError:
+            continue
+        sh = (c.X, c.Y, c.n_frames, tuple(w.T for w in c.windows),
+              tuple(w.n_units for w in c.windows))
+        if sh != shape0:
+            continue  # same shapes → the jit cache is reused
+        host = list(lane_host.iter_frames(c))
+        pipe = VideoIngestPipeline([MemorySource(bytes(m))],
+                                   IngestConfig(sp_device_path="lane"))
+        dev = collect_frames(pipe, 1, T, Y, X)[0]
+        for t in range(T):
+            assert np.array_equal(host[t].reshape(-1), dev[t]), \
+                f"host/device DIVERGE trial {trial} frame {t}"
+        compared += 1
+    return compared
+
+
+def run_mp3(seed: int, scale: float) -> int:
+    from test_mp3_fuzz import run_campaign
+
+    return run_campaign(max(1, int(2000 * scale)), seed)
+
+
+def run_trunc(seed: int, scale: float) -> int:
+    import test_ffmpeg_crossval as xval
+    import test_sp_differential as D
+    from test_lane_container import make_avi
+
+    from jsplayer_tpu.codecs import lane_format
+    from jsplayer_tpu.core.chunkbuffer import ChunkBuffer
+    from jsplayer_tpu.core.riff import AviDemuxer
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
+    from jsplayer_tpu.transcode import transcode_to_lane
+
+    rng = np.random.default_rng(seed + 2)
+    trials = 0
+    per = max(1, int(120 * scale))
+    # SP packets
+    frames = xval.blocky_frames(rng, 64, 48, 4, bpp=24, scroll=1)
+    enc = ScreenPressorEncoder(4, 64, 48)
+    pkts = [enc.encode_i(frames[0].reshape(-1).copy())]
+    for f in frames[1:]:
+        pkts.append(enc.encode_p(f.reshape(-1).copy()))
+    for _ in range(per):
+        m = [bytes(p) for p in pkts]
+        ti = int(rng.integers(0, len(m)))
+        m[ti] = m[ti][: int(rng.integers(0, len(m[ti])))]
+        D._ours_decode_lenient(m, 24)
+        D._oracle_decode_lenient(m, 24)
+        trials += 1
+    # lane wires
+    avi, _ = make_avi(3, 48, 32, 8, key_every=4)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    for _ in range(per):
+        cut = int(rng.integers(0, len(cont)))
+        try:
+            lane_format.container_from_bytes(cont[:cut])
+        except ValueError:
+            pass
+        trials += 1
+    # AVIs
+    for _ in range(per):
+        cut = int(rng.integers(0, len(avi)))
+        buf = ChunkBuffer()
+        d = AviDemuxer(buf, on_frame=lambda *_: None,
+                       on_video_info=lambda *_: None)
+        d.start()
+        buf.add_chunk(avi[:cut])
+        try:
+            d.pump()
+            d.signal_eof()
+            d.pump()
+        except ValueError:
+            pass
+        trials += 1
+    return trials
+
+
+DIMS = {"sp_diff": run_sp_diff, "lane_mut": run_lane_mut,
+        "lane_dev": run_lane_dev, "mp3": run_mp3, "trunc": run_trunc}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, required=True,
+                    help="fresh seed block — use a NEW one each round")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--only", choices=sorted(DIMS), default=None)
+    args = ap.parse_args()
+    _cpu_pin()
+    totals = {}
+    for name, fn in DIMS.items():
+        if args.only and name != args.only:
+            continue
+        t0 = time.monotonic()
+        totals[name] = fn(args.seed, args.scale)
+        print(f"{name}: {totals[name]} trials clean "
+              f"({time.monotonic() - t0:.0f}s)", flush=True)
+    print("CAMPAIGN CLEAN", totals)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
