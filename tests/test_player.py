@@ -388,8 +388,13 @@ def test_paused_seek_to_undecoded_region_presents(indexed):
     p = Player(PlayerConfig(indexed=indexed))
     p.load(MemorySource(avi))
     assert drive_until_shown(p)
+    before = p.manager.last_seek_ms
     target = 37  # far past the decode-ahead ring
     p.seek_time(target / p.manager.fps + 0.001)
+    if p.manager.last_frame_drawn != target:
+        # the NOTSOON resolution must not pollute the latency probe with a
+        # ~0 ms reading for a seek that never presented (Main.hx:1220-1226)
+        assert p.manager.last_seek_ms == before
     for _ in range(5000):
         if p.manager.last_frame_drawn == target:
             break
