@@ -275,6 +275,15 @@ class LaneContainer:
     # lane re-encode must not silently drop audio.  None = no audio.
     audio: Optional[bytes] = None
 
+    def window_bases(self) -> list:
+        """Start frame of each window (prefix sums of window lengths —
+        variable under keyframe-aligned scheduling)."""
+        bases, b = [], 0
+        for w in self.windows:
+            bases.append(b)
+            b += w.T
+        return bases
+
 
 def _block_local_rects(rect_g: np.ndarray, nbx: int) -> np.ndarray:
     """Global-coordinate block rects [NB, 4] → block-local u8 [NB, 4]."""

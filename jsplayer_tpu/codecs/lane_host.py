@@ -12,6 +12,7 @@ tests/test_lane_container.py pins host == device bit-exactly.
 
 from __future__ import annotations
 
+import bisect
 import struct
 from typing import Iterator, Optional
 
@@ -169,10 +170,7 @@ def iter_frames(cont: LaneContainer,
     seek-from-nearest-keyframe (Manager.hx:244-249) — and carries chain
     through any non-restart windows in between."""
     t0, t1 = frame_range if frame_range is not None else (0, cont.n_frames)
-    bases, b = [], 0
-    for w in cont.windows:
-        bases.append(b)
-        b += w.T
+    bases = cont.window_bases()
     start_wi = 0
     for wi, w in enumerate(cont.windows):
         if w.restart and bases[wi] <= t0:
@@ -202,11 +200,7 @@ class LaneHostCodec(VideoCodec):
 
     def __init__(self, cont: LaneContainer):
         self.cont = cont
-        self._bases: list[int] = []
-        b = 0
-        for w in cont.windows:
-            self._bases.append(b)
-            b += w.T
+        self._bases: list[int] = cont.window_bases()
         self._prev: Optional[np.ndarray] = None
         # incremental per-window cache: frames decoded so far (references —
         # stills share the previous frame's array) + the live generator
@@ -225,11 +219,18 @@ class LaneHostCodec(VideoCodec):
 
     def _locate(self, data: bytes) -> tuple[int, int]:
         t = struct.unpack("<I", data)[0]
-        wi = 0
-        for i, b in enumerate(self._bases):
-            if b <= t:
-                wi = i
+        wi = bisect.bisect_right(self._bases, t) - 1
         return wi, t - self._bases[wi]
+
+    def _advance(self) -> None:
+        """Compose the cached window's next frame; record the carry when
+        the window completes."""
+        assert self._win_gen is not None
+        self._win_frames.append(next(self._win_gen))
+        if len(self._win_frames) == self.cont.windows[self._win_wi].T:
+            self._win_gen = None
+            self._carry = self._win_frames[-1]
+            self._carry_wi = self._win_wi
 
     def _finish_window(self) -> None:
         """Drain the cached window's generator so its carry is recorded —
@@ -238,11 +239,7 @@ class LaneHostCodec(VideoCodec):
         frames are stills is otherwise never driven to completion, because
         decompress_p's still shortcut skips _frame)."""
         while self._win_gen is not None:
-            self._win_frames.append(next(self._win_gen))
-            if len(self._win_frames) == self.cont.windows[self._win_wi].T:
-                self._win_gen = None
-                self._carry = self._win_frames[-1]
-                self._carry_wi = self._win_wi
+            self._advance()
 
     def _frame(self, wi: int, lt: int) -> np.ndarray:
         """Frame lt of window wi, composing lazily up to it.  Seek latency
@@ -269,12 +266,7 @@ class LaneHostCodec(VideoCodec):
             self._win_frames = []
             self._win_gen = compose_steps(w, self.cont.X, self.cont.Y, carry)
         while len(self._win_frames) <= lt:
-            assert self._win_gen is not None
-            self._win_frames.append(next(self._win_gen))
-            if len(self._win_frames) == self.cont.windows[wi].T:
-                self._win_gen = None
-                self._carry = self._win_frames[-1]
-                self._carry_wi = wi
+            self._advance()
         return self._win_frames[lt]
 
     # -- VideoCodec contract (IVideoCodec.hx:16-29) ----------------------------

@@ -81,6 +81,11 @@ def _trim_window(out: dict, n: int) -> dict:
     return out
 
 
+def _pow2ceil(n: int) -> int:
+    """Smallest power of two >= max(n, 1) — the jit-key bucketing unit."""
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 def _window_barrier(*arrays):
     """Synchronize a window's outputs before its pooled host buffers are
     rewritten.  Needed on the CPU backend only: the CPU PJRT client stages
@@ -592,9 +597,7 @@ class VideoIngestPipeline:
             # compile per distinct length (pad frames are changed=False
             # stills: the scan passes carry through and they are never
             # emitted — same invariant u_pad/ur_pad bucketing keeps)
-            Tpad = 1
-            while Tpad < max(max(ts), 1):
-                Tpad <<= 1
+            Tpad = _pow2ceil(max(ts))
             btype = np.zeros((BG, Tpad, nb), dtype=np.uint8)
             rect = np.zeros((BG, Tpad, nb, 4), dtype=np.uint8)
             mvk = np.zeros((BG, Tpad, K, 2), dtype=np.int32)
@@ -626,17 +629,13 @@ class VideoIngestPipeline:
             # deterministically so jit keys stay bounded; padded payload
             # decodes into unit rows nothing references, padded row-table
             # rows are all-zero tuples no frame's row_idx points at
-            ur_pad = 1
-            while ur_pad < max((rt.shape[0] for rt in rtabs
-                                if rt is not None), default=1):
-                ur_pad <<= 1
+            ur_pad = _pow2ceil(max((rt.shape[0] for rt in rtabs
+                                    if rt is not None), default=1))
             row_table = np.zeros((BG, ur_pad, ncol), dtype=np.int32)
             for e, rt in enumerate(rtabs):
                 if rt is not None:
                     row_table[e, : rt.shape[0]] = rt
-            u_pad = 1
-            while u_pad < max(max(u_real), 1):
-                u_pad <<= 1
+            u_pad = _pow2ceil(max(u_real))
             if raw_mode:
                 payload = np.zeros((BG, u_pad, 3, 128), dtype=np.uint8)
                 for e, w in enumerate(wins):
@@ -644,11 +643,9 @@ class VideoIngestPipeline:
                         payload[e, : w.n_units] = w.payload
             else:
                 need_steps = -(-3 * u_pad * 128 // N)
-                steps = 1
-                while steps < need_steps:
-                    steps <<= 1
-                steps = max(steps, max((w.refills.shape[0] for w in wins
-                                        if w is not None), default=1))
+                steps = max(_pow2ceil(need_steps),
+                            max((w.refills.shape[0] for w in wins
+                                 if w is not None), default=1))
                 refills = np.zeros((BG, steps, N, 2), dtype=np.uint8)
                 states = np.zeros((BG, N), dtype=np.uint32)
                 freq = np.ones((BG, 256), dtype=np.int32)
