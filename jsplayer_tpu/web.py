@@ -295,7 +295,10 @@ class PlayerServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     self._json(outer.control(req.get("cmd", ""),
                                              req.get("arg")))
-                except (ValueError, KeyError) as e:
+                except (ValueError, KeyError, TypeError, OverflowError) as e:
+                    # page-supplied input must never kill the request
+                    # thread silently: None/dict args raise TypeError,
+                    # inf→int raises OverflowError — all are 400s
                     self._json({"error": str(e)}, 400)
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)

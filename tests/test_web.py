@@ -325,3 +325,38 @@ def test_wait_mode_failed_load_is_retryable():
         assert json.loads(_get(srv, "/info"))["wait"] is True
     finally:
         srv.stop()
+
+
+def test_control_malformed_inputs_return_400(server):
+    """Page-supplied /control input must never kill the request thread:
+    None/dict args (TypeError), inf seeks (OverflowError), NaN fractions
+    (ValueError) and garbage JSON all come back as clean error responses,
+    and the server keeps serving afterwards."""
+    import urllib.error
+    import urllib.request
+
+    srv, p = server
+
+    def post(body: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/control", data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    bad = [
+        b"{not json",
+        b'{"cmd": "seek"}',                      # arg None -> TypeError
+        b'{"cmd": "seek", "arg": {"x": 1}}',     # dict -> TypeError
+        b'{"cmd": "seek", "arg": Infinity}',     # inf -> OverflowError
+        b'{"cmd": "seek", "arg": NaN}',          # nan -> ValueError
+        b'{"cmd": "resize", "arg": 3}',          # not a pair -> TypeError
+    ]
+    for body in bad:
+        code, resp = post(body)
+        assert code == 400 and "error" in resp, (body, code, resp)
+    # the server is still healthy
+    code, resp = post(b'{"cmd": "pause"}')
+    assert code == 200 and resp["ok"]
