@@ -360,3 +360,22 @@ def test_control_malformed_inputs_return_400(server):
     # the server is still healthy
     code, resp = post(b'{"cmd": "pause"}')
     assert code == 200 and resp["ok"]
+
+
+def test_paused_state_polls_do_no_decode_work(server):
+    """The reference's known defect is CPU/GPU load while PAUSED
+    (readme.txt:8-9, an OpenFL glitch).  This chrome must idle: once the
+    decode-ahead ring is full, paused /state polls present no new frame
+    (stable frame_serial — the page then skips /frame.rgba refetches) and
+    decode no further frames."""
+    from jsplayer_tpu.utils.logging import LOG
+
+    srv, p = server
+    assert _post(srv, "pause")["ok"]
+    # drain decode-ahead until the ring is full
+    for _ in range(50):
+        _state(srv)
+    before = LOG.counters["frames_decoded"]
+    serials = {_state(srv)["frame_serial"] for _ in range(30)}
+    assert len(serials) == 1
+    assert LOG.counters["frames_decoded"] == before
