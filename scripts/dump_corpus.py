@@ -25,6 +25,9 @@ def main():
     if kind == "terminal":
         T = int(sys.argv[3]) if len(sys.argv) > 3 else 240
         frames = corpora.terminal_session(T=T, Y=Y, X=X, seed=0)
+    elif kind == "video_call":
+        T = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+        frames = corpora.video_call(T=T, Y=Y, X=X, seed=0)
     else:
         T = int(sys.argv[3]) if len(sys.argv) > 3 else 64
         frames = corpora.screen_mix(T=T, Y=Y, X=X, stills=1 / 3, seed=3)
