@@ -1009,3 +1009,25 @@ def test_lane_ragged_gop_group_on_mesh():
             np.testing.assert_array_equal(
                 got[b][t] & 0x00FFFFFF, golds[b][t] & 0x00FFFFFF,
                 err_msg=f"stream {b} frame {t}")
+
+
+def test_lane_ragged_model_input_parity():
+    """Fused model tensors over RAGGED (keyframe-snapped) lane windows
+    match the kmv pipeline's on the same content — the concat emit path
+    must feed _model_tensors exactly the real frames."""
+    X, Y, T = 64, 48, 14
+    avi, gold = make_avi(12, X, Y, T, key_every=5)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    c = lane_format.container_from_bytes(cont)
+    assert len(set(w.T for w in c.windows)) > 1  # genuinely ragged
+    lane = VideoIngestPipeline(
+        [MemorySource(cont)],
+        IngestConfig(sp_device_path="lane", emit_model_input=True))
+    kmv = VideoIngestPipeline(
+        [MemorySource(avi)],
+        IngestConfig(window=14, sp_device_path="kmv", emit_model_input=True))
+    lt = np.concatenate([np.asarray(b["model_input"], dtype=np.float32)[0]
+                         for b in lane], axis=0)
+    (kw,) = list(kmv)
+    kt = np.asarray(kw["model_input"], dtype=np.float32)[0]
+    np.testing.assert_array_equal(lt, kt)
