@@ -116,13 +116,35 @@ function seekClick(ev) {
 function applyZoom() {
   const z = document.getElementById('zoom').value;
   if (!info) return;
-  if (z === 'fit') { cv.style.width = '90vw'; cv.style.height = 'auto'; }
-  else { cv.style.width = (info.width * z) + 'px'; cv.style.height = 'auto'; }
+  const el = domImg || cv;
+  if (z === 'fit') { el.style.width = '90vw'; el.style.height = 'auto'; }
+  else { el.style.width = (info.width * z) + 'px'; el.style.height = 'auto'; }
 }
 function fullscreen() { document.getElementById('wrap').requestFullscreen(); }
+// ?dom=1 renders through an <img> DOM element instead of the canvas —
+// the reference's -Ddom build variant (readme.txt:8-9 discusses its
+// trade-offs; mk.bat builds it).  Same bytes, different presentation
+// path: the RGBA frame is drawn to an offscreen canvas then swapped in
+// as the img src.
+const DOM_MODE = new URLSearchParams(location.search).get('dom') === '1';
+let domImg = null;
 async function drawFrame() {
   const buf = await (await fetch('/frame.rgba')).arrayBuffer();
   const img = new ImageData(new Uint8ClampedArray(buf), info.width, info.height);
+  if (DOM_MODE) {
+    if (!domImg) {
+      domImg = document.createElement('img');
+      domImg.id = 'cvimg';
+      domImg.style.display = 'block';
+      domImg.style.imageRendering = 'pixelated';
+      cv.replaceWith(domImg);
+    }
+    const off = document.createElement('canvas');
+    off.width = info.width; off.height = info.height;
+    off.getContext('2d').putImageData(img, 0, 0);
+    domImg.src = off.toDataURL();
+    return;
+  }
   ctx2().putImageData(img, 0, 0);
 }
 function syncAudio(st) {    // WebAudio playback analog (AudioTrack.Play)

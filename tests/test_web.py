@@ -379,3 +379,15 @@ def test_paused_state_polls_do_no_decode_work(server):
     serials = {_state(srv)["frame_serial"] for _ in range(30)}
     assert len(serials) == 1
     assert LOG.counters["frames_decoded"] == before
+
+
+def test_page_carries_dom_render_mode(server):
+    """?dom=1 renders frames through an <img> DOM element instead of the
+    canvas — the reference's -Ddom build variant (readme.txt:8-9; mk.bat).
+    The page ships both paths; the query switch selects at load."""
+    srv, p = server
+    page = _get(srv, "/").decode()
+    assert "DOM_MODE" in page and "dom=1" not in page.split("?")[0]
+    assert "toDataURL" in page           # the img-swap path
+    assert "putImageData" in page        # the canvas path stays default
+    assert "URLSearchParams(location.search).get('dom')" in page
