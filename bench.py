@@ -26,15 +26,43 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
 
 import numpy as np
 
-Y, X = 1080, 1920
-T = 64        # GOP-sized scan window (production ingest shape)
+# env-overridable so the wedge-simulation test can shrink the workload
+Y = int(os.environ.get("BENCH_Y", 1080))
+X = int(os.environ.get("BENCH_X", 1920))
+T = int(os.environ.get("BENCH_T", 64))  # GOP-sized scan window
 BASELINE = 10_000.0  # north-star target (BASELINE.md)
+
+
+def probe_device(timeout_s: float) -> bool:
+    """Time-boxed SUBPROCESS probe of accelerator liveness.
+
+    The axon tunnel wedges for hours (rounds 1 and 4) and a hung backend
+    init poisons the whole process — ``import jax`` itself may never
+    return — so the probe must run in a child we can kill.  True only if
+    the child enumerated devices AND completed one dispatch + readback
+    inside the deadline.  ``BENCH_FORCE_PROBE_FAIL`` simulates the wedge
+    for tests.
+    """
+    import subprocess
+
+    if os.environ.get("BENCH_FORCE_PROBE_FAIL"):
+        return False
+    code = ("import jax, jax.numpy as jnp; "
+            "d = jax.devices(); "
+            "print('ALIVE', int(jnp.ones(8).sum()), d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+    except Exception:  # noqa: BLE001 — any probe failure means "not alive"
+        return False
+    return r.returncode == 0 and b"ALIVE 8" in r.stdout
 
 
 def real_stream_commands():
@@ -86,12 +114,29 @@ def real_stream_commands():
 
 
 def main() -> None:
+    t_start = time.perf_counter()
+    # Device liveness gate (round-4 lesson: a wedged tunnel turned the
+    # driver artifact into `value: 0.0, all_paths: {}` — indistinguishable
+    # at a glance from a catastrophic perf regression).  Probe in a
+    # killable subprocess BEFORE any in-process jax import — a hung axon
+    # backend init poisons the whole process.  On failure, hard-pin jax to
+    # cpu (the env var alone does not stop the axon plugin winning
+    # platform selection at import time) and emit an honest record with
+    # every host and wire-size row plus `device_unavailable: true`.
+    device_ok = probe_device(
+        float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 180)))
+    if not device_ok:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print("[bench] device probe FAILED — host/wire rows only",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
     from jsplayer_tpu.kernels import sp_recon
 
-    t_start = time.perf_counter()
+    if not device_ok:
+        jax.config.update("jax_platforms", "cpu")
     # soft deadline for the OPTIONAL rows (curve/terminal/lane/model):
     # the headline paths always run; extras are skipped once elapsed time
     # passes this, so the single JSON line is guaranteed to print even
@@ -113,6 +158,10 @@ def main() -> None:
     HARD_DEADLINE_S = float(_os.environ.get("BENCH_HARD_DEADLINE_S", 1500))
     results = {}
     marks = {}
+    # every completed non-headline row lands here the moment it finishes,
+    # so BOTH the watchdog payload and the final line carry it (round-4
+    # fix: the wedged run had finished the host row yet reported nothing)
+    extras = {}
     _emit_lock = _threading.Lock()
     _emitted = [False]
 
@@ -130,21 +179,23 @@ def main() -> None:
         # snapshot under retry: the main thread mutates results/marks
         # without a lock, and a mid-iteration RuntimeError here would kill
         # the watchdog silently — the one failure it exists to prevent
-        snap, msnap = {}, {}
+        snap, msnap, psnap = {}, {}, {}
         for _ in range(5):
             try:
-                snap, msnap = dict(results), dict(marks)
+                snap, msnap, psnap = dict(results), dict(marks), dict(extras)
                 break
             except RuntimeError:
                 time.sleep(0.05)
         try:
             live = [(v, k) for k, v in snap.items() if v]
-            val, path = max(live) if live else (0.0, "none")
+            val, path = max(live) if live else (None, "none")
             emit_once({
+                **psnap,
                 "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
-                "value": round(val, 1),
+                "value": None if val is None else round(val, 1),
                 "unit": "frames/s",
-                "vs_baseline": round(val / BASELINE, 3),
+                "vs_baseline": (None if val is None
+                                else round(val / BASELINE, 3)),
                 "path": path,
                 "watchdog_fired": True,
                 "all_paths": {k: (round(v, 1) if v else None)
@@ -181,6 +232,9 @@ def main() -> None:
     mark("host_encode_and_transports")
     if real is not None:
         got, kmv_host, host_fps, bc_host, host_bc_fps, corpus_streams = real
+        extras["host_stage_kmv_fps_per_core"] = round(host_fps, 1)
+        extras["host_stage_fps_per_core"] = round(host_bc_fps, 1)
+        extras["source"] = "real-encoded-1080p-screen-content"
         # device_put, not jnp.array: 24x faster for big numpy uploads here
         bts = jax.device_put(got["bts"][0])
         mv = jax.device_put(got["mv"][0])
@@ -209,6 +263,72 @@ def main() -> None:
         bc_host = None
         corpus_streams = None
         source = "synthetic-commands"
+        extras["source"] = source
+
+    if not device_ok:
+        # ---- degraded record: every host + wire-size row, no device rows
+        # (round-4 directive: a wedged tunnel must never produce a 0.0
+        # headline — the host half of the pipeline is measurable and the
+        # wire sizes are deterministic; emit them with the flag set) ----
+        if real is not None:
+            try:
+                from jsplayer_tpu.codecs import lane_format
+                from jsplayer_tpu.encode.avi_mux import mux_avi
+                from jsplayer_tpu.transcode import transcode_to_lane
+
+                avi = mux_avi(corpus_streams, X, Y, 24, codec="SPV4",
+                              keyflags=[t == 0 for t in range(T)])
+                lane_bytes = {"avi": len(avi)}
+                cont_bytes = transcode_to_lane(avi, window=T, K=2)
+                lane_bytes["raw_deflate"] = len(cont_bytes)
+                t0 = time.perf_counter()
+                cont = lane_format.container_from_bytes(cont_bytes)
+                w0 = cont.windows[0]
+                w0.row_index(Y, lane_format.plane_cols(X) // 128)
+                extras["lane_host_prep_ms_per_window"] = round(
+                    (time.perf_counter() - t0) * 1e3, 1)
+                lane_bytes["raw"] = len(transcode_to_lane(
+                    avi, window=T, K=2, compress=False))
+                extras["lane_container_bytes"] = lane_bytes
+            except Exception:  # noqa: BLE001 — keep the row null
+                traceback.print_exc(file=sys.stderr)
+            mark("wire_sizes")
+            try:
+                if time.perf_counter() - t_start < 90:
+                    from jsplayer_tpu.utils import corpora
+                    from jsplayer_tpu import native as _nat
+
+                    Tt = min(240, 4 * T)
+                    frames_t = corpora.terminal_session(T=Tt, Y=Y, X=X,
+                                                        seed=0)
+                    enc3 = _nat.NativeScreenPressorEncoder(4, X, Y)
+                    streams_t = corpora.encode_frames(frames_t, enc3)
+                    bct = _nat.native_sp_decode_streams_bc(
+                        [streams_t], X, Y, K=2)
+                    best = float("inf")
+                    for _ in range(6):
+                        t0 = time.perf_counter()
+                        bct = _nat.native_sp_decode_streams_bc(
+                            [streams_t], X, Y, K=2, out=bct)
+                        best = min(best, time.perf_counter() - t0)
+                    extras["terminal_host_bc_fps_per_core"] = round(
+                        Tt / best, 1)
+            except Exception:  # noqa: BLE001 — keep the row null
+                traceback.print_exc(file=sys.stderr)
+            mark("terminal_host")
+        _wd.cancel()
+        emit_once({
+            **extras,
+            "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "path": None,
+            "device_unavailable": True,
+            "all_paths": {},
+            "row_wall_s": marks,
+        })
+        return
 
     init = jnp.zeros((Y, X), jnp.uint32)
     dev = jax.device_put((init, bts, mv, rect, payload, changed))
@@ -354,6 +474,7 @@ def main() -> None:
 
             avi = mux_avi(corpus_streams, X, Y, 24, codec="SPV4",
                           keyflags=[t == 0 for t in range(T)])
+            extras["lane_container_bytes"] = lane_bytes  # live reference
             lane_bytes["avi"] = len(avi)
             cont_bytes = transcode_to_lane(avi, window=T, K=2)  # raw+deflate
             lane_bytes["raw_deflate"] = len(cont_bytes)
@@ -369,6 +490,8 @@ def main() -> None:
                  jnp.asarray(w.mvk), jnp.asarray(row_table),
                  jnp.asarray(row_idx), jnp.asarray(w.changed)))
             lane_fps = timed(lane_recon.decode_window_raw, *raw_args)
+            extras["lane_ingest_fps"] = round(lane_fps, 1)
+            extras["lane_host_prep_ms_per_window"] = round(lane_prep_ms, 1)
             # production lane config: still-elision keeps stills out of
             # the scan (ingest's compact_arrays_batch semantics) —
             # delivered-frame convention as the kmv headline
@@ -380,6 +503,7 @@ def main() -> None:
                  jnp.asarray(row_idx[sel]), jnp.ones(sel.size, bool)))
             lane_elision_fps = timed(lane_recon.decode_window_raw,
                                      *el_args, tries=3)
+            extras["lane_ingest_elision_fps"] = round(lane_elision_fps, 1)
             lane_bytes["raw"] = len(transcode_to_lane(
                 avi, window=T, K=2, compress=False))
     except Exception:  # noqa: BLE001 — keep the row null, but say why
@@ -403,6 +527,7 @@ def main() -> None:
             tdev = jax.device_put((init, pcc_t, mvkc_t))
             terminal_fps = timed(sp_recon.decode_sequence_kmv_compact,
                                  *tdev, frames=Tt)
+            extras["terminal_corpus_fps"] = round(terminal_fps, 1)
             bct = _nat.native_sp_decode_streams_bc([streams_t], X, Y, K=2)
             best = float("inf")
             for _ in range(6):
@@ -411,6 +536,8 @@ def main() -> None:
                                                        K=2, out=bct)
                 best = min(best, time.perf_counter() - t0)
             terminal_host_bc_fps = Tt / best
+            extras["terminal_host_bc_fps_per_core"] = round(
+                terminal_host_bc_fps, 1)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
     mark("terminal_corpus")
@@ -436,6 +563,7 @@ def main() -> None:
                 sdev = jax.device_put((init, pcc_s, mvkc_s))
                 stills_curve[f"{s:.2f}"] = round(timed(
                     sp_recon.decode_sequence_kmv_compact, *sdev, tries=3), 1)
+                extras["stills_curve_fps"] = stills_curve
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
     mark("stills_curve")
@@ -470,6 +598,7 @@ def main() -> None:
                 lane_recon.decode_window_lane(i, rf, st, fq, bt, rc, mk,
                                               rt, ri, ch, U=w2.n_units),
                 *rans_args, tries=3)
+            extras["lane_rans_ingest_fps"] = round(lane_rans_fps, 1)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
     mark("lane_rans")
@@ -490,6 +619,10 @@ def main() -> None:
                 lambda i, p, m: sp_recon.decode_sequence_kmv_compact_model(
                     i, p, m, downscale=2, packed=True)[1],
                 *cdev, tries=3)
+            extras["model_ingest_ds2_elision_fps"] = round(
+                model_elision_fps, 1)
+            extras["model_ingest_ds2_packed_fps"] = round(
+                model_packed_fps, 1)
         if not over_budget():
             # packed-ds2 CONSUMER contract (VERDICT r3 item 7): delivered
             # fps INCLUDING the consuming model step (ViT-style patch
@@ -519,11 +652,16 @@ def main() -> None:
                 packed_then_consume, *cdev, wconv, tries=3)
             model_consumer_fps = timed(
                 unpacked_then_consume, *cdev, wconv, tries=3)
+            extras["model_packed_consumer_fps"] = round(
+                model_packed_consumer_fps, 1)
+            extras["model_unpacked_consumer_fps"] = round(
+                model_consumer_fps, 1)
         if not over_budget():
             model_fps = timed(
                 lambda i, p, m, c: sp_recon.decode_batch_kmv_model(
                     i[None], p[None], m[None], c[None], downscale=2)[1],
                 *kdev, tries=3)
+            extras["model_ingest_ds2_fps"] = round(model_fps, 1)
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
     mark("model_rows")
@@ -570,13 +708,17 @@ def main() -> None:
     if live:
         frames_per_sec, best_path = max(live)
     else:
-        frames_per_sec, best_path = 0.0, "none"  # all paths failed (tunnel?)
+        # all device paths failed (tunnel died mid-run?) — report null,
+        # never 0.0: a zero reads as a catastrophic perf regression
+        frames_per_sec, best_path = None, "none"
     _wd.cancel()
     emit_once({
         "metric": "sp_1080p_device_decode_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 1),
+        "value": None if frames_per_sec is None else round(frames_per_sec, 1),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / BASELINE, 3),
+        "vs_baseline": (None if frames_per_sec is None
+                        else round(frames_per_sec / BASELINE, 3)),
+        "device_unavailable": frames_per_sec is None,
         "source": source,
         "path": best_path,
         "all_paths": {k: (round(v, 1) if v else None)

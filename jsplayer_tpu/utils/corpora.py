@@ -67,11 +67,17 @@ def screen_mix(T: int = 64, Y: int = 1080, X: int = 1920,
 def _draw_text_line(f, x0, y0, n_chars, rng, fg, bg):
     """Glyph-like blobs: per character a 7x11 cell with random set pixels
     (text has codec-relevant structure: high-contrast small features)."""
+    Yf, Xf = f.shape
     for c in range(n_chars):
         cx = x0 + c * 9
         glyph = rng.random((11, 7)) < 0.45
         cell = np.where(glyph, fg, bg).astype(np.uint32)
-        f[y0 : y0 + 11, cx : cx + 7] = cell
+        # clip to the frame: small test frames would otherwise hit a
+        # numpy broadcast error on the final partially-visible glyph
+        h, w = min(11, Yf - y0), min(7, Xf - cx)
+        if h <= 0 or w <= 0:
+            break
+        f[y0 : y0 + h, cx : cx + w] = cell[:h, :w]
 
 
 def terminal_session(T: int = 240, Y: int = 1080, X: int = 1920,
@@ -90,8 +96,11 @@ def terminal_session(T: int = 240, Y: int = 1080, X: int = 1920,
     win_bg = pack(24, 24, 28)
     fg = pack(200, 220, 200)
     chrome = pack(60, 60, 70)
-    # window geometry
-    wx, wy, ww, wh = 140, 80, 1640, 920
+    # window geometry — clamped so small test frames still get a valid
+    # terminal window; bit-identical to the fixed 140/80/1640/920 layout
+    # at the standard 1080p capture size
+    wx, wy = min(140, X // 8), min(80, Y // 8)
+    ww, wh = min(1640, X - wx - 8), min(920, Y - wy - 8)
     f = np.full((Y, X), desk, dtype=np.uint32)
     # desktop icons
     for _ in range(8):
@@ -153,7 +162,7 @@ def terminal_session(T: int = 240, Y: int = 1080, X: int = 1920,
         else:  # repaint: window content switches wholesale
             f[wy + 24 : wy + wh, wx : wx + ww] = win_bg
             cur_row, cur_col = 0, 0
-            for _ in range(int(rng.integers(4, rows // 2))):
+            for _ in range(int(rng.integers(4, max(5, rows // 2)))):
                 new_line(int(rng.integers(10, 140)))
         frames.append(f.copy())
     return frames
