@@ -32,9 +32,11 @@ Main.hx:1037) and refetches the frame only when a new one was presented.
 from __future__ import annotations
 
 import json
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+from urllib.parse import urlsplit
 
 from .core.source import open_source
 from .player import Player, PlayerConfig
@@ -94,6 +96,7 @@ let info = null, lastSerial = -1, playing = false, hasAudio = false;
 const cv = document.getElementById('cv'), ctx2 = () => cv.getContext('2d');
 async function post(cmd, arg) {
   const r = await fetch('/control', {method:'POST',
+    headers: {'X-Control-Token': '%(token)s'},
     body: JSON.stringify({cmd:cmd, arg:arg})});
   return r.json();
 }
@@ -231,6 +234,11 @@ class PlayerServer:
         # page's start button (or spplay) asks for it
         self._deferred = None
         self._wav_cache: Optional[bytes] = None
+        # per-session CSRF token: embedded in the served page, required
+        # by /control (advisor r4 — a cross-origin POST is a
+        # no-preflight simple request, so loopback binding alone does
+        # not stop a hostile page from driving the player)
+        self.control_token = secrets.token_hex(16)
         if source is not None:
             if self.player.config.wait:
                 self._deferred = source
@@ -250,21 +258,67 @@ class PlayerServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            # -- request-origin discipline (advisor r4, medium): the
+            # server binds loopback, but that alone stops neither CSRF
+            # (a cross-origin POST is a no-preflight simple request) nor
+            # DNS rebinding (evil.com resolving to 127.0.0.1 makes
+            # /frame.rgba readable cross-origin).  Three independent
+            # gates: Host must name this loopback server (kills
+            # rebinding for ALL endpoints), Origin — when a browser
+            # sent one — must be a loopback origin (kills CSRF), and
+            # /control additionally needs the per-session random token
+            # the served page embeds (kills anything that slips both).
+
+            def _local_host(self):
+                host = (self.headers.get("Host") or "").strip().lower()
+                if host.startswith("["):          # [::1]:port
+                    name = host.split("]", 1)[0] + "]"
+                else:
+                    name = host.split(":", 1)[0]
+                return name in ("127.0.0.1", "localhost", "[::1]")
+
+            def _local_origin(self):
+                origin = (self.headers.get("Origin") or "").strip()
+                if not origin:
+                    return True  # non-browser client (curl, tests)
+                try:
+                    h = urlsplit(origin).hostname
+                except ValueError:
+                    return False
+                return h in ("127.0.0.1", "localhost", "::1")
+
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
+                try:
+                    self._get_routes()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-write
+                except Exception as e:  # noqa: BLE001 — always answer
+                    try:
+                        self._json(
+                            {"error": f"{type(e).__name__}: {e}"}, 500)
+                    except OSError:
+                        pass
+
+            def _get_routes(self):
+                if not self._local_host():
+                    return self._json({"error": "forbidden host"}, 403)
+                # strip the query: /?dom=1 must serve the page, not 404
+                path = self.path.split("?", 1)[0]
+                if path in ("/", "/index.html"):
                     colors = dict(_DEFAULT_COLORS)
                     colors.update(outer.player.config.colors or {})
+                    colors["token"] = outer.control_token
                     body = (_PAGE % colors).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
-                elif self.path == "/info":
+                elif path == "/info":
                     self._json(outer.info())
-                elif self.path == "/state":
+                elif path == "/state":
                     self._json(outer.state())
-                elif self.path == "/frame.rgba":
+                elif path == "/frame.rgba":
                     data = outer.frame_rgba()
                     self.send_response(200)
                     self.send_header("Content-Type",
@@ -272,7 +326,7 @@ class PlayerServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
-                elif self.path == "/audio.wav":
+                elif path == "/audio.wav":
                     data = outer.audio_wav()
                     if data is None:
                         return self._json({"error": "no audio"}, 404)
@@ -310,17 +364,39 @@ class PlayerServer:
                     self._json({"error": "not found"}, 404)
 
             def do_POST(self):
-                if self.path != "/control":
+                try:
+                    self._post_control()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-write
+                except Exception as e:  # noqa: BLE001 — always answer
+                    try:
+                        self._json(
+                            {"error": f"{type(e).__name__}: {e}"}, 500)
+                    except OSError:
+                        pass
+
+            def _post_control(self):
+                if self.path.split("?", 1)[0] != "/control":
                     return self._json({"error": "not found"}, 404)
+                if not (self._local_host() and self._local_origin()):
+                    return self._json({"error": "forbidden"}, 403)
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    token = (self.headers.get("X-Control-Token")
+                             or req.get("token"))
+                    if token != outer.control_token:
+                        # state-changing verbs need the per-session
+                        # token the served page embeds
+                        return self._json({"error": "bad token"}, 403)
                     self._json(outer.control(req.get("cmd", ""),
                                              req.get("arg")))
-                except (ValueError, KeyError, TypeError, OverflowError) as e:
+                except (ValueError, KeyError, TypeError, OverflowError,
+                        OSError) as e:
                     # page-supplied input must never kill the request
                     # thread silently: None/dict args raise TypeError,
-                    # inf→int raises OverflowError — all are 400s
+                    # inf→int raises OverflowError, load of a missing
+                    # path raises FileNotFoundError — all are 400s
                     self._json({"error": str(e)}, 400)
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)

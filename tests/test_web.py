@@ -40,7 +40,8 @@ def _get(srv, path):
 def _post(srv, cmd, arg=None):
     body = json.dumps({"cmd": cmd, "arg": arg}).encode()
     req = urllib.request.Request(
-        f"http://127.0.0.1:{srv.port}/control", data=body, method="POST")
+        f"http://127.0.0.1:{srv.port}/control", data=body, method="POST",
+        headers={"X-Control-Token": srv.control_token})
     with urllib.request.urlopen(req, timeout=10) as r:
         return json.loads(r.read())
 
@@ -339,7 +340,8 @@ def test_control_malformed_inputs_return_400(server):
 
     def post(body: bytes):
         req = urllib.request.Request(
-            f"http://127.0.0.1:{srv.port}/control", data=body, method="POST")
+            f"http://127.0.0.1:{srv.port}/control", data=body, method="POST",
+            headers={"X-Control-Token": srv.control_token})
         try:
             with urllib.request.urlopen(req, timeout=10) as r:
                 return r.status, json.loads(r.read())
@@ -391,3 +393,77 @@ def test_page_carries_dom_render_mode(server):
     assert "toDataURL" in page           # the img-swap path
     assert "putImageData" in page        # the canvas path stays default
     assert "URLSearchParams(location.search).get('dom')" in page
+
+
+def test_request_origin_discipline(server):
+    """Advisor r4 (medium): loopback binding alone stops neither CSRF (a
+    cross-origin POST is a no-preflight simple request) nor DNS rebinding
+    (evil.com resolving to 127.0.0.1 exposes /frame.rgba).  Three gates:
+    Host must name this loopback server, a browser-sent Origin must be a
+    loopback origin, and /control needs the page's per-session token."""
+    import urllib.error
+    import urllib.request
+
+    srv, p = server
+    url = f"http://127.0.0.1:{srv.port}"
+
+    def req(path, headers, body=None):
+        r = urllib.request.Request(
+            url + path, data=body, headers=headers,
+            method="POST" if body is not None else "GET")
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    play = json.dumps({"cmd": "pause"}).encode()
+    tok = {"X-Control-Token": srv.control_token}
+    # DNS rebinding: a non-loopback Host is refused on every endpoint
+    assert req("/frame.rgba", {"Host": "evil.example:80"}) == 403
+    assert req("/state", {"Host": "evil.example"}) == 403
+    assert req("/control", {"Host": "evil.example", **tok}, play) == 403
+    # CSRF: a cross-origin browser POST is refused even with the token
+    assert req("/control",
+               {"Origin": "http://evil.example", **tok}, play) == 403
+    # token: same-origin posts without the page token are refused
+    assert req("/control", {}, play) == 403
+    assert req("/control", {"X-Control-Token": "wrong"}, play) == 403
+    # and the legitimate combinations still work
+    assert req("/control", tok, play) == 200
+    assert req("/control", {"Origin": f"http://127.0.0.1:{srv.port}",
+                            **tok}, play) == 200
+    assert req("/state", {}) == 200
+    # the served page embeds the token for its own posts
+    assert srv.control_token in _get(srv, "/").decode()
+
+
+def test_dom_query_url_serves_page(server):
+    """Navigating to /?dom=1 (how the -Ddom variant is actually reached)
+    must serve the page, not 404 on the literal path match."""
+    srv, p = server
+    page = _get(srv, "/?dom=1").decode()
+    assert "DOM_MODE" in page
+
+
+def test_load_of_missing_path_is_clean_400(server):
+    """Advisor r4: control('load') with a nonexistent file used to raise
+    FileNotFoundError past the handler and kill the request with no
+    response; it must come back as a clean JSON 400."""
+    import urllib.error
+    import urllib.request
+
+    srv, p = server
+    body = json.dumps({"cmd": "load",
+                       "arg": "/nonexistent/path.avi"}).encode()
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/control", data=body, method="POST",
+        headers={"X-Control-Token": srv.control_token})
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            code, payload = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        code, payload = e.code, json.loads(e.read())
+    assert code in (200, 400) and "error" in payload
+    # server is still healthy
+    assert _post(srv, "pause")["ok"]
