@@ -701,6 +701,13 @@ def _inflate_exact(comp: memoryview, expect: int, what: str) -> bytes:
     the surrounding fields imply."""
     import zlib
 
+    # reject before allocating: deflate expands at most ~1032:1, so an
+    # `expect` beyond that ratio can never check out — without this, a
+    # ~25 MB file claiming U near the cap drives a multi-GiB buffer
+    # allocation before the exact-size check fails (advisor r4)
+    if expect > len(comp) * 1032 + 64:
+        raise ValueError(
+            f"lane window: deflated {what} claims implausible expansion")
     try:
         dec = zlib.decompressobj()
         # max_length bounds the inflate output (zlib.decompress's bufsize
@@ -735,7 +742,10 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
         raise ValueError("lane window truncated (header)")
     T, U, n_active, steps, flags = struct.unpack_from("<HIIIB", buf, 0)
     if T == 0 or T > 1 << 12 or U > 1 << 26 or n_active > (1 << 12) * NB \
-            or steps > 1 << 24 or flags > 127:
+            or steps > 1 << 24 or flags > 127 or U > T * R:
+        # U > T*R can never be referenced (units are per-frame plane rows,
+        # strictly increasing and < R), so a crafted header claiming more
+        # is rejected before it can size any allocation (advisor r4)
         # T == 0 would silently reset chained carries (the serializer
         # never emits empty windows; fuzz/review-found)
         raise ValueError("implausible lane window header")

@@ -224,14 +224,26 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                 if dec.is_key_frame(src):
                     dec.decompress_i(src, dst)
                     sig[t] = True
+                    cur = dec.previous_frame()
+                    pixbuf[t] = (np.asarray(cur).reshape(Y, X)
+                                 if cur is not None else prev_px)
+                    # a keyframe becomes a full-frame data paint (the
+                    # I-frame capture shape), NOT a pixel diff: only that
+                    # shape derives as a restart window, and without
+                    # restarts an MSV1-sourced container has no clip-seek
+                    # or gop-shard entry points — Player seek would decode
+                    # from frame 0 (advisor r4, transcode.py)
+                    bts[t] = 1
+                    rect[t] = _full_rects(X, Y, nbx, nby)
+                    changed[t] = True
                 else:
                     res = dec.decompress_p(src, dst)
                     sig[t] = bool(res.significant_changes)
-                cur = dec.previous_frame()
-                pixbuf[t] = (np.asarray(cur).reshape(Y, X)
-                             if cur is not None else prev_px)
-                bts[t], rect[t], changed[t] = _diff_commands(
-                    pixbuf[t], prev_px, X, Y, nbx, nby)
+                    cur = dec.previous_frame()
+                    pixbuf[t] = (np.asarray(cur).reshape(Y, X)
+                                 if cur is not None else prev_px)
+                    bts[t], rect[t], changed[t] = _diff_commands(
+                        pixbuf[t], prev_px, X, Y, nbx, nby)
                 prev_px = pixbuf[t]
                 continue
             if use_native:
@@ -259,6 +271,18 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
             bts, mv, rect, pixbuf, changed, sig, X, Y, K, n_lanes,
             payload_mode=payload))
     return lane_format.container_to_bytes(cont, compress=compress)
+
+
+def _full_rects(X: int, Y: int, nbx: int, nby: int) -> np.ndarray:
+    """Per-block full rects (absolute coords, clipped at the frame edge)
+    — the I-frame capture shape derive_window recognizes as a restart."""
+    nb = nbx * nby
+    r = np.empty((nb, 4), dtype=np.int32)
+    r[:, 0] = (np.arange(nb) % nbx) * 16
+    r[:, 1] = (np.arange(nb) // nbx) * 16
+    r[:, 2] = np.minimum(r[:, 0] + 16, X)
+    r[:, 3] = np.minimum(r[:, 1] + 16, Y)
+    return r
 
 
 def _diff_commands(px: np.ndarray, prev: np.ndarray, X: int, Y: int,

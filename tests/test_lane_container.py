@@ -1031,3 +1031,83 @@ def test_lane_ragged_model_input_parity():
     (kw,) = list(kmv)
     kt = np.asarray(kw["model_input"], dtype=np.float32)[0]
     np.testing.assert_array_equal(lt, kt)
+
+
+def test_lane_inflate_expansion_ratio_bound():
+    """A deflated section claiming far more output than zlib's ~1032:1
+    max ratio can produce must be rejected BEFORE allocating the claimed
+    buffer (advisor r4: a ~25 MB file claiming U near the 2^26 cap drove
+    a multi-GiB allocation in _inflate_exact)."""
+    import zlib
+
+    comp = zlib.compress(b"\x00" * 1000, 9)  # tiny stream
+    with pytest.raises(ValueError, match="implausible expansion"):
+        lane_format._inflate_exact(memoryview(comp),
+                                   3 * (1 << 26) * 128, "bulk")
+    # an honest claim still inflates fine
+    out = lane_format._inflate_exact(memoryview(comp), 1000, "bulk")
+    assert out == b"\x00" * 1000
+
+
+def test_lane_implausible_unit_claim_rejected():
+    """A window header claiming more payload units than T*R (the most any
+    window of this geometry can reference) must reject at header parse,
+    before any allocation is sized from it."""
+    import struct
+
+    X, Y, T = 48, 32, 4
+    avi, _ = make_avi(9, X, Y, T)
+    cont = transcode_to_lane(avi, window=4)
+    hdr = struct.calcsize("<4sHHBBHIHII")
+    (rlen,) = struct.unpack_from("<I", cont, hdr)
+    rec = bytearray(cont[hdr + 4 : hdr + 4 + rlen])
+    struct.pack_into("<I", rec, 2, (1 << 26) - 1)  # U field
+    blob = (cont[:hdr] + struct.pack("<I", len(rec)) + bytes(rec)
+            + cont[hdr + 4 + rlen :])
+    with pytest.raises(ValueError, match="implausible lane window header"):
+        lane_format.container_from_bytes(blob)
+
+
+def test_lane_msv1_keyframes_become_restart_windows():
+    """Every MSV1 GOP lead must derive as a restart window: a keyframe is
+    synthesized as a full-frame data paint, not a pixel diff (a diff of a
+    repeated screen is even empty).  Without restarts an MSV1-sourced
+    container has no clip-seek / gop-shard entry points and Player seek
+    decodes from frame 0 (advisor r4, transcode.py)."""
+    from jsplayer_tpu.codecs import lane_host
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+
+    X, Y, T, key_every = 64, 48, 12, 4
+    rng = np.random.default_rng(3)
+    f = np.full((Y, X), from_rgb15(0x2222), dtype=np.uint32)
+    streams, gold, prev = [], [], None
+    for t in range(T):
+        f = f.copy()
+        if t % 3 != 2:
+            x0 = int(rng.integers(0, (X - 8) // 4)) * 4
+            y0 = int(rng.integers(0, (Y - 8) // 4)) * 4
+            f[y0 : y0 + 8, x0 : x0 + 8] = from_rgb15(
+                int(rng.integers(0, 0x8000)))
+        flat = f.reshape(-1)
+        key = t % key_every == 0
+        streams.append(encode_frame_16(flat, None if key else prev, X, Y))
+        gold.append(flat)
+        prev = flat
+    avi = mux_avi(streams, X, Y, 16, codec="CRAM",
+                  keyflags=[t % key_every == 0 for t in range(T)])
+    cont = lane_format.container_from_bytes(
+        transcode_to_lane(avi, window=4, K=2, align="keyframes"))
+    assert [w.restart for w in cont.windows] == [True] * len(cont.windows)
+    # keyframes are visible to the host codec (seek entry points)
+    codec = lane_host.LaneHostCodec(cont)
+    keys = [codec.is_key_frame(codec_chunk)
+            for codec_chunk in (lane_host.LaneHostCodec.frame_chunk(t)
+                                for t in range(T))]
+    assert keys == [t % key_every == 0 for t in range(T)]
+    # and decode parity still holds through the host path
+    host = list(lane_host.iter_frames(cont))
+    for t in range(T):
+        np.testing.assert_array_equal(
+            host[t].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
+            err_msg=f"frame {t}")
