@@ -87,7 +87,8 @@ def cmd_transcode(args) -> int:
         out = transcode_to_lane(data, window=args.window, K=args.kmv_k,
                                 payload=args.lane_payload,
                                 compress=not args.no_compress,
-                                align=args.align)
+                                align=args.align,
+                                jobs=getattr(args, "jobs", 1))
         desc = {"format": "lane", "window": args.window,
                 "payload": args.lane_payload, "align": args.align}
     else:

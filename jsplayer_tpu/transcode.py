@@ -108,7 +108,8 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                       use_native: Optional[bool] = None,
                       payload: str = "raw",
                       compress: bool = True,
-                      align: str = "keyframes") -> bytes:
+                      align: str = "keyframes",
+                      jobs: int = 1) -> bytes:
     """Re-encode a supported AVI (ScreenPressor v2/v3/v4 or MSVideo1
     8/16-bit) into the lane-container format (codecs/lane_format) so the
     host never touches entropy after demux (BASELINE config 4
@@ -126,7 +127,15 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
     The host stage decodes once with command capture (the same
     oracle/native path ingest uses) and derives per-window lane records;
     parity with the source AVI is by construction (derive_window mirrors
-    prepare_kmv's pixel semantics, tests/test_lane_container.py)."""
+    prepare_kmv's pixel semantics, tests/test_lane_container.py).
+
+    jobs > 1 (or 0 = all cores) derives restart-delimited units (runs of
+    windows starting at a keyframe) in parallel with per-unit fresh
+    decoders — byte-identical to the serial pass, since keyframes reset
+    all decode state.  This is the dense-content migration lever: the
+    one-time transcode pays the legacy per-symbol entropy wall
+    (ANS.hx:785-860 semantics), and GOPs are its only independent
+    units."""
     from . import native as _native
     from .codecs import lane_format
 
@@ -208,8 +217,90 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
         raise ValueError(f"align must be 'keyframes' or 'stride': {align!r}")
     bounds = list(zip(starts, starts[1:] + [len(frames)]))
 
+    import os as _os
+
+    if jobs == 0:
+        jobs = _os.cpu_count() or 1
+    if jobs > 1:
+        # Restart-delimited units: a window whose start frame is a
+        # keyframe decodes from a zero-init decoder (the gop-shard
+        # independence the ingest scheduler already relies on), so runs
+        # of windows between such starts are the stream's independent
+        # work units.  Mid-GOP windows chain on the previous window's
+        # carry and must stay in the same unit.  Unit boundaries — not
+        # window boundaries — are the parallel grain, so jobs>1 output
+        # is byte-identical to serial (dedup and span encoding are both
+        # per-window, lane_format).
+        if align == "keyframes":
+            keyset = set(keys)
+        else:
+            keyset = {t for t, src in enumerate(frames)
+                      if t == 0 or (src and dec.is_key_frame(src))}
+        units: list[list[tuple[int, int]]] = []
+        for b in bounds:
+            if units and b[0] not in keyset:
+                units[-1].append(b)
+            else:
+                units.append([b])
+    else:
+        units = [bounds] if bounds else []
+
+    if jobs > 1 and len(units) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_unit(unit):
+            return _derive_lane_unit(
+                frames, unit, _make_lane_decoder(vi, use_native), is_msv,
+                use_native, X, Y, nbx, nby, K, n_lanes, payload)
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            for ws in ex.map(run_unit, units):
+                cont.windows.extend(ws)
+    elif bounds:
+        cont.windows.extend(_derive_lane_unit(
+            frames, bounds, dec, is_msv, use_native, X, Y, nbx, nby, K,
+            n_lanes, payload))
+    return lane_format.container_to_bytes(cont, compress=compress)
+
+
+def _make_lane_decoder(vi: VideoInfo, use_native: bool):
+    """Fresh zero-init decoder for one restart unit (transcode_to_lane
+    jobs>1).  Starting each unit at a keyframe makes this equivalent to
+    the serial single-decoder pass (DataLoader.hx:125-132 GOP
+    independence)."""
+    X, Y = vi.width, vi.height
+    if vi.codec == CodecType.MSVC8:
+        from .codecs.msvideo1 import MSVideo1_8bit
+
+        dec = MSVideo1_8bit(X, Y, vi.palette or b"")
+    elif vi.codec == CodecType.MSVC16:
+        from .codecs.msvideo1 import MSVideo1_16bit
+
+        dec = MSVideo1_16bit(X, Y)
+    elif use_native:
+        from . import native as _native
+
+        dec = _native.NativeScreenPressor(X, Y, vi.bpp)
+    else:
+        from .codecs.screenpressor import ScreenPressor
+
+        dec = ScreenPressor(X, Y, vi.bpp)
+    dec.preinit(0)
+    return dec
+
+
+def _derive_lane_unit(frames, unit_bounds, dec, is_msv, use_native,
+                      X, Y, nbx, nby, K, n_lanes, payload):
+    """Decode one restart unit's frames and derive its lane windows.
+    `dec` must be positioned at the unit's first frame: either the
+    serial pass's continuing decoder, or a fresh zero-init one when the
+    unit starts at a keyframe (jobs>1)."""
+    from .codecs import lane_format
+
+    nb = nbx * nby
     prev_px = np.zeros((Y, X), dtype=np.uint32)
-    for start, end in bounds:
+    out: list = []
+    for start, end in unit_bounds:
         chunk = frames[start:end]
         T = len(chunk)
         bts = np.zeros((T, nb), dtype=np.int32)
@@ -267,10 +358,10 @@ def transcode_to_lane(avi_bytes: bytes, window: int = 64, K: int = 2,
                 pixbuf[t] = dec.previous_frame().reshape(Y, X)
             bts[t], mv[t], rect[t] = cap["bts"], cap["mv"], cap["rect"]
             changed[t] = cap["changed"]
-        cont.windows.append(lane_format.derive_window(
+        out.append(lane_format.derive_window(
             bts, mv, rect, pixbuf, changed, sig, X, Y, K, n_lanes,
             payload_mode=payload))
-    return lane_format.container_to_bytes(cont, compress=compress)
+    return out
 
 
 def _full_rects(X: int, Y: int, nbx: int, nby: int) -> np.ndarray:

@@ -697,6 +697,52 @@ def test_lane_from_msv1_8bit():
             err_msg=f"frame {t}")
 
 
+@pytest.mark.parametrize("align", ["keyframes", "stride"])
+def test_lane_transcode_jobs_byte_identical(align):
+    """jobs>1 transcode_to_lane == serial output byte-for-byte: units are
+    restart-delimited window runs, and keyframes reset all decode state
+    (the same GOP independence the ingest gop axis relies on)."""
+    X, Y, T = 64, 48, 24
+    avi, _ = make_avi(7, X, Y, T, key_every=5)
+    for payload in ("raw", "rans"):
+        seq = transcode_to_lane(avi, window=4, K=2, payload=payload,
+                                align=align, jobs=1)
+        par = transcode_to_lane(avi, window=4, K=2, payload=payload,
+                                align=align, jobs=4)
+        assert seq == par, (align, payload)
+    # jobs=0 = all cores — same contract
+    assert transcode_to_lane(avi, window=4, K=2, align=align,
+                             jobs=0) == transcode_to_lane(
+                                 avi, window=4, K=2, align=align)
+
+
+def test_lane_transcode_jobs_msv1_byte_identical():
+    """The MSV1-sourced lane path parallelizes on its synthesized
+    keyframes too (full-frame paints derive as restart windows)."""
+    from jsplayer_tpu.codecs.msvideo1 import from_rgb15
+    from jsplayer_tpu.encode.msv1_enc import encode_frame_16
+
+    X, Y, T = 64, 48, 18
+    rng = np.random.default_rng(11)
+    f = np.full((Y, X), from_rgb15(0x1111), dtype=np.uint32)
+    streams, prev = [], None
+    for t in range(T):
+        f = f.copy()
+        if t % 3 != 2:
+            x0 = int(rng.integers(0, (X - 8) // 4)) * 4
+            f[8:16, x0 : x0 + 8] = from_rgb15(int(rng.integers(0, 0x8000)))
+        flat = f.reshape(-1)
+        if t % 6 == 0:
+            prev = None  # force a keyframe every 6 frames
+        streams.append(encode_frame_16(flat, prev, X, Y))
+        prev = flat
+    avi = mux_avi(streams, X, Y, 16, codec="CRAM",
+                  keyflags=[t % 6 == 0 for t in range(T)])
+    seq = transcode_to_lane(avi, window=4, K=2, jobs=1)
+    par = transcode_to_lane(avi, window=4, K=2, jobs=3)
+    assert seq == par
+
+
 def test_lane_host_oracle_parity():
     """Host (numpy) lane decode — the Player/oracle path (codecs/
     lane_host) — is bit-exact vs golden pixels AND vs the device ingest
