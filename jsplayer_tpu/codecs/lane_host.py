@@ -47,18 +47,30 @@ def decode_lanes_aligned_host(refills: np.ndarray, states: np.ndarray,
 
 
 def units_host(w: LaneWindow) -> np.ndarray:
-    """Payload units as [U, 128] u32 (raw bytes, or host rans decode)."""
+    """Payload units as [U, 128] u32 (raw bytes, or host rans decode).
+
+    Memoized on the window: interactive seek re-enters the same window
+    repeatedly (scrubbing), and the u8→u24 combine — or worse, the rans
+    lane decode — was paid on every entry (measured ~30% of lane seek
+    latency on the terminal corpus)."""
+    cached = getattr(w, "_units_cache", None)
+    if cached is not None:
+        return cached
     U = w.n_units
     if w.raw_mode:
         m = w.payload.astype(np.uint32)
     else:
         syms = decode_lanes_aligned_host(w.refills, w.states, w.freq)
         m = syms.reshape(-1)[: U * 384].reshape(U, 3, 128).astype(np.uint32)
-    return m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+    units = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16)
+    units.flags.writeable = False
+    w._units_cache = units
+    return units
 
 
 def compose_steps(w: LaneWindow, X: int, Y: int,
-                  prev: Optional[np.ndarray] = None) -> Iterator[np.ndarray]:
+                  prev: Optional[np.ndarray] = None,
+                  start: int = 0) -> Iterator[np.ndarray]:
     """Incremental host decode of one window: yields frame t's plane
     ([Y, X] u32) per step.  Still frames yield the SAME object as the
     previous frame (no copy — yielded planes are never mutated later), so
@@ -67,7 +79,16 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
     length (the host analog of device still-elision).
 
     prev: carry-in plane for mid-stream windows; None for restart
-    (keyframe-led) windows or stream start."""
+    (keyframe-led) windows or stream start.
+
+    start: frames before this index are composed IN PLACE in one scratch
+    plane — their yields alias it and MUST NOT be retained by the caller.
+    A seek to frame lt passes start=lt: the walk from the keyframe to the
+    target then writes only each frame's painted rects instead of paying
+    a full-plane copy per changed frame (at 1080p that copy was the bulk
+    of lane seek latency — the Main.hx:1220-1226 metric).  From `start`
+    on, the usual copy-on-change semantics resume, so retained frames are
+    never aliased by later mutation."""
     Xp = plane_cols(X)
     units = units_host(w)
     nbx = (X + 15) // 16
@@ -93,7 +114,8 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
                 if rows.size:
                     pool[rows] = units[refs]
                 tp = pool.reshape(Y, Xp)[:, :X]
-                nxt = cur.copy()
+                inplace = t < start
+                nxt = cur if inplace else cur.copy()
                 shifted = {}
 
                 def _shift(k: int) -> np.ndarray:
@@ -105,6 +127,12 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
                 idx = np.nonzero(w.btype[t])[0]
                 bts = w.btype[t, idx].astype(np.int64)
                 rects = w.rect[t, idx].astype(np.int64)  # [n, (x1,y1,x2,y2)]
+                if inplace:
+                    # motion sources must be materialized from the pristine
+                    # t-1 plane BEFORE any in-place paint lands on it
+                    for bt in np.unique(bts):
+                        if bt >= 2:
+                            _shift(int(bt) - 2)
                 bxs, bys = idx % nbx, idx // nbx
                 ax1 = bxs * 16 + rects[:, 0]
                 ay1 = bys * 16 + rects[:, 1]
@@ -140,12 +168,13 @@ def compose_steps(w: LaneWindow, X: int, Y: int,
 def window_carry(w: LaneWindow, X: int, Y: int,
                  prev: Optional[np.ndarray] = None) -> np.ndarray:
     """Final plane of a window without materializing its frames — the
-    cheap way to rebuild a mid-chain carry (stills cost nothing)."""
+    cheap way to rebuild a mid-chain carry (stills cost nothing, changed
+    frames paint in place via compose_steps(start=w.T))."""
     cur = None
-    for cur in compose_steps(w, X, Y, prev):
+    for cur in compose_steps(w, X, Y, prev, start=w.T):
         pass
     assert cur is not None
-    return cur
+    return cur  # the generator's scratch — exhausted, so never mutated again
 
 
 def compose_window_host(w: LaneWindow, X: int, Y: int,
@@ -181,8 +210,11 @@ def iter_frames(cont: LaneContainer,
         if bases[wi] >= t1:
             break
         cur = None
-        for i, cur in enumerate(compose_steps(w, cont.X, cont.Y,
-                                              None if w.restart else carry)):
+        # frames before t0 are walked in place (start=...) — they are
+        # never yielded, so the scratch aliasing is invisible to callers
+        for i, cur in enumerate(compose_steps(
+                w, cont.X, cont.Y, None if w.restart else carry,
+                start=max(0, t0 - bases[wi]))):
             if t0 <= bases[wi] + i < t1:
                 yield cur
         carry = cur
@@ -193,22 +225,29 @@ class LaneHostCodec(VideoCodec):
     Manager/Player surface (decode-ahead ring, seek, skip-stills,
     thumbnails; Manager.hx:454-539) play `.jlv` lane containers
     unchanged.  Frame "chunks" are 4-byte little-endian frame indices
-    minted by core.lane_loader.LaneDataLoader; pixels come from the
-    window-cached compose_window_host (sequential play decodes each
-    window once; Manager only ever seeks to restart-window keyframes,
-    the lane analog of Manager.hx:244-249)."""
+    minted by core.lane_loader.LaneDataLoader.
+
+    Like the native SP decoder, the codec composes into ONE persistent
+    plane (compose_steps with start=T — every changed frame writes only
+    its painted rects in place) and copies it into the Manager's ring
+    buffer per decompress call.  The previous design cached a fresh copy
+    of every changed frame per window; at 1080p those full-plane copies
+    dominated lane seek latency (Main.hx:1220-1226 probe: 77 ms median
+    vs the AVI path's 29 ms).  Backward scrubs inside a window re-enter
+    it from its retained entry carry; stills cost nothing."""
 
     def __init__(self, cont: LaneContainer):
         self.cont = cont
         self._bases: list[int] = cont.window_bases()
         self._prev: Optional[np.ndarray] = None
-        # incremental per-window cache: frames decoded so far (references —
-        # stills share the previous frame's array) + the live generator
-        self._win_wi = -2
-        self._win_frames: list[np.ndarray] = []
-        self._win_gen: Optional[Iterator[np.ndarray]] = None
-        self._carry: Optional[np.ndarray] = None
-        self._carry_wi = -2
+        # in-place compose state: one live generator + its scratch plane
+        self._wi = -2                 # window of the open generator
+        self._lt = -1                 # last composed local frame in _wi
+        self._gen: Optional[Iterator[np.ndarray]] = None
+        self._plane: Optional[np.ndarray] = None
+        self._entry_carry: Optional[np.ndarray] = None  # _wi's carry-in
+        self._carry: Optional[np.ndarray] = None  # last COMPLETED window's
+        self._carry_wi = -2                       # final plane
 
     # -- chunk helpers ---------------------------------------------------------
 
@@ -222,52 +261,56 @@ class LaneHostCodec(VideoCodec):
         wi = bisect.bisect_right(self._bases, t) - 1
         return wi, t - self._bases[wi]
 
-    def _advance(self) -> None:
-        """Compose the cached window's next frame; record the carry when
-        the window completes."""
-        assert self._win_gen is not None
-        self._win_frames.append(next(self._win_gen))
-        if len(self._win_frames) == self.cont.windows[self._win_wi].T:
-            self._win_gen = None
-            self._carry = self._win_frames[-1]
-            self._carry_wi = self._win_wi
+    def _open(self, wi: int, carry: Optional[np.ndarray]) -> None:
+        w = self.cont.windows[wi]
+        self._wi, self._lt = wi, -1
+        self._entry_carry = carry  # stable: generators copy their carry-in
+        self._gen = compose_steps(w, self.cont.X, self.cont.Y, carry,
+                                  start=w.T)
 
-    def _finish_window(self) -> None:
-        """Drain the cached window's generator so its carry is recorded —
-        sequential playback into window wi+1 must cost O(remaining frames
-        of wi), never a rebuild from the last restart (a window whose tail
-        frames are stills is otherwise never driven to completion, because
-        decompress_p's still shortcut skips _frame)."""
-        while self._win_gen is not None:
-            self._advance()
+    def _advance(self) -> None:
+        assert self._gen is not None
+        self._plane = next(self._gen)
+        self._lt += 1
+        if self._lt + 1 == self.cont.windows[self._wi].T:
+            # generator exhausted → its scratch is never mutated again;
+            # record it as the next window's carry-in
+            self._carry = self._plane
+            self._carry_wi = self._wi
 
     def _frame(self, wi: int, lt: int) -> np.ndarray:
-        """Frame lt of window wi, composing lazily up to it.  Seek latency
-        is proportional to CHANGED frames between the window's entry state
-        and lt, not to window length (Main.hx:1220-1226's cost model on the
-        lane path)."""
-        if self._win_wi != wi:
-            w = self.cont.windows[wi]
-            carry = None
-            if not w.restart:
-                if self._win_wi == wi - 1:
-                    self._finish_window()  # cheap: stills are free
-                if self._carry_wi == wi - 1:
-                    carry = self._carry
-                else:  # cold mid-chain entry: rebuild from the last restart
-                    j = wi
-                    while j > 0 and not self.cont.windows[j].restart:
-                        j -= 1
-                    for k in range(j, wi):
-                        wk = self.cont.windows[k]
-                        carry = window_carry(wk, self.cont.X, self.cont.Y,
-                                             None if wk.restart else carry)
-            self._win_wi = wi
-            self._win_frames = []
-            self._win_gen = compose_steps(w, self.cont.X, self.cont.Y, carry)
-        while len(self._win_frames) <= lt:
+        """Frame lt of window wi, composed in place up to it.  Seek
+        latency is proportional to the painted rects of the CHANGED
+        frames between the window's entry state and lt — not to window
+        length, and not to full planes (Main.hx:1220-1226's cost model
+        on the lane path)."""
+        if wi != self._wi or lt < self._lt:
+            if wi == self._wi:  # backward scrub: replay from entry carry
+                carry = self._entry_carry
+            else:
+                w = self.cont.windows[wi]
+                carry = None
+                if not w.restart:
+                    if self._wi == wi - 1 and self._gen is not None:
+                        # drain the open window for its carry: remaining
+                        # stills are free, changed frames paint in place
+                        while self._lt + 1 < self.cont.windows[self._wi].T:
+                            self._advance()
+                    if self._carry_wi == wi - 1:
+                        carry = self._carry
+                    else:  # cold mid-chain entry: rebuild from the restart
+                        j = wi
+                        while j > 0 and not self.cont.windows[j].restart:
+                            j -= 1
+                        for k in range(j, wi):
+                            wk = self.cont.windows[k]
+                            carry = window_carry(wk, self.cont.X, self.cont.Y,
+                                                 None if wk.restart else carry)
+            self._open(wi, carry)
+        while self._lt < lt:
             self._advance()
-        return self._win_frames[lt]
+        assert self._plane is not None
+        return self._plane
 
     # -- VideoCodec contract (IVideoCodec.hx:16-29) ----------------------------
 

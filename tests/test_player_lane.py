@@ -196,9 +196,9 @@ def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
     calls = []
     orig = lh.compose_steps
 
-    def counted(w, X, Y, prev=None):
+    def counted(w, X, Y, prev=None, **kw):
         calls.append(w)
-        return orig(w, X, Y, prev)
+        return orig(w, X, Y, prev, **kw)
 
     monkeypatch.setattr(lh, "compose_steps", counted)
     p = Player(PlayerConfig())
