@@ -342,6 +342,12 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     init_plane = None
     if restart and payload_mode == "rans":
         init_plane = pay[0].copy()
+    # reusable zero-padded unit-row plane: each unit row is a contiguous
+    # 128-px span of the (padded) frame row, so unit values come from ONE
+    # plain row gather instead of a [n, 128] broadcast fancy index with a
+    # column-clip mask (3x on the dense-content transcode hot line); the
+    # pad columns stay zero across frames
+    padplane = np.zeros((Y * nxu, 128), dtype=np.uint32)
     for t in range(T):
         if t == 0 and init_plane is not None:
             # all-copy changed frame: the scan passes the init through
@@ -398,11 +404,11 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
         if rows.size:
             # unit values: whole-row absolute content (XOR/masked variants
             # measured worse, scripts/exp_lane_xor.py), zero-padded past X;
-            # one 2D fancy index — no [n, X] row intermediate (a keyframe
-            # references each plane row once per unit column)
-            cols = (rows % nxu)[:, None] * 128 + np.arange(128)
-            sel = pay[t][(rows // nxu)[:, None], np.minimum(cols, X - 1)]
-            sel[cols >= X] = 0
+            # refresh only the touched frame rows, then one contiguous
+            # row gather
+            yy = np.unique(rows // nxu)
+            padplane.reshape(Y, Xp)[yy, :X] = pay[t][yy]
+            sel = padplane[rows]
             # unit-level dedup: identical payload rows (cursor blinks,
             # repeated paints, flat keyframe background) store once and
             # reference by index — bench corpus 197x, terminal 2.1x
@@ -480,6 +486,14 @@ _FLAG_SUBUNIT = 64    # payload stored as deduped S-px sub-unit spans + ids
 _SUBUNIT_S = 8
 
 
+def _subunit_wire_size(n_uniq: int, n_subs: int, S: int) -> int:
+    """Raw (pre-deflate) size of the sub-unit wire candidate: header +
+    unique span records + id byte-planes — must mirror the sub_hdr /
+    sub_bulk construction below exactly, it is the hoisted prefilter."""
+    nby_id = 2 if n_uniq <= 0xFFFF else 4
+    return 5 + n_uniq * 3 * S + n_subs * nby_id
+
+
 def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
                      compress: bool = True) -> bytes:
     import zlib
@@ -542,32 +556,48 @@ def _window_to_bytes(w: LaneWindow, K: int, n_lanes: int,
                 blob = sub[first]
                 if not (blob[inv] == sub).all():
                     blob = inv = None
+                elif _subunit_wire_size(blob.shape[0], inv.size,
+                                        S) >= len(bulk):
+                    # raw-size prefilter, hoisted BEFORE the lex-sort:
+                    # same pick-smaller decision as below (sizes are
+                    # deterministic), but high-entropy payloads whose
+                    # spans don't repeat now skip the sort entirely
+                    # (dense-content transcode's hottest line after the
+                    # round-5 gather fix)
+                    sub = None
                 else:
                     # lex-sort just the UNIQUE records (hash order is
                     # effectively random and costs ~2% deflate — similar
-                    # spans cluster under lexicographic order); this
-                    # keeps the wire byte-identical to the void path
-                    vb = np.ascontiguousarray(blob).view(
-                        [("", np.uint8)] * (3 * S)).reshape(-1)
-                    order = np.argsort(vb)
+                    # spans cluster under lexicographic order).  Byte-
+                    # lexicographic == numeric order of the record's
+                    # big-endian u64 words, so np.lexsort over 3 integer
+                    # columns replaces the 24-byte void argsort (~20x)
+                    # with a byte-identical wire
+                    bw = np.ascontiguousarray(blob).view(">u8").astype(
+                        np.uint64).reshape(-1, 3 * S // 8)
+                    order = np.lexsort(tuple(bw[:, j] for j
+                                             in range(bw.shape[1] - 1,
+                                                      -1, -1)))
                     rank = np.empty(order.size, dtype=np.int64)
                     rank[order] = np.arange(order.size)
                     blob = blob[order]
                     inv = rank[inv]
-            if blob is None:
-                view = sub.view([("", np.uint8)] * (3 * S)).reshape(-1)
-                uniq, inv = np.unique(view, return_inverse=True)
-                blob = uniq.view(np.uint8).reshape(-1, 3 * S)
-            # ids ride as BYTE PLANES (all lo bytes, then hi bytes, ...):
-            # measured 378 -> 300 KB deflated on the terminal corpus vs
-            # interleaved u16 (the id stream's lo bytes carry most of the
-            # structure; hi bytes are near-constant runs)
-            nby_id = 2 if blob.shape[0] <= 0xFFFF else 4
-            ids32 = inv.astype(np.uint32)
-            sub_bulk = blob.tobytes() + b"".join(
-                ((ids32 >> (8 * j)) & 0xFF).astype(np.uint8).tobytes()
-                for j in range(nby_id))
-            sub_hdr = struct.pack("<IB", blob.shape[0], S)
+            if sub is not None:
+                if blob is None:
+                    view = sub.view([("", np.uint8)] * (3 * S)).reshape(-1)
+                    uniq, inv = np.unique(view, return_inverse=True)
+                    blob = uniq.view(np.uint8).reshape(-1, 3 * S)
+                # ids ride as BYTE PLANES (all lo bytes, then hi bytes,
+                # ...): measured 378 -> 300 KB deflated on the terminal
+                # corpus vs interleaved u16 (the id stream's lo bytes
+                # carry most of the structure; hi bytes are near-constant
+                # runs)
+                nby_id = 2 if blob.shape[0] <= 0xFFFF else 4
+                ids32 = inv.astype(np.uint32)
+                sub_bulk = blob.tobytes() + b"".join(
+                    ((ids32 >> (8 * j)) & 0xFF).astype(np.uint8).tobytes()
+                    for j in range(nby_id))
+                sub_hdr = struct.pack("<IB", blob.shape[0], S)
     else:
         steps = w.refills.shape[0]
         bulk = (w.freq.astype("<i4").tobytes()
