@@ -372,6 +372,14 @@ def main() -> None:
         # a wide rep spread + best-of-6 damps tunnel jitter on the diff
         n_lo, n_hi = (1, 3) if t_lo > 0.5 else (4, 24)
         t1, t2 = t_at(n_lo), t_at(n_hi)
+        # jitter guard (VERDICT r4 item 7): grow the rep spread until the
+        # marginal span dominates tunnel noise — high-elision workloads
+        # are ~ms per rep, and a ~25 ms dispatch jitter on a ~50 ms span
+        # made the stills-curve points swing ±2x between runs.  Escalate
+        # n_hi until the span is ≥250 ms (or the row gets expensive).
+        while t2 - t1 < 0.25 and n_hi < 512 and t2 < 15:
+            n_hi *= 4
+            t2 = t_at(n_hi)
         return scale * frames * (n_hi - n_lo) / max(t2 - t1, 1e-9)
 
     # ---- headline paths (always run) -------------------------------------
@@ -545,6 +553,7 @@ def main() -> None:
     # delivered-fps vs stills-ratio sensitivity curve (VERDICT r2 item 3):
     # same event mix, only the idle fraction varies
     stills_curve = {}
+    stills_spread = {}
     try:
         if real is not None and not over_budget():
             from jsplayer_tpu.utils import corpora
@@ -561,9 +570,18 @@ def main() -> None:
                 pcc_s, mvkc_s, _ = sp_recon.compact_changed(
                     k["paycode"][0], k["mvk"][0], np.asarray(k["changed"][0]))
                 sdev = jax.device_put((init, pcc_s, mvkc_s))
-                stills_curve[f"{s:.2f}"] = round(timed(
-                    sp_recon.decode_sequence_kmv_compact, *sdev, tries=3), 1)
+                # two full independent measurements per point: the curve's
+                # quotability rests on the recorded run-to-run spread
+                # (VERDICT r4 item 7), not on a single sample
+                v1 = timed(sp_recon.decode_sequence_kmv_compact, *sdev,
+                           tries=3)
+                v2 = timed(sp_recon.decode_sequence_kmv_compact, *sdev,
+                           tries=3)
+                stills_curve[f"{s:.2f}"] = round(max(v1, v2), 1)
+                stills_spread[f"{s:.2f}"] = round(
+                    abs(v1 - v2) / max(v1, v2, 1e-9), 3)
                 extras["stills_curve_fps"] = stills_curve
+                extras["stills_curve_spread"] = stills_spread
     except Exception:  # noqa: BLE001 — keep the row null, but say why
         traceback.print_exc(file=sys.stderr)
     mark("stills_curve")
@@ -739,6 +757,7 @@ def main() -> None:
             None if model_consumer_fps is None
             else round(model_consumer_fps, 1)),
         "stills_curve_fps": stills_curve or None,
+        "stills_curve_spread": stills_spread or None,
         "terminal_corpus_fps": (
             None if terminal_fps is None else round(terminal_fps, 1)),
         "terminal_host_bc_fps_per_core": (
