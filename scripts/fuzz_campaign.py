@@ -209,8 +209,102 @@ def run_trunc(seed: int, scale: float) -> int:
     return trials
 
 
+def run_web(seed: int, scale: float) -> int:
+    """Malformed-HTTP fuzz of the browser chrome (VERDICT r5 item 8):
+    junk paths/queries (incl. ?dom=... variants), hostile Host/Origin,
+    Range garbage, /control JSON type confusion with a valid token,
+    token-less and non-JSON POSTs, and raw-socket garbage.  Invariants:
+    every request gets an HTTP answer from the expected code set (pure
+    input fuzz must never 5xx or kill a request thread), hostile
+    Host/Origin are 403, and the server still serves /state at the end."""
+    import http.client
+    import json as _json
+    import socket
+
+    from test_lane_container import make_avi
+
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.player import PlayerConfig
+    from jsplayer_tpu.web import PlayerServer
+
+    rng = np.random.default_rng(seed + 7)
+    avi, _ = make_avi(5, 64, 48, 10, key_every=4)
+    srv = PlayerServer(MemorySource(avi), PlayerConfig(indexed=False))
+    srv.start()
+    trials = 0
+    ok_codes = {200, 206, 400, 403, 404, 408, 414, 416, 431, 501, 505}
+
+    def req(method, path, body=None, headers=None):
+        nonlocal trials
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=15)
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            r = conn.getresponse()
+            r.read()
+            code = r.status
+        finally:
+            conn.close()
+        trials += 1
+        assert code in ok_codes, ("unexpected status", method, path,
+                                  body, code)
+        return code
+
+    def junk(n):
+        return "".join(chr(int(c)) for c in rng.integers(33, 127, n))
+
+    per = max(1, int(150 * scale))
+    paths = ["/", "/index.html", "/info", "/state", "/frame.rgba",
+             "/audio.wav"]
+    for _ in range(per):
+        base = paths[int(rng.integers(0, len(paths)))]
+        q = ["", "?dom=1", "?dom=" + junk(int(rng.integers(0, 8))),
+             "?" + junk(int(rng.integers(1, 24)))][int(rng.integers(0, 4))]
+        p = [base + q, "/" + junk(int(rng.integers(1, 40)))][
+            int(rng.integers(0, 2))]
+        req("GET", p)
+        if rng.integers(0, 3) == 0:  # Range garbage (audio route parses it)
+            req("GET", "/audio.wav",
+                headers={"Range": "bytes=" + junk(int(rng.integers(0, 10)))})
+    # request-origin gates stay shut under fuzz traffic
+    assert req("GET", "/state", headers={"Host": "evil.example"}) == 403
+    assert req("POST", "/control",
+               body=_json.dumps({"cmd": "pause",
+                                 "token": srv.control_token}),
+               headers={"Origin": "http://evil.example"}) == 403
+    assert req("POST", "/control",
+               body=_json.dumps({"cmd": "pause"})) == 403  # no token
+    # /control type confusion with a VALID token: every answer is 200/400
+    cmds = ["play", "pause", "seek", "seek_time", "step_frame", "step_key",
+            "next_change", "resize", "load", "", junk(4)]
+    args = [None, 0, -1, 0.5, 1e308, -1e308, "x", "nan", "inf", [1, 2],
+            [1], [1, 2, 3], {"a": 1}, True, "Infinity", 10**40]
+    for _ in range(per):
+        c = cmds[int(rng.integers(0, len(cmds)))]
+        a = args[int(rng.integers(0, len(args)))]
+        code = req("POST", "/control",
+                   body=_json.dumps({"cmd": c, "arg": a,
+                                     "token": srv.control_token}))
+        assert code in (200, 400), ("control 5xx/odd", c, a, code)
+        if rng.integers(0, 4) == 0:  # non-JSON body
+            code = req("POST", "/control",
+                       body=junk(int(rng.integers(0, 60))).encode())
+            assert code in (400, 403), code
+    # raw-socket garbage must not take the server down
+    for _ in range(max(1, per // 5)):
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        try:
+            s.sendall(rng.integers(0, 256, int(rng.integers(1, 200)),
+                                   dtype=np.uint8).tobytes())
+        finally:
+            s.close()
+    assert req("GET", "/state") == 200  # still alive and serving
+    srv.stop()
+    return trials
+
+
 DIMS = {"sp_diff": run_sp_diff, "lane_mut": run_lane_mut,
-        "lane_dev": run_lane_dev, "mp3": run_mp3, "trunc": run_trunc}
+        "lane_dev": run_lane_dev, "mp3": run_mp3, "trunc": run_trunc,
+        "web": run_web}
 
 
 def main() -> int:
