@@ -138,14 +138,14 @@ def assemble(init, bands, band_outs, T):
     return frames
 
 
-def make_corpus(name):
+def make_corpus(name, T=None):
     from jsplayer_tpu import native
     from jsplayer_tpu.utils import corpora
 
     if name == "terminal":
-        frames = corpora.terminal_session(T=240, Y=1080, X=1920, seed=0)
+        frames = corpora.terminal_session(T=T or 120, Y=1080, X=1920, seed=0)
     elif name == "bench":
-        frames = corpora.screen_mix(T=64, Y=1080, X=1920, seed=0)
+        frames = corpora.screen_mix(T=T or 64, Y=1080, X=1920, seed=0)
     else:
         raise SystemExit(f"unknown corpus {name}")
     Y, X = 1080, 1920
@@ -214,6 +214,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bands", default="1,2,4,8")
     ap.add_argument("--corpus", default="terminal")
+    ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--check-only", action="store_true")
     args = ap.parse_args()
     cpu_check()
@@ -224,12 +225,26 @@ def main():
     if jax.devices()[0].platform == "cpu":
         print("no accelerator; stopping after CPU check", file=sys.stderr)
         return
-    from jsplayer_tpu.kernels import sp_recon
-
-    bts, mv, rect, payload, changed, X, Y = make_corpus(args.corpus)
-    T = bts.shape[0]
+    bts, mv, rect, payload, changed, X, Y = make_corpus(args.corpus,
+                                                        args.frames)
+    print(f"[band] corpus {args.corpus} ready: T={bts.shape[0]}",
+          file=sys.stderr, flush=True)
     init = np.zeros((Y, X), np.uint32)
     report = {}
+    try:
+        run_bands(args, bts, mv, rect, payload, init, X, Y, report)
+    finally:
+        # bands measured so far survive a mid-run tunnel death
+        print(json.dumps({"corpus": args.corpus, "bands": report}),
+              flush=True)
+
+
+def run_bands(args, bts, mv, rect, payload, init, X, Y, report):
+    import jax
+
+    from jsplayer_tpu.kernels import sp_recon
+
+    T = bts.shape[0]
     for n_bands in (int(s) for s in args.bands.split(",")):
         bands = band_slices(Y, n_bands)
         pc, mvk, extra = prepare_banded(bts, mv, rect, payload, 2, bands)
@@ -257,19 +272,22 @@ def main():
                         if fr.size else jnp.uint32(0))
             return tot
 
+        # the band arrays ride as jit ARGUMENTS: closures over large
+        # device constants serialize into the axon remote-compile POST,
+        # which rejected the dense-corpus run with HTTP 413
         flat = [a for tup in args_dev for a in tup]
 
-        def loop(n):
+        @jax.jit
+        def jl(n, *fl):
             def body(i, c):
-                return all_bands(c, *flat) ^ c
+                return all_bands(c, *fl) ^ c
             return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
 
-        jl = jax.jit(loop, static_argnums=0)
-        _ = int(jl(1))  # compile+warm
+        _ = int(jl(jnp.int32(1), *flat))  # compile+warm
         t1 = time.perf_counter()
-        _ = int(jl(4))
+        _ = int(jl(jnp.int32(4), *flat))
         t2 = time.perf_counter()
-        _ = int(jl(24))
+        _ = int(jl(jnp.int32(24), *flat))
         t3 = time.perf_counter()
         per = ((t3 - t2) - (t2 - t1)) / 20.0
         fps = T / per
@@ -280,8 +298,7 @@ def main():
                                     for (y0, y1), (c, _, _) in
                                     zip(bands, comp))),
         }
-        print(n_bands, report[n_bands], file=sys.stderr)
-    print(json.dumps({"corpus": args.corpus, "bands": report}))
+        print(n_bands, report[n_bands], file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
