@@ -57,12 +57,21 @@ def probe_device(timeout_s: float) -> bool:
     code = ("import jax, jax.numpy as jnp; "
             "d = jax.devices(); "
             "print('ALIVE', int(jnp.ones(8).sum()), d[0].platform)")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-    except Exception:  # noqa: BLE001 — any probe failure means "not alive"
-        return False
-    return r.returncode == 0 and b"ALIVE 8" in r.stdout
+    # Two attempts: a single failure demotes the WHOLE record to host-only
+    # rows, and one observed false negative (2026-08-18 14:07, tunnel alive
+    # minutes later) was a transient wedge/steal burst, not an outage.
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+        except Exception:  # noqa: BLE001 — probe failure means "not alive"
+            r = None
+        if r is not None and r.returncode == 0 and b"ALIVE 8" in r.stdout:
+            return True
+        if attempt == 1:
+            print("[bench] device probe attempt 1 failed — retrying",
+                  file=sys.stderr, flush=True)
+    return False
 
 
 def real_stream_commands():

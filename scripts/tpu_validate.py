@@ -249,10 +249,14 @@ def main():
         results["lane_ragged_parity"] = f"fail: {str(e)[:160]}"
     print("lane_ragged_parity:", results["lane_ragged_parity"])
 
-    # 2. bench
-    import bench
-    print("running bench...")
-    bench.main()
+    # 2. bench (skippable: --parity-only re-checks the decode paths after a
+    # kernel change without paying the ~20 min multi-strategy bench)
+    if "--parity-only" not in sys.argv:
+        import bench
+        print("running bench...")
+        bench.main()
+    else:
+        print(json.dumps(results, indent=2))
 
     with open("TPU_RESULTS.md", "a") as fh:
         fh.write(f"\n## tpu_validate @ {time.ctime()}\n{json.dumps(results, indent=2)}\n")
