@@ -85,8 +85,10 @@ class DataLoader:
     # -- frame store queries ---------------------------------------------------
 
     def get_frame(self, num: int) -> FrameInfo:
-        # DataLoader.GetFrame (DataLoader.hx:93-98)
-        if num >= len(self.frames) or self.frames[num] is None \
+        # DataLoader.GetFrame (DataLoader.hx:93-98).  num < 0 must not
+        # python-negative-index the list (callers clamp, but a hostile
+        # index from a fuzzer or a future caller stays NOT_READY)
+        if num < 0 or num >= len(self.frames) or self.frames[num] is None \
                 or self.frames[num].data is None:
             return FrameInfo(FrameStatus.NOT_READY)
         return FrameInfo(FrameStatus.READY, self.frames[num])
@@ -494,8 +496,9 @@ class DataLoaderAVIIndexed(DataLoader):
     # -- GetFrame with seek I/O ------------------------------------------------
 
     def get_frame(self, num: int) -> FrameInfo:
-        # DataLoaderAVIIndexed.GetFrame (DataLoaderAVIIndexed.hx:416-441)
-        if num >= len(self.frames):
+        # DataLoaderAVIIndexed.GetFrame (DataLoaderAVIIndexed.hx:416-441);
+        # num < 0 guard as in DataLoader.get_frame
+        if num < 0 or num >= len(self.frames):
             return FrameInfo(FrameStatus.NOT_READY)
         f = self.frames[num]
         if f is None or f.data is None:

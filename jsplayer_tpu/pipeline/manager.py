@@ -27,6 +27,7 @@ host-side equivalent for UI consumers.
 from __future__ import annotations
 
 import enum
+import math
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -214,8 +215,17 @@ class Manager:
     # -- presentation ----------------------------------------------------------
 
     def get_decompressed_frame(self, t: float, playing: bool) -> FrameResult:
-        # Manager.GetDecompressedFrame (Manager.hx:216-260)
-        self.frame_of_interest = int(t * self.fps)
+        # Manager.GetDecompressedFrame (Manager.hx:216-260).  Sanitize the
+        # time: page-supplied seeks reach here unclamped, and a negative
+        # frame_of_interest would python-negative-index the loader's frame
+        # list (aliasing tail frames — fuzz-found, seed 271828) while NaN
+        # dies in int().
+        if math.isnan(t) or t < 0.0:
+            t = 0.0
+        foi = int(min(t * self.fps, 2 ** 62))
+        if self.nframes > 0:
+            foi = min(foi, self.nframes - 1)
+        self.frame_of_interest = foi
         self.loader.notify_player_position(self.frame_of_interest)
 
         for nb, b in enumerate(self.bufs):

@@ -402,3 +402,34 @@ def test_paused_seek_to_undecoded_region_presents(indexed):
     assert p.manager.last_frame_drawn == target
     np.testing.assert_array_equal(
         p.manager.buffers[p.manager._last_filled_buffer], frames_px[target])
+
+
+def test_hostile_seek_times_clamp():
+    """Fuzz-found (seed 271828): seek_time(-1) negative-indexed the
+    loader's frame list (IndexError past the head, silent tail aliasing
+    within it) and NaN died in int().  Hostile times clamp to the valid
+    range instead — the page's /control seek must never 500."""
+    avi, frames_px = make_sp_avi(nframes=12, keyevery=4)
+    p = Player()
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    fps = p.manager.fps
+    for t in (-1.0, -1e18, float("nan")):
+        p.seek_time(t)
+        for _ in range(200):
+            p.tick()
+            if p.manager.last_frame_drawn == 0:
+                break
+        assert p.manager.last_frame_drawn == 0, t
+        np.testing.assert_array_equal(
+            p.manager.buffers[p.manager._last_filled_buffer], frames_px[0])
+    # far past the end clamps to the last frame
+    p.seek_time(1e18)
+    last = len(frames_px) - 1
+    for _ in range(400):
+        p.tick()
+        if p.manager.last_frame_drawn == last:
+            break
+    assert p.manager.last_frame_drawn == last
+    # loader-level guard independent of the manager clamp
+    assert p.manager.loader.get_frame(-3).status.name == "NOT_READY"

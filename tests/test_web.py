@@ -352,13 +352,21 @@ def test_control_malformed_inputs_return_400(server):
         b"{not json",
         b'{"cmd": "seek"}',                      # arg None -> TypeError
         b'{"cmd": "seek", "arg": {"x": 1}}',     # dict -> TypeError
-        b'{"cmd": "seek", "arg": Infinity}',     # inf -> OverflowError
-        b'{"cmd": "seek", "arg": NaN}',          # nan -> ValueError
         b'{"cmd": "resize", "arg": 3}',          # not a pair -> TypeError
     ]
     for body in bad:
         code, resp = post(body)
         assert code == 400 and "error" in resp, (body, code, resp)
+    # numeric edge values are VALID scrubber input: the manager clamps
+    # them to the stream range instead of erroring (fuzz-found, seed
+    # 271828 — a negative seek_time used to negative-index the frame
+    # list; see test_player.test_hostile_seek_times_clamp)
+    for body in (b'{"cmd": "seek", "arg": Infinity}',
+                 b'{"cmd": "seek", "arg": NaN}',
+                 b'{"cmd": "seek_time", "arg": -1}',
+                 b'{"cmd": "seek_time", "arg": 1e18}'):
+        code, resp = post(body)
+        assert code == 200 and resp["ok"], (body, code, resp)
     # the server is still healthy
     code, resp = post(b'{"cmd": "pause"}')
     assert code == 200 and resp["ok"]
