@@ -130,6 +130,22 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "lane_compose_range"):  # absent in a stale .so
+        lib.lane_compose_range.restype = ctypes.c_int
+        lib.lane_compose_range.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
     _lib = lib
     return lib
 
@@ -606,3 +622,28 @@ class NativeMsv1:
         ptr = self._lib.msv1_latest(self._h)
         return np.ctypeslib.as_array(ptr, shape=(self.X * self.Y,)), \
             bool(signif.value)
+
+
+def lane_compose_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "lane_compose_range")
+
+
+def native_lane_compose_range(plane: np.ndarray, pool: np.ndarray,
+                              units: np.ndarray, Y: int, X: int, Xp: int,
+                              K: int, NB: int, T: int, t0: int, t1: int,
+                              changed: np.ndarray, btype: np.ndarray,
+                              rect: np.ndarray, mvk: np.ndarray,
+                              row_ptr: np.ndarray, rows: np.ndarray,
+                              refs: np.ndarray) -> None:
+    """Walk frames [t0, t1) of one lane window in place on `plane`
+    ([Y, X] u32 flattened) — the C twin of lane_host.compose_steps'
+    changed-frame body (scatter → motion gather → rect paint → pool
+    restore).  `pool` is the caller's zeroed [Y*Xp] u32 scratch; the
+    call preserves its zero invariant."""
+    lib = load()
+    r = lib.lane_compose_range(plane, pool, units, Y, X, Xp, K, NB, T,
+                               t0, t1, changed, btype, rect, mvk,
+                               row_ptr, rows, refs)
+    if r != 0:
+        raise RuntimeError(f"lane_compose_range failed ({r})")

@@ -3247,4 +3247,89 @@ int msv1_decompress(void* p, const uint8_t* src, long len, uint32_t* dst,
 }
 const uint32_t* msv1_latest(void* p) { return ((Msv1Decoder*)p)->latest(); }
 
+// Host lane-container compose (codecs/lane_host.compose_steps twin): walk
+// frames [t0, t1) of one window IN PLACE on `plane` ([Y*X] u32, stride X).
+// Per changed frame: scatter the shipped 128-px unit rows into the padded
+// `pool` plane ([Y*Xp] u32 — caller zero-initializes ONCE; this function
+// restores the touched rows to zero after every frame, so the zero
+// invariant holds across calls), gather every motion block's source rect
+// from the PRISTINE t-1 plane (np.roll wrap semantics), then paint data
+// rects from the pool and motion rects from the gathered scratch.  This
+// is the interactive-seek hot path (Main.hx:1220-1226 cost model): the
+// numpy compose paid ~4.5 ms per changed 1080p frame; this walk is pure
+// rect memcpy.
+int lane_compose_range(uint32_t* plane, uint32_t* pool,
+                       const uint32_t* units, int Y, int X, int Xp, int K,
+                       int NB, int T, int t0, int t1,
+                       const uint8_t* changed, const uint8_t* btype,
+                       const uint8_t* rect, const int32_t* mvk,
+                       const int64_t* row_ptr, const int64_t* rows,
+                       const int64_t* refs) {
+  if (t0 < 0 || t1 > T || Xp < X || NB <= 0) return -1;
+  const int nbx = (X + 15) / 16;
+  std::vector<uint32_t> scratch;   // motion-source rects, 256 px per block
+  std::vector<int> mblocks;        // indices of motion blocks this frame
+  for (int t = t0; t < t1; t++) {
+    if (!changed[t]) continue;
+    // 1. scatter shipped unit rows
+    for (int64_t j = row_ptr[t]; j < row_ptr[t + 1]; j++)
+      memcpy(pool + rows[j] * 128, units + refs[j] * 128, 128 * 4);
+    const uint8_t* bt = btype + (size_t)t * NB;
+    const uint8_t* rc = rect + (size_t)t * NB * 4;
+    const int32_t* mv = mvk + (size_t)t * K * 2;
+    // 2. gather motion sources from the pristine t-1 plane
+    mblocks.clear();
+    for (int b = 0; b < NB; b++)
+      if (bt[b] >= 2) mblocks.push_back(b);
+    if (scratch.size() < mblocks.size() * 256)
+      scratch.resize(mblocks.size() * 256);
+    for (size_t m = 0; m < mblocks.size(); m++) {
+      int b = mblocks[m];
+      int bx = b % nbx, by = b / nbx;
+      int ax1 = bx * 16 + rc[b * 4 + 0], ay1 = by * 16 + rc[b * 4 + 1];
+      int ax2 = bx * 16 + rc[b * 4 + 2], ay2 = by * 16 + rc[b * 4 + 3];
+      if (ax2 > X) ax2 = X;
+      if (ay2 > Y) ay2 = Y;
+      int k = bt[b] - 2;
+      int dx = mv[k * 2 + 0], dy = mv[k * 2 + 1];
+      uint32_t* dst = scratch.data() + m * 256;
+      for (int y = ay1; y < ay2; y++) {
+        int sy = (y + dy) % Y;
+        if (sy < 0) sy += Y;
+        const uint32_t* src = plane + (size_t)sy * X;
+        for (int x = ax1; x < ax2; x++) {
+          int sx = (x + dx) % X;
+          if (sx < 0) sx += X;
+          *dst++ = src[sx];
+        }
+      }
+    }
+    // 3. paint: data rects from the pool, motion rects from the scratch
+    size_t m = 0;
+    for (int b = 0; b < NB; b++) {
+      if (bt[b] == 0) continue;
+      int bx = b % nbx, by = b / nbx;
+      int ax1 = bx * 16 + rc[b * 4 + 0], ay1 = by * 16 + rc[b * 4 + 1];
+      int ax2 = bx * 16 + rc[b * 4 + 2], ay2 = by * 16 + rc[b * 4 + 3];
+      if (ax2 > X) ax2 = X;
+      if (ay2 > Y) ay2 = Y;
+      int w = ax2 - ax1;
+      if (bt[b] == 1) {
+        for (int y = ay1; y < ay2; y++)
+          if (w > 0)
+            memcpy(plane + (size_t)y * X + ax1, pool + (size_t)y * Xp + ax1,
+                   (size_t)w * 4);
+      } else {
+        const uint32_t* src = scratch.data() + m++ * 256;
+        for (int y = ay1; y < ay2; y++, src += w)
+          if (w > 0) memcpy(plane + (size_t)y * X + ax1, src, (size_t)w * 4);
+      }
+    }
+    // 4. restore the pool's zeros
+    for (int64_t j = row_ptr[t]; j < row_ptr[t + 1]; j++)
+      memset(pool + rows[j] * 128, 0, 128 * 4);
+  }
+  return 0;
+}
+
 }  // extern "C"

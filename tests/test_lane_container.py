@@ -1157,3 +1157,77 @@ def test_lane_msv1_keyframes_become_restart_windows():
         np.testing.assert_array_equal(
             host[t].reshape(-1) & 0xFFFFFF, gold[t] & 0xFFFFFF,
             err_msg=f"frame {t}")
+
+
+def test_native_lane_compose_parity():
+    """The C compose (native.lane_compose_range — the interactive-seek
+    hot path) must be bit-exact against the numpy oracle on every
+    container variant: raw/rans payloads, chained carry windows, ragged
+    keyframe-snapped windows, and MSV1-sourced containers, stepping
+    frame-by-frame and window-at-once."""
+    from jsplayer_tpu import native as _nat
+
+    if not _nat.lane_compose_available():
+        pytest.skip("native library unavailable")
+    from jsplayer_tpu.codecs.lane_host import (compose_window_host,
+                                               native_compose_range)
+
+    variants = []
+    X, Y, T = 64, 48, 12
+    avi, _ = make_avi(3, X, Y, T)
+    variants.append(("raw", transcode_to_lane(avi, window=4, K=2)))
+    variants.append(("rans", transcode_to_lane(avi, window=4, K=2,
+                                               payload="rans",
+                                               compress=False)))
+    avi2, _ = make_avi(5, X, Y, T, key_every=5)   # ragged snap
+    variants.append(("ragged", transcode_to_lane(avi2, window=4, K=2)))
+    m_avi, _ = _msv1_16_avi(1, 64, 48, 8)
+    variants.append(("msv1", transcode_to_lane(m_avi, window=4, K=2)))
+
+    for name, cb in variants:
+        cont = lane_format.container_from_bytes(cb)
+        carry = None
+        pool = np.zeros(cont.Y * lane_format.plane_cols(cont.X), np.uint32)
+        for wi, w in enumerate(cont.windows):
+            ref = compose_window_host(w, cont.X, cont.Y,
+                                      None if w.restart else carry)
+            # frame-by-frame stepping (the codec's _advance_to shape)
+            p1 = (np.zeros((cont.Y, cont.X), np.uint32)
+                  if (w.restart or carry is None) else carry.copy())
+            for t in range(w.T):
+                native_compose_range(w, cont.X, cont.Y, p1, pool, t, t + 1)
+                np.testing.assert_array_equal(p1, ref[t],
+                                              err_msg=f"{name} w{wi} f{t}")
+            # whole-window walk (the window_carry shape)
+            p2 = (np.zeros((cont.Y, cont.X), np.uint32)
+                  if (w.restart or carry is None) else carry.copy())
+            native_compose_range(w, cont.X, cont.Y, p2, pool, 0, w.T)
+            np.testing.assert_array_equal(p2, ref[-1])
+            assert (pool == 0).all(), f"{name} w{wi}: pool invariant"
+            carry = ref[-1]
+
+
+def test_lane_host_codec_native_matches_fallback():
+    """LaneHostCodec with the native walk must serve byte-identical
+    frames to the pure-numpy generator across a hostile seek order
+    (backward scrubs, cold mid-chain entries, window skips)."""
+    from jsplayer_tpu import native as _nat
+
+    if not _nat.lane_compose_available():
+        pytest.skip("native library unavailable")
+    from jsplayer_tpu.codecs.lane_host import LaneHostCodec
+
+    X, Y, T = 64, 48, 16
+    avi, _ = make_avi(7, X, Y, T)
+    cont = lane_format.container_from_bytes(
+        transcode_to_lane(avi, window=4, K=2))
+    a = LaneHostCodec(cont)
+    b = LaneHostCodec(cont)
+    b._use_native = False
+    assert a._use_native
+    rng = np.random.default_rng(11)
+    order = list(rng.integers(0, T, 40)) + [0, T - 1, 1, T - 2]
+    for t in order:
+        fa = a._frame(*a._locate(LaneHostCodec.frame_chunk(int(t))))
+        fb = b._frame(*b._locate(LaneHostCodec.frame_chunk(int(t))))
+        np.testing.assert_array_equal(fa, fb, err_msg=f"seek {t}")

@@ -194,13 +194,23 @@ def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
     assert [w.restart for w in c.windows] == [True, False, False, False]
 
     calls = []
-    orig = lh.compose_steps
+    orig_open = lh.LaneHostCodec._open
 
-    def counted(w, X, Y, prev=None, **kw):
-        calls.append(w)
-        return orig(w, X, Y, prev, **kw)
+    def counted_open(self, wi, carry):
+        calls.append(wi)
+        return orig_open(self, wi, carry)
 
-    monkeypatch.setattr(lh, "compose_steps", counted)
+    rebuilds = []
+    orig_carry = lh.window_carry
+
+    def counted_carry(w, X, Y, prev=None):
+        rebuilds.append(w)
+        return orig_carry(w, X, Y, prev)
+
+    # count window WALKS (backend-agnostic: _open covers both the numpy
+    # generator and the native compose) and cold carry rebuilds
+    monkeypatch.setattr(lh.LaneHostCodec, "_open", counted_open)
+    monkeypatch.setattr(lh, "window_carry", counted_carry)
     p = Player(PlayerConfig())
     p.load(MemorySource(cont))
     assert drive_until_shown(p)
@@ -216,6 +226,8 @@ def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
             if not p.playing:
                 p.play()
     assert p.manager.last_frame_drawn >= 14
-    # 4 windows, each composed exactly once (window_carry would re-enter
-    # compose_steps, so any rebuild shows up as an extra call)
+    # 4 windows, each walked exactly once, and no cold carry rebuild —
+    # a window with a still tail used to never record its carry, forcing
+    # an O(chain^2) window_carry rebuild at every boundary
     assert len(calls) == 4, f"composed {len(calls)} times for 4 windows"
+    assert not rebuilds, f"{len(rebuilds)} cold carry rebuilds"
