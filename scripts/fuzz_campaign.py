@@ -109,6 +109,47 @@ def run_lane_mut(seed: int, scale: float) -> int:
     return trials
 
 
+def run_lane_native(seed: int, scale: float) -> int:
+    """Differential: the C lane compose vs the numpy generator on
+    MUTATED containers that survive the parser.  Parse-time validation
+    bounds every index the C code consumes (rows < R, refs < U,
+    btype <= 1+K, rects <= 16); this dimension checks the two walks
+    also stay bit-identical on hostile-but-valid inputs."""
+    from jsplayer_tpu import native as _nat
+    from jsplayer_tpu.codecs import lane_format
+    from jsplayer_tpu.codecs.lane_host import LaneHostCodec
+
+    if not _nat.lane_compose_available():
+        return 0
+    bases, (X, Y, T) = _lane_bases(seed + 3)
+    rng = np.random.default_rng(seed + 3)
+    want = max(1, int(150 * scale))
+    compared = trial = 0
+    while compared < want and trial < want * 60:
+        trial += 1
+        m = bytearray(bases[trial % len(bases)])
+        for _ in range(int(rng.integers(1, 5))):
+            m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        try:
+            c = lane_format.container_from_bytes(bytes(m))
+        except ValueError:
+            continue
+        if not c.windows or c.n_frames == 0:
+            continue
+        a, b = LaneHostCodec(c), LaneHostCodec(c)
+        b._use_native = False
+        assert a._use_native
+        order = list(rng.integers(0, c.n_frames, 6))
+        for t in order:
+            ch = LaneHostCodec.frame_chunk(int(t))
+            fa = a._frame(*a._locate(ch))
+            fb = b._frame(*b._locate(ch))
+            assert np.array_equal(fa, fb), \
+                f"native/numpy DIVERGE trial {trial} frame {t}"
+        compared += 1
+    return compared
+
+
 def run_lane_dev(seed: int, scale: float) -> int:
     from test_lane_container import collect_frames
 
@@ -303,8 +344,8 @@ def run_web(seed: int, scale: float) -> int:
 
 
 DIMS = {"sp_diff": run_sp_diff, "lane_mut": run_lane_mut,
-        "lane_dev": run_lane_dev, "mp3": run_mp3, "trunc": run_trunc,
-        "web": run_web}
+        "lane_native": run_lane_native, "lane_dev": run_lane_dev,
+        "mp3": run_mp3, "trunc": run_trunc, "web": run_web}
 
 
 def main() -> int:
