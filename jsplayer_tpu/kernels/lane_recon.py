@@ -12,11 +12,10 @@ BASELINE config 4 end-to-end: ONE jitted program per window does
      row_index dedups each plane row's ncol-unit id tuple) — the ONE
      lane-dim-merging relayout the whole window pays,
   3. a lax.scan over frames where each step does a PURE ROW GATHER
-     tp = take(rows_unique, row_idx[t]) and composes with a prehoisted
-     [T, Y, X] u8 ACTION plane (sp_recon.action_planes — block
-     types/rects expanded OUTSIDE the scan, vmapped over T) and K
-     motion rolls — the same pixel semantics as sp_recon's
-     dense-paycode compose (ScreenPressor.hx:302-484 block model).
+     tp = take(rows_unique, row_idx[t]) and composes with
+     block-broadcast types/rects and K motion rolls — the same pixel
+     semantics as sp_recon's dense-paycode compose
+     (ScreenPressor.hx:302-484 block model).
 
 Why rows, not unit slots: the round-3 shape gathered [R, 128] unit
 rows per frame and reshaped to [Y, X] — that reshape merges 15 sublane
@@ -42,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from . import rans_lanes
-from .sp_recon import action_planes
+from .sp_recon import bc_row_map, row_expand
 
 
 def units_from_pack(refills: jax.Array, states: jax.Array, freq: jax.Array,
@@ -75,44 +74,39 @@ def compose_frame_lane(prev: jax.Array, rows_unique: jax.Array,
 
     prev [Y, X] u32, rows_unique [Ur, X] u32, row_idx [Y] i32,
     btype [NB] u8 (0 copy / 1 data / 2+k motion), rect [NB, 4] u8 in
-    block-local coords, mvk [K, 2] i32.  Single-frame convenience shape
-    (player incremental path); the window scan uses the hoisted
-    action_planes + compose_frame_act instead."""
+    block-local coords, mvk [K, 2] i32."""
     Y, X = prev.shape
-    act = action_planes(btype[None], rect[None], Y, X)[0]
-    return compose_frame_act(prev, rows_unique, row_idx, act, mvk)
-
-
-def compose_frame_act(prev: jax.Array, rows_unique: jax.Array,
-                      row_idx: jax.Array, act: jax.Array,
-                      mvk: jax.Array) -> jax.Array:
-    """Compose from a prebuilt action plane: one row gather + K+1
-    register-resident selects.  Per-frame HBM traffic ≈ act (u8) + tp
-    + prev + out — strictly less than the kmv path's paycode stream."""
+    nbx, nby = (X + 15) // 16, (Y + 15) // 16
     tp = jnp.take(rows_unique, row_idx, axis=0)      # [Y, X] row gather
-    out = jnp.where(act == 1, tp, prev)
+
+    # block structure via the packed row map + rows-only expansion
+    # (sp_recon.bc_row_map: block_broadcast's lane split measured ~60 us
+    # per use at 1080p; the row expansion is ~7x cheaper)
+    rowv = row_expand(bc_row_map(btype, rect, nby, nbx, X), Y, X)
+    bt = rowv & 0xFF
+    y1 = (rowv >> 8) & 0xFF
+    y2 = (rowv >> 16) & 0xFF
+    ly = (jax.lax.broadcasted_iota(jnp.uint32, (Y, X), 0)) & 15
+    in_y = (ly >= y1) & (ly < y2)
+    out = jnp.where((bt == 1) & in_y, tp, prev)
     K = mvk.shape[0]
     for k in range(K):
         shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
-        out = jnp.where(act == 2 + k, shifted, out)
+        out = jnp.where((bt == 2 + k) & in_y, shifted, out)
     return out
 
 
 def _scan_frames(init, rows_unique, btype, rect, mvk, row_idx, changed):
     """The recon scan shared by both payload modes: P-chain over frames,
-    each changed frame composed by a row gather + prehoisted action-plane
-    commands (see action_planes)."""
-    Y, X = init.shape
-    act = action_planes(btype, rect, Y, X)
-
+    each changed frame composed by a row gather + block commands."""
     def step(prev, inp):
-        a, mk, ri, chg = inp
+        bt, r, mk, ri, chg = inp
         out = jnp.where(chg,
-                        compose_frame_act(prev, rows_unique, ri, a, mk),
+                        compose_frame_lane(prev, rows_unique, ri, bt, r, mk),
                         prev)
         return out, out
 
-    _, frames = jax.lax.scan(step, init, (act, mvk, row_idx, changed))
+    _, frames = jax.lax.scan(step, init, (btype, rect, mvk, row_idx, changed))
     return frames
 
 

@@ -317,81 +317,50 @@ def row_expand(rows, Y: int, X: int):
     return v.reshape(nby * 16, X)[:Y]
 
 
-def action_planes(bcode, rect, Y: int, X: int):
-    """[T, NB] u8 types + [T, NB, 4] u8 block-local rects → act [T, Y, X]
-    u8 per-pixel ACTION plane: 0 copy / 1 data / 2+k motion, with both
-    rect axes resolved (pixels outside a block's rect read 0 = copy).
-
-    Hoisted OUT of the recon scans and vmapped over T: frames are
-    independent here (the carry dependency is only in the compose), so
-    the block-structure expansion the bc/lane scans used to pay per step
-    (bc_row_map + row_expand + iota y-masks — ~8 MB of u32 intermediates
-    per frame at 1080p) happens once, embarrassingly parallel, and each
-    scan step streams a 2 MB u8 command plane instead — the same shape
-    as how the kmv scan streams paycode's type bits."""
-    nbx, nby = (X + 15) // 16, (Y + 15) // 16
-
-    def one(bt, r):
-        rowv = row_expand(bc_row_map(bt, r, nby, nbx, X), Y, X)
-        b = rowv & 0xFF
-        y1 = (rowv >> 8) & 0xFF
-        y2 = (rowv >> 16) & 0xFF
-        ly = jax.lax.broadcasted_iota(jnp.uint32, (Y, X), 0) & 15
-        return jnp.where((ly >= y1) & (ly < y2), b, 0).astype(jnp.uint8)
-
-    return jax.vmap(one)(bcode, rect)
-
-
-def compose_frame_bc_act(prev, plane, act, mvk):
-    """Compose from a prebuilt action plane (see action_planes): K+1
-    register-resident selects, per-frame HBM traffic ≈ act (u8) + plane
-    + prev + out."""
-    out = jnp.where(act == 1, plane & jnp.uint32(0x00FFFFFF), prev)
-    K = mvk.shape[0]
-    for k in range(K):
-        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
-        out = jnp.where(act == 2 + k, shifted, out)
-    return out
-
-
 def compose_frame_bc(prev, plane, bcode, rect, mvk):
     """plane [Y,X] u32 (data pixels only), bcode [NB] u8, rect [NB,4] u8
     block-local, mvk [K,2] i32 — pixel semantics identical to
     compose_frame_kmv (ScreenPressor.hx:302-484 block model).  The block
     structure reaches pixels through ONE packed row map + a rows-only
-    expansion (see bc_row_map).  Single-frame convenience shape; the
-    window scans hoist action_planes over T and use compose_frame_bc_act."""
+    expansion (see bc_row_map)."""
     Y, X = prev.shape
-    act = action_planes(bcode[None], rect[None], Y, X)[0]
-    return compose_frame_bc_act(prev, plane, act, mvk)
+    nbx, nby = (X + 15) // 16, (Y + 15) // 16
+    rowv = row_expand(bc_row_map(bcode, rect, nby, nbx, X), Y, X)
+    bt = rowv & 0xFF
+    y1 = (rowv >> 8) & 0xFF
+    y2 = (rowv >> 16) & 0xFF
+    ly = (jax.lax.broadcasted_iota(jnp.uint32, (Y, X), 0)) & 15
+    in_y = (ly >= y1) & (ly < y2)
+    out = jnp.where((bt == 1) & in_y, plane & jnp.uint32(0x00FFFFFF), prev)
+    K = mvk.shape[0]
+    for k in range(K):
+        shifted = jnp.roll(prev, shift=(-mvk[k, 1], -mvk[k, 0]), axis=(0, 1))
+        out = jnp.where((bt == 2 + k) & in_y, shifted, out)
+    return out
 
 
 @jax.jit
 def decode_sequence_bc_compact(init_frame, plane, bcode, rect, mvk):
     """bc scan over changed frames only (still-elision layout)."""
-    Y, X = init_frame.shape
-    act = action_planes(bcode, rect, Y, X)
 
     def step(prev, inp):
-        pl_, a, mk = inp
-        out = compose_frame_bc_act(prev, pl_, a, mk)
+        pl_, bc, r, mk = inp
+        out = compose_frame_bc(prev, pl_, bc, r, mk)
         return out, out
 
-    _, frames = jax.lax.scan(step, init_frame, (plane, act, mvk))
+    _, frames = jax.lax.scan(step, init_frame, (plane, bcode, rect, mvk))
     return frames
 
 
 @jax.jit
 def decode_sequence_bc(init_frame, plane, bcode, rect, mvk, changed):
-    Y, X = init_frame.shape
-    act = action_planes(bcode, rect, Y, X)
-
     def step(prev, inp):
-        pl_, a, mk, chg = inp
-        out = jnp.where(chg, compose_frame_bc_act(prev, pl_, a, mk), prev)
+        pl_, bc, r, mk, chg = inp
+        out = jnp.where(chg, compose_frame_bc(prev, pl_, bc, r, mk), prev)
         return out, out
 
-    _, frames = jax.lax.scan(step, init_frame, (plane, act, mvk, changed))
+    _, frames = jax.lax.scan(step, init_frame,
+                             (plane, bcode, rect, mvk, changed))
     return frames
 
 
@@ -407,16 +376,14 @@ def decode_batch_bc(init_frames, plane, bcode, rect, mvk, changed):
 def _scan_decode_bc_model(init_frame, plane, bcode, rect, mvk, changed,
                           model_kw):
     emit, finish = _model_emit(model_kw)
-    Y, X = init_frame.shape
-    act = action_planes(bcode, rect, Y, X)
 
     def step(prev, inp):
-        pl_, a, mk, chg = inp
-        out = jnp.where(chg, compose_frame_bc_act(prev, pl_, a, mk), prev)
+        pl_, bc, r, mk, chg = inp
+        out = jnp.where(chg, compose_frame_bc(prev, pl_, bc, r, mk), prev)
         return out, emit(out)
 
     last, model = jax.lax.scan(step, init_frame,
-                               (plane, act, mvk, changed))
+                               (plane, bcode, rect, mvk, changed))
     return last, finish(model)
 
 
