@@ -74,6 +74,42 @@ def probe_device(timeout_s: float) -> bool:
     return False
 
 
+def cached_streams(key: str, build):
+    """Disk cache for the bench's deterministic host prep (corpus render +
+    native SP encode).  The encoded streams are a pure function of the
+    corpus parameters and the encoder source, so the key embeds a hash of
+    spdec.cpp — any encoder change invalidates the cache.  This exists
+    because the 1-core host pays ~1-3 min re-encoding identical corpora
+    every run, squeezing the device rows against the soft deadline
+    (round-5 lesson: the stills curve was the row that got cut)."""
+    import hashlib
+    import pickle
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "jsplayer_tpu", "native", "spdec.cpp")
+    try:
+        tag = hashlib.sha1(open(src, "rb").read()).hexdigest()[:12]
+    except OSError:
+        return build()
+    cdir = "/tmp/jsptpu_bench_cache"
+    path = os.path.join(cdir, f"{key}-{Y}x{X}-{tag}.pkl")
+    try:
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    except (OSError, EOFError, pickle.UnpicklingError):
+        pass
+    v = build()
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump(v, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return v
+
+
 def real_stream_commands():
     """Native-encoded 1080p screen content → host-decoded command stacks."""
     from jsplayer_tpu import native
@@ -82,24 +118,31 @@ def real_stream_commands():
         return None
     from jsplayer_tpu.encode.sp_enc import pack_rgb
 
-    rng = np.random.default_rng(0)
-    enc = native.NativeScreenPressorEncoder(4, X, Y)
-    f = np.full((Y, X), pack_rgb(30, 30, 34), dtype=np.uint32)
-    for _ in range(12):
-        x0, y0 = int(rng.integers(0, X - 200)), int(rng.integers(0, Y - 150))
-        f[y0 : y0 + 140, x0 : x0 + 190] = pack_rgb(*rng.integers(0, 256, 3))
-    f = f.reshape(-1)
-    streams = [enc.encode_i(f)]
-    for t in range(T - 1):
-        nf = f.copy().reshape(Y, X)
-        if t % 3 == 0:
-            nf[8:, :] = nf[:-8, :].copy()  # scroll → motion blocks
-        if t % 3 != 2:  # every third frame is a still
-            x0, y0 = int(rng.integers(0, X - 120)), int(rng.integers(0, Y - 80))
-            nf[y0 : y0 + 60, x0 : x0 + 100] = pack_rgb(*rng.integers(0, 256, 3))
-        f = nf.reshape(-1)
-        streams.append(enc.encode_p(f))
+    def build():
+        rng = np.random.default_rng(0)
+        enc = native.NativeScreenPressorEncoder(4, X, Y)
+        f = np.full((Y, X), pack_rgb(30, 30, 34), dtype=np.uint32)
+        for _ in range(12):
+            x0 = int(rng.integers(0, X - 200))
+            y0 = int(rng.integers(0, Y - 150))
+            f[y0 : y0 + 140, x0 : x0 + 190] = pack_rgb(
+                *rng.integers(0, 256, 3))
+        f = f.reshape(-1)
+        st = [enc.encode_i(f)]
+        for t in range(T - 1):
+            nf = f.copy().reshape(Y, X)
+            if t % 3 == 0:
+                nf[8:, :] = nf[:-8, :].copy()  # scroll → motion blocks
+            if t % 3 != 2:  # every third frame is a still
+                x0 = int(rng.integers(0, X - 120))
+                y0 = int(rng.integers(0, Y - 80))
+                nf[y0 : y0 + 60, x0 : x0 + 100] = pack_rgb(
+                    *rng.integers(0, 256, 3))
+            f = nf.reshape(-1)
+            st.append(enc.encode_p(f))
+        return st
 
+    streams = cached_streams(f"bench-mix-T{T}", build)
     got = native.native_sp_decode_streams([streams], X, Y)
     # steady-state host feed rates for the production transports (buffers
     # reused; best-of-N is the host-timing discipline, BENCH_NOTES.md —
@@ -150,8 +193,11 @@ def main() -> None:
     # the headline paths always run; extras are skipped once elapsed time
     # passes this, so the single JSON line is guaranteed to print even
     # under a driver timeout (rows not reached report null)
+    # raised 1100 → 1250 in round 5: the 15:04 run lost the stills curve
+    # to the soft deadline with ~2x slower remote compiles than the
+    # morning; the r4 record shows the driver tolerates the hard deadline
     SOFT_DEADLINE_S = float(__import__("os").environ.get(
-        "BENCH_SOFT_DEADLINE_S", 1100))
+        "BENCH_SOFT_DEADLINE_S", 1250))
 
     def over_budget():
         return time.perf_counter() - t_start > SOFT_DEADLINE_S
@@ -308,10 +354,11 @@ def main() -> None:
                     from jsplayer_tpu import native as _nat
 
                     Tt = min(240, 4 * T)
-                    frames_t = corpora.terminal_session(T=Tt, Y=Y, X=X,
-                                                        seed=0)
-                    enc3 = _nat.NativeScreenPressorEncoder(4, X, Y)
-                    streams_t = corpora.encode_frames(frames_t, enc3)
+                    streams_t = cached_streams(
+                        f"terminal-T{Tt}",
+                        lambda: corpora.encode_frames(
+                            corpora.terminal_session(T=Tt, Y=Y, X=X, seed=0),
+                            _nat.NativeScreenPressorEncoder(4, X, Y)))
                     bct = _nat.native_sp_decode_streams_bc(
                         [streams_t], X, Y, K=2)
                     best = float("inf")
@@ -504,9 +551,11 @@ def main() -> None:
             from jsplayer_tpu import native as _nat
 
             Tt = 240
-            frames_t = corpora.terminal_session(T=Tt, Y=Y, X=X, seed=0)
-            enc3 = _nat.NativeScreenPressorEncoder(4, X, Y)
-            streams_t = corpora.encode_frames(frames_t, enc3)
+            streams_t = cached_streams(
+                f"terminal-T{Tt}",
+                lambda: corpora.encode_frames(
+                    corpora.terminal_session(T=Tt, Y=Y, X=X, seed=0),
+                    _nat.NativeScreenPressorEncoder(4, X, Y)))
             k = native_kmv_single(streams_t)
             pcc_t, mvkc_t, _ = sp_recon.compact_changed(
                 k["paycode"][0], k["mvk"][0], np.asarray(k["changed"][0]))
@@ -537,13 +586,14 @@ def main() -> None:
             from jsplayer_tpu.utils import corpora
             from jsplayer_tpu import native as _nat
 
-            enc2 = _nat.NativeScreenPressorEncoder(4, X, Y)
             for s in (0.0, 1 / 3, 2 / 3, 0.9):
                 if over_budget():
                     break
-                frames_s = corpora.screen_mix(T=T, Y=Y, X=X, stills=s,
-                                              seed=3)
-                streams_s = corpora.encode_frames(frames_s, enc2)
+                streams_s = cached_streams(
+                    f"mix-s{s:.2f}-T{T}",
+                    lambda: corpora.encode_frames(
+                        corpora.screen_mix(T=T, Y=Y, X=X, stills=s, seed=3),
+                        _nat.NativeScreenPressorEncoder(4, X, Y)))
                 k = native_kmv_single(streams_s)
                 pcc_s, mvkc_s, _ = sp_recon.compact_changed(
                     k["paycode"][0], k["mvk"][0], np.asarray(k["changed"][0]))
