@@ -10,7 +10,12 @@ probe is ``manager.last_seek_ms`` (the Main.hx:1220-1226 analog).  Seek cost
 is dominated by decode-restart-from-keyframe (Manager.hx:244-249), so the
 report splits by the target's distance past its keyframe.
 
-Usage: python scripts/exp_seek_latency.py [T] [N]
+Usage: python scripts/exp_seek_latency.py [T] [N] [--corpus video_call]
+
+--corpus video_call: DENSE content (every frame changed, mid entropy) —
+the corpus where the two paths diverge structurally: an AVI seek re-pays
+the legacy entropy wall per replayed frame (~30 fps/core), while the
+lane walk pays only rect paints (native compose).
 """
 
 import json
@@ -22,8 +27,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-T = int(sys.argv[1]) if len(sys.argv) > 1 else 240
-N = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+_args = [a for a in sys.argv[1:] if a.isdigit()]
+CORPUS = ("video_call" if "--corpus" in sys.argv
+          and "video_call" in sys.argv else "terminal")
+T = int(_args[0]) if len(_args) > 0 else (120 if CORPUS == "video_call"
+                                          else 240)
+N = int(_args[1]) if len(_args) > 1 else (24 if CORPUS == "video_call"
+                                          else 48)
 KEYEVERY = 60
 Y, X = 1080, 1920
 
@@ -35,7 +45,10 @@ def build_avi():
     from jsplayer_tpu.utils import corpora
 
     t0 = time.monotonic()
-    frames = corpora.terminal_session(T=T, Y=Y, X=X, seed=0)
+    if CORPUS == "video_call":
+        frames = corpora.video_call(T=T)
+    else:
+        frames = corpora.terminal_session(T=T, Y=Y, X=X, seed=0)
     enc = (native.NativeScreenPressorEncoder(4, X, Y)
            if native.available() else ScreenPressorEncoder(4, X, Y))
     streams, keys = [], []
