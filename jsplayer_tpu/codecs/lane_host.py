@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import bisect
 import struct
+from collections import OrderedDict
 from typing import Iterator, Optional
 
 import numpy as np
@@ -295,6 +296,10 @@ class LaneHostCodec(VideoCodec):
     vs the AVI path's 29 ms).  Backward scrubs inside a window re-enter
     it from its retained entry carry; stills cost nothing."""
 
+    # exit-carry LRU budget: ~6 planes at 1080p, same order as the
+    # loader's 50 MB window budget (DataLoaderAVIIndexed.hx memory cap)
+    CARRY_CACHE_BYTES = 48 << 20
+
     def __init__(self, cont: LaneContainer):
         from .. import native as _native
 
@@ -314,6 +319,16 @@ class LaneHostCodec(VideoCodec):
         # scratch per codec (zero invariant preserved by the native call)
         self._use_native = _native.lane_compose_available()
         self._pool: Optional[np.ndarray] = None
+        # LRU of per-window EXIT carries (wi -> final plane).  A cold
+        # mid-chain seek rebuilds the chain from the restart window once;
+        # every exit plane computed on the way is parked here so repeat
+        # seeks into the same region start from the nearest cached carry
+        # instead of replaying the whole chain (the dense-corpus seek
+        # table's one 569 ms outlier — BENCH_NOTES round-5 seek entry).
+        # Planes are stable by construction (every _open/window_carry
+        # copies its carry-in; a completed window's plane is never
+        # mutated again), so the cache holds references, not copies.
+        self._carry_cache: OrderedDict[int, np.ndarray] = OrderedDict()
 
     # -- chunk helpers ---------------------------------------------------------
 
@@ -321,6 +336,14 @@ class LaneHostCodec(VideoCodec):
     def frame_chunk(t: int) -> bytes:
         """The loader-side mint for frame t's CompressedFrame.data."""
         return struct.pack("<I", t)
+
+    def _cache_carry(self, wi: int, plane: np.ndarray) -> None:
+        self._carry_cache[wi] = plane
+        self._carry_cache.move_to_end(wi)
+        budget = self.CARRY_CACHE_BYTES
+        while (len(self._carry_cache) > 1
+               and len(self._carry_cache) * plane.nbytes > budget):
+            self._carry_cache.popitem(last=False)
 
     def _locate(self, data: bytes) -> tuple[int, int]:
         t = struct.unpack("<I", data)[0]
@@ -363,6 +386,7 @@ class LaneHostCodec(VideoCodec):
             # window's carry-in
             self._carry = self._plane
             self._carry_wi = self._wi
+            self._cache_carry(self._wi, self._plane)
 
     def _advance(self) -> None:
         assert self._gen is not None
@@ -373,6 +397,7 @@ class LaneHostCodec(VideoCodec):
             # record it as the next window's carry-in
             self._carry = self._plane
             self._carry_wi = self._wi
+            self._cache_carry(self._wi, self._plane)
 
     def _frame(self, wi: int, lt: int) -> np.ndarray:
         """Frame lt of window wi, composed in place up to it.  Seek
@@ -393,14 +418,23 @@ class LaneHostCodec(VideoCodec):
                         self._advance_to(self.cont.windows[self._wi].T - 1)
                     if self._carry_wi == wi - 1:
                         carry = self._carry
-                    else:  # cold mid-chain entry: rebuild from the restart
+                    else:  # cold mid-chain entry: rebuild from the nearest
+                        # cached exit carry at or after the chain's restart
                         j = wi
                         while j > 0 and not self.cont.windows[j].restart:
                             j -= 1
-                        for k in range(j, wi):
+                        k0 = j
+                        for k in range(wi - 1, j - 1, -1):
+                            hit = self._carry_cache.get(k)
+                            if hit is not None:
+                                self._carry_cache.move_to_end(k)
+                                k0, carry = k + 1, hit
+                                break
+                        for k in range(k0, wi):
                             wk = self.cont.windows[k]
                             carry = window_carry(wk, self.cont.X, self.cont.Y,
                                                  None if wk.restart else carry)
+                            self._cache_carry(k, carry)
             self._open(wi, carry)
         self._advance_to(lt)
         assert self._plane is not None

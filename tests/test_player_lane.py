@@ -231,3 +231,58 @@ def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
     # an O(chain^2) window_carry rebuild at every boundary
     assert len(calls) == 4, f"composed {len(calls)} times for 4 windows"
     assert not rebuilds, f"{len(rebuilds)} cold carry rebuilds"
+
+
+def test_lane_cold_seek_reuses_cached_exit_carries(monkeypatch):
+    """A cold mid-chain seek rebuilds the carry chain from the restart
+    window ONCE; every exit plane computed on the way is parked in the
+    codec's LRU, so a repeat seek into the same region does zero
+    window_carry work (the dense-corpus seek table's one 569 ms cold
+    outlier — Main.hx:1220-1226's cost model).  Also pins correctness
+    under forced eviction (budget of one plane)."""
+    import jsplayer_tpu.codecs.lane_host as lh
+
+    avi, _ = make_sp_avi(nframes=24, keyevery=100)  # one keyframe
+    cont = transcode_to_lane(avi, window=4, K=2)
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    c = container_from_bytes(cont)
+    assert sum(w.restart for w in c.windows) == 1 and len(c.windows) == 6
+
+    oracle = list(lh.iter_frames(c))
+    rebuilds = []
+    orig_carry = lh.window_carry
+
+    def counted_carry(w, X, Y, prev=None):
+        rebuilds.append(w)
+        return orig_carry(w, X, Y, prev)
+
+    monkeypatch.setattr(lh, "window_carry", counted_carry)
+    codec = lh.LaneHostCodec(c)
+
+    def frame(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    far = 21  # window 5: cold entry walks windows 0-4 for their carries
+    np.testing.assert_array_equal(frame(far), oracle[far])
+    assert len(rebuilds) == 5, f"first cold seek: {len(rebuilds)} rebuilds"
+    np.testing.assert_array_equal(frame(2), oracle[2])  # hop to window 0
+    np.testing.assert_array_equal(frame(far), oracle[far])
+    assert len(rebuilds) == 5, "repeat seek rebuilt despite cached carries"
+    np.testing.assert_array_equal(frame(13), oracle[13])  # window 3 via cache[2]
+    assert len(rebuilds) == 5, "mid-chain seek rebuilt despite cached carries"
+
+    # forced eviction: budget of ~one plane; correctness must hold
+    codec2 = lh.LaneHostCodec(c)
+    codec2.CARRY_CACHE_BYTES = c.Y * c.X * 4
+
+    def frame2(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec2.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    for t in (21, 2, 17, 9, 23, 0):
+        np.testing.assert_array_equal(frame2(t), oracle[t])
+    assert len(codec2._carry_cache) <= 1
