@@ -296,9 +296,15 @@ class LaneHostCodec(VideoCodec):
     vs the AVI path's 29 ms).  Backward scrubs inside a window re-enter
     it from its retained entry carry; stills cost nothing."""
 
-    # exit-carry LRU budget: ~6 planes at 1080p, same order as the
-    # loader's 50 MB window budget (DataLoaderAVIIndexed.hx memory cap)
+    # plane-LRU budget: ~6 planes at 1080p, same order as the loader's
+    # 50 MB window budget (DataLoaderAVIIndexed.hx memory cap)
     CARRY_CACHE_BYTES = 48 << 20
+    # intra-window checkpoint stride (local frames).  Long dense windows
+    # (keyframe-snapped: up to KEYEVERY frames of near-full-frame paints)
+    # make far-from-key seeks pay up to stride*paint per REPEAT visit;
+    # one ~8 MB plane copy per 16 frames during the forward walk bounds
+    # that replay to <stride paints (the dense-corpus seek max).
+    CKPT_STRIDE = 16
 
     def __init__(self, cont: LaneContainer):
         from .. import native as _native
@@ -319,16 +325,21 @@ class LaneHostCodec(VideoCodec):
         # scratch per codec (zero invariant preserved by the native call)
         self._use_native = _native.lane_compose_available()
         self._pool: Optional[np.ndarray] = None
-        # LRU of per-window EXIT carries (wi -> final plane).  A cold
-        # mid-chain seek rebuilds the chain from the restart window once;
-        # every exit plane computed on the way is parked here so repeat
-        # seeks into the same region start from the nearest cached carry
-        # instead of replaying the whole chain (the dense-corpus seek
-        # table's one 569 ms outlier — BENCH_NOTES round-5 seek entry).
-        # Planes are stable by construction (every _open/window_carry
-        # copies its carry-in; a completed window's plane is never
-        # mutated again), so the cache holds references, not copies.
-        self._carry_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        # LRU of composed planes keyed (wi, local_frame): window EXIT
+        # carries at (wi, T-1) plus intra-window CHECKPOINTS every
+        # CKPT_STRIDE frames.  A cold mid-chain seek rebuilds the carry
+        # chain from the restart window once, parking every exit plane on
+        # the way; a far-from-key seek into a long dense window parks
+        # stride snapshots on its forward walk.  Repeat seeks then start
+        # from the nearest cached plane instead of replaying the chain or
+        # the window head (the dense-corpus seek max — BENCH_NOTES
+        # round-5 seek entry).  Both kinds are deterministic: a window's
+        # entry state is a pure function of the container, so a cached
+        # plane is valid for every future entry.  Exit carries are stable
+        # references (every _open/window_carry copies its carry-in; a
+        # completed window's plane is never mutated again); checkpoints
+        # are copies (the open window's plane keeps mutating in place).
+        self._carry_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
 
     # -- chunk helpers ---------------------------------------------------------
 
@@ -337,29 +348,50 @@ class LaneHostCodec(VideoCodec):
         """The loader-side mint for frame t's CompressedFrame.data."""
         return struct.pack("<I", t)
 
-    def _cache_carry(self, wi: int, plane: np.ndarray) -> None:
-        self._carry_cache[wi] = plane
-        self._carry_cache.move_to_end(wi)
+    def _cache_plane(self, wi: int, lt: int, plane: np.ndarray) -> None:
+        """Park window wi's composed plane AT local frame lt in the LRU.
+        lt == T-1 is the window's exit carry (a stable reference);
+        lt < T-1 is an intra-window checkpoint (caller passes a copy)."""
+        key = (wi, lt)
+        self._carry_cache[key] = plane
+        self._carry_cache.move_to_end(key)
         budget = self.CARRY_CACHE_BYTES
         while (len(self._carry_cache) > 1
                and len(self._carry_cache) * plane.nbytes > budget):
             self._carry_cache.popitem(last=False)
+
+    def _best_ckpt(self, wi: int, lt: int):
+        """Latest cached plane of window wi at or before local frame lt
+        → (local_frame, plane) or None.  O(cache) scan — the LRU holds a
+        handful of planes by budget."""
+        best = None
+        for (cwi, clt), plane in self._carry_cache.items():
+            if cwi == wi and clt <= lt and (best is None or clt > best[0]):
+                best = (clt, plane)
+        if best is not None:
+            self._carry_cache.move_to_end((wi, best[0]))
+        return best
 
     def _locate(self, data: bytes) -> tuple[int, int]:
         t = struct.unpack("<I", data)[0]
         wi = bisect.bisect_right(self._bases, t) - 1
         return wi, t - self._bases[wi]
 
-    def _open(self, wi: int, carry: Optional[np.ndarray]) -> None:
+    def _open(self, wi: int, carry: Optional[np.ndarray],
+              ckpt: Optional[tuple] = None) -> None:
         w = self.cont.windows[wi]
         self._wi, self._lt = wi, -1
         self._entry_carry = carry  # stable: both walks copy their carry-in
         if self._use_native:
             self._gen = None
-            self._plane = (carry.astype(np.uint32).copy()
-                           if carry is not None
-                           else np.zeros((self.cont.Y, self.cont.X),
-                                         np.uint32))
+            if ckpt is not None:  # resume at a cached (local_frame, plane)
+                self._lt, plane = ckpt
+                self._plane = plane.astype(np.uint32).copy()
+            else:
+                self._plane = (carry.astype(np.uint32).copy()
+                               if carry is not None
+                               else np.zeros((self.cont.Y, self.cont.X),
+                                             np.uint32))
             if self._pool is None:
                 self._pool = np.zeros(
                     self.cont.Y * plane_cols(self.cont.X), np.uint32)
@@ -374,9 +406,19 @@ class LaneHostCodec(VideoCodec):
         if self._use_native:
             w = self.cont.windows[self._wi]
             assert self._plane is not None and self._pool is not None
-            native_compose_range(w, self.cont.X, self.cont.Y, self._plane,
-                                 self._pool, self._lt + 1, lt + 1)
-            self._lt = lt
+            # walk in stride-sized legs, snapshotting the plane at each
+            # stride boundary (cheap vs the paints it saves on repeat
+            # far-from-key seeks; exit plane is cached by reference below)
+            S = self.CKPT_STRIDE
+            nxt = self._lt + 1
+            while nxt <= lt:
+                b = min(lt, (nxt // S + 1) * S - 1)
+                native_compose_range(w, self.cont.X, self.cont.Y,
+                                     self._plane, self._pool, nxt, b + 1)
+                self._lt = b
+                if (b + 1) % S == 0 and b + 1 < w.T:
+                    self._cache_plane(self._wi, b, self._plane.copy())
+                nxt = b + 1
         else:
             while self._lt < lt:
                 self._advance()
@@ -386,7 +428,7 @@ class LaneHostCodec(VideoCodec):
             # window's carry-in
             self._carry = self._plane
             self._carry_wi = self._wi
-            self._cache_carry(self._wi, self._plane)
+            self._cache_plane(self._wi, self._lt, self._plane)
 
     def _advance(self) -> None:
         assert self._gen is not None
@@ -397,7 +439,7 @@ class LaneHostCodec(VideoCodec):
             # record it as the next window's carry-in
             self._carry = self._plane
             self._carry_wi = self._wi
-            self._cache_carry(self._wi, self._plane)
+            self._cache_plane(self._wi, self._lt, self._plane)
 
     def _frame(self, wi: int, lt: int) -> np.ndarray:
         """Frame lt of window wi, composed in place up to it.  Seek
@@ -406,6 +448,10 @@ class LaneHostCodec(VideoCodec):
         length, and not to full planes (Main.hx:1220-1226's cost model
         on the lane path)."""
         if wi != self._wi or lt < self._lt:
+            # nearest cached plane of the TARGET window at/before lt —
+            # skips the within-window replay (native walk only; the
+            # generator can't resume mid-window)
+            ck = self._best_ckpt(wi, lt) if self._use_native else None
             if wi == self._wi:  # backward scrub: replay from entry carry
                 carry = self._entry_carry
             else:
@@ -425,17 +471,19 @@ class LaneHostCodec(VideoCodec):
                             j -= 1
                         k0 = j
                         for k in range(wi - 1, j - 1, -1):
-                            hit = self._carry_cache.get(k)
+                            hit = self._carry_cache.get(
+                                (k, self.cont.windows[k].T - 1))
                             if hit is not None:
-                                self._carry_cache.move_to_end(k)
+                                self._carry_cache.move_to_end(
+                                    (k, self.cont.windows[k].T - 1))
                                 k0, carry = k + 1, hit
                                 break
                         for k in range(k0, wi):
                             wk = self.cont.windows[k]
                             carry = window_carry(wk, self.cont.X, self.cont.Y,
                                                  None if wk.restart else carry)
-                            self._cache_carry(k, carry)
-            self._open(wi, carry)
+                            self._cache_plane(k, wk.T - 1, carry)
+            self._open(wi, carry, ck)
         self._advance_to(lt)
         assert self._plane is not None
         return self._plane

@@ -196,9 +196,9 @@ def test_lane_sequential_playback_composes_each_window_once(monkeypatch):
     calls = []
     orig_open = lh.LaneHostCodec._open
 
-    def counted_open(self, wi, carry):
+    def counted_open(self, wi, carry, *a, **kw):
         calls.append(wi)
-        return orig_open(self, wi, carry)
+        return orig_open(self, wi, carry, *a, **kw)
 
     rebuilds = []
     orig_carry = lh.window_carry
@@ -286,3 +286,50 @@ def test_lane_cold_seek_reuses_cached_exit_carries(monkeypatch):
     for t in (21, 2, 17, 9, 23, 0):
         np.testing.assert_array_equal(frame2(t), oracle[t])
     assert len(codec2._carry_cache) <= 1
+
+
+def test_lane_backward_seek_resumes_from_intra_window_checkpoint(monkeypatch):
+    """Inside a LONG window (keyframe-snapped dense windows run to
+    KEYEVERY frames), the forward walk snapshots the plane every
+    CKPT_STRIDE frames; a later backward seek resumes from the nearest
+    checkpoint instead of replaying from the window head — bounding the
+    dense-corpus repeat-seek cost to <stride paints."""
+    import pytest
+
+    import jsplayer_tpu.codecs.lane_host as lh
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    avi, _ = make_sp_avi(nframes=24, keyevery=100)  # one keyframe
+    cont = transcode_to_lane(avi, window=24, K=2)   # one 24-frame window
+    c = container_from_bytes(cont)
+    assert [w.T for w in c.windows] == [24]
+
+    oracle = list(lh.iter_frames(c))
+    codec = lh.LaneHostCodec(c)
+    if not codec._use_native:
+        pytest.skip("native lane compose not built")
+
+    composed = []
+    orig = lh.native_compose_range
+
+    def counted(w, X, Y, plane, pool, a, b):
+        composed.append(b - a)
+        return orig(w, X, Y, plane, pool, a, b)
+
+    monkeypatch.setattr(lh, "native_compose_range", counted)
+
+    def frame(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    np.testing.assert_array_equal(frame(23), oracle[23])  # walk 0..23
+    assert (0, 15) in codec._carry_cache  # stride snapshot parked
+    composed.clear()
+    np.testing.assert_array_equal(frame(17), oracle[17])
+    # backward seek past the checkpoint: resume at 15, compose 16..17
+    assert sum(composed) == 2, f"composed {sum(composed)} frames, not 2"
+    composed.clear()
+    np.testing.assert_array_equal(frame(3), oracle[3])
+    # before any checkpoint: replay from the entry carry (frames 0..3)
+    assert sum(composed) == 4, f"composed {sum(composed)} frames, not 4"
