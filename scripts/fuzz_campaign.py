@@ -139,7 +139,12 @@ def run_lane_native(seed: int, scale: float) -> int:
         a, b = LaneHostCodec(c), LaneHostCodec(c)
         b._use_native = False
         assert a._use_native
-        order = list(rng.integers(0, c.n_frames, 6))
+        # exercise the plane LRU hard: tiny checkpoint stride (fuzz
+        # windows are shorter than the production 16) + a 1-3 plane
+        # budget so eviction churns mid-walk
+        a.CKPT_STRIDE = int(rng.integers(2, 6))
+        a.CARRY_CACHE_BYTES = int(rng.integers(1, 4)) * c.Y * c.X * 4
+        order = list(rng.integers(0, c.n_frames, 10))
         for t in order:
             ch = LaneHostCodec.frame_chunk(int(t))
             fa = a._frame(*a._locate(ch))
