@@ -23,6 +23,12 @@ from ..kernels.rans_lanes import PROB_BITS, PROB_SCALE, RANS_L
 from .base import DecoderState, PFrameResult, VideoCodec
 from .lane_format import LaneContainer, LaneWindow, plane_cols
 
+# sentinel for a deferred window entry carry: a checkpoint hit makes the
+# carry unnecessary unless a LATER backward scrub lands below every
+# checkpoint of the window — only then is the (possibly chain-long)
+# rebuild actually paid (LaneHostCodec._carry_in)
+_LAZY = object()
+
 
 def decode_lanes_aligned_host(refills: np.ndarray, states: np.ndarray,
                               freq: np.ndarray) -> np.ndarray:
@@ -225,7 +231,8 @@ def window_carry(w: LaneWindow, X: int, Y: int,
     from .. import native as _native
 
     if _native.lane_compose_available():
-        plane = (prev.astype(np.uint32).copy() if prev is not None
+        # astype always copies (copy=True default) — one copy, not two
+        plane = (prev.astype(np.uint32) if prev is not None
                  else np.zeros((Y, X), np.uint32))
         pool = np.zeros(Y * plane_cols(X), np.uint32)
         native_compose_range(w, X, Y, plane, pool, 0, w.T)
@@ -317,7 +324,7 @@ class LaneHostCodec(VideoCodec):
         self._lt = -1                 # last composed local frame in _wi
         self._gen: Optional[Iterator[np.ndarray]] = None
         self._plane: Optional[np.ndarray] = None
-        self._entry_carry: Optional[np.ndarray] = None  # _wi's carry-in
+        self._entry_carry = None  # _wi's carry-in (plane, None, or _LAZY)
         self._carry: Optional[np.ndarray] = None  # last COMPLETED window's
         self._carry_wi = -2                       # final plane
         # native walk: the C compose replaces the per-frame numpy body
@@ -377,18 +384,21 @@ class LaneHostCodec(VideoCodec):
         wi = bisect.bisect_right(self._bases, t) - 1
         return wi, t - self._bases[wi]
 
-    def _open(self, wi: int, carry: Optional[np.ndarray],
-              ckpt: Optional[tuple] = None) -> None:
+    def _open(self, wi: int, carry, ckpt: Optional[tuple] = None) -> None:
         w = self.cont.windows[wi]
         self._wi, self._lt = wi, -1
-        self._entry_carry = carry  # stable: both walks copy their carry-in
+        # stable: both walks copy their carry-in.  May be the _LAZY
+        # sentinel when opening at a checkpoint (resolved by _frame via
+        # _carry_in only if a scrub later lands below every checkpoint).
+        self._entry_carry = carry
         if self._use_native:
             self._gen = None
             if ckpt is not None:  # resume at a cached (local_frame, plane)
                 self._lt, plane = ckpt
-                self._plane = plane.astype(np.uint32).copy()
+                self._plane = plane.astype(np.uint32)  # astype copies
             else:
-                self._plane = (carry.astype(np.uint32).copy()
+                assert carry is not _LAZY
+                self._plane = (carry.astype(np.uint32)
                                if carry is not None
                                else np.zeros((self.cont.Y, self.cont.X),
                                              np.uint32))
@@ -396,6 +406,7 @@ class LaneHostCodec(VideoCodec):
                 self._pool = np.zeros(
                     self.cont.Y * plane_cols(self.cont.X), np.uint32)
         else:
+            assert ckpt is None and carry is not _LAZY
             self._gen = compose_steps(w, self.cont.X, self.cont.Y, carry,
                                       start=w.T)
 
@@ -441,49 +452,68 @@ class LaneHostCodec(VideoCodec):
             self._carry_wi = self._wi
             self._cache_plane(self._wi, self._lt, self._plane)
 
+    def _carry_in(self, wi: int) -> Optional[np.ndarray]:
+        """Window wi's entry carry: None for restart windows; else the
+        previous window's exit plane — drained from the open window,
+        taken from the LRU, or rebuilt from the chain's restart window
+        (parking every exit computed on the way)."""
+        w = self.cont.windows[wi]
+        if w.restart:
+            return None
+        if self._wi == wi - 1:
+            # drain the open window for its carry: remaining stills are
+            # free, changed frames paint in place
+            self._advance_to(self.cont.windows[self._wi].T - 1)
+        if self._carry_wi == wi - 1:
+            return self._carry
+        # cold mid-chain entry: rebuild from the nearest cached exit
+        # carry at or after the chain's restart
+        j = wi
+        while j > 0 and not self.cont.windows[j].restart:
+            j -= 1
+        k0, carry = j, None
+        for k in range(wi - 1, j - 1, -1):
+            hit = self._carry_cache.get((k, self.cont.windows[k].T - 1))
+            if hit is not None:
+                self._carry_cache.move_to_end(
+                    (k, self.cont.windows[k].T - 1))
+                k0, carry = k + 1, hit
+                break
+        for k in range(k0, wi):
+            wk = self.cont.windows[k]
+            carry = window_carry(wk, self.cont.X, self.cont.Y,
+                                 None if wk.restart else carry)
+            self._cache_plane(k, wk.T - 1, carry)
+        return carry
+
     def _frame(self, wi: int, lt: int) -> np.ndarray:
         """Frame lt of window wi, composed in place up to it.  Seek
         latency is proportional to the painted rects of the CHANGED
-        frames between the window's entry state and lt — not to window
-        length, and not to full planes (Main.hx:1220-1226's cost model
-        on the lane path)."""
-        if wi != self._wi or lt < self._lt:
-            # nearest cached plane of the TARGET window at/before lt —
-            # skips the within-window replay (native walk only; the
-            # generator can't resume mid-window)
-            ck = self._best_ckpt(wi, lt) if self._use_native else None
-            if wi == self._wi:  # backward scrub: replay from entry carry
-                carry = self._entry_carry
-            else:
-                w = self.cont.windows[wi]
-                carry = None
-                if not w.restart:
-                    if self._wi == wi - 1:
-                        # drain the open window for its carry: remaining
-                        # stills are free, changed frames paint in place
-                        self._advance_to(self.cont.windows[self._wi].T - 1)
-                    if self._carry_wi == wi - 1:
-                        carry = self._carry
-                    else:  # cold mid-chain entry: rebuild from the nearest
-                        # cached exit carry at or after the chain's restart
-                        j = wi
-                        while j > 0 and not self.cont.windows[j].restart:
-                            j -= 1
-                        k0 = j
-                        for k in range(wi - 1, j - 1, -1):
-                            hit = self._carry_cache.get(
-                                (k, self.cont.windows[k].T - 1))
-                            if hit is not None:
-                                self._carry_cache.move_to_end(
-                                    (k, self.cont.windows[k].T - 1))
-                                k0, carry = k + 1, hit
-                                break
-                        for k in range(k0, wi):
-                            wk = self.cont.windows[k]
-                            carry = window_carry(wk, self.cont.X, self.cont.Y,
-                                                 None if wk.restart else carry)
-                            self._cache_plane(k, wk.T - 1, carry)
-            self._open(wi, carry, ck)
+        frames between the NEAREST cached plane (checkpoint/exit carry)
+        and lt — not to window length, and not to full planes
+        (Main.hx:1220-1226's cost model on the lane path)."""
+        # nearest cached plane of the TARGET window at/before lt — skips
+        # the within-window replay (native walk only; the generator
+        # can't resume mid-window)
+        ck = self._best_ckpt(wi, lt) if self._use_native else None
+        if wi == self._wi and lt >= self._lt:
+            # forward: a checkpoint must skip >1 frame to beat composing
+            # (a resume costs one full-plane copy ≈ one dense paint)
+            if ck is not None and ck[0] > self._lt + 1:
+                self._open(wi, self._entry_carry, ck)
+        elif ck is not None:
+            # the checkpoint supersedes the entry carry for this open;
+            # defer the (possibly chain-long) carry rebuild until a scrub
+            # actually lands below every checkpoint
+            self._open(wi, self._entry_carry if wi == self._wi else _LAZY,
+                       ck)
+        elif wi == self._wi:  # backward scrub below every checkpoint
+            carry = self._entry_carry
+            if carry is _LAZY:
+                carry = self._carry_in(wi)
+            self._open(wi, carry)
+        else:
+            self._open(wi, self._carry_in(wi))
         self._advance_to(lt)
         assert self._plane is not None
         return self._plane

@@ -333,3 +333,93 @@ def test_lane_backward_seek_resumes_from_intra_window_checkpoint(monkeypatch):
     np.testing.assert_array_equal(frame(3), oracle[3])
     # before any checkpoint: replay from the entry carry (frames 0..3)
     assert sum(composed) == 4, f"composed {sum(composed)} frames, not 4"
+
+
+def test_lane_forward_seek_resumes_from_checkpoint(monkeypatch):
+    """A FORWARD seek that jumps past a parked checkpoint resumes from it
+    instead of composing every intermediate frame (scrub-back-then-
+    forward pattern; sequential playback — lt advancing by 1 — must NOT
+    churn plane copies, so a resume requires skipping >1 frame)."""
+    import pytest
+
+    import jsplayer_tpu.codecs.lane_host as lh
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    avi, _ = make_sp_avi(nframes=24, keyevery=100)
+    cont = transcode_to_lane(avi, window=24, K=2)
+    c = container_from_bytes(cont)
+    oracle = list(lh.iter_frames(c))
+    codec = lh.LaneHostCodec(c)
+    if not codec._use_native:
+        pytest.skip("native lane compose not built")
+
+    composed = []
+    orig = lh.native_compose_range
+
+    def counted(w, X, Y, plane, pool, a, b):
+        composed.append(b - a)
+        return orig(w, X, Y, plane, pool, a, b)
+
+    monkeypatch.setattr(lh, "native_compose_range", counted)
+
+    def frame(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    frame(23)  # walk 0..23, checkpoint parked at 15
+    frame(3)   # scrub back (replay 0..3)
+    composed.clear()
+    np.testing.assert_array_equal(frame(22), oracle[22])
+    # forward from lt=3 with checkpoint at 15: compose 16..22, not 4..22
+    assert sum(composed) == 7, f"composed {sum(composed)} frames, not 7"
+    composed.clear()
+    np.testing.assert_array_equal(frame(4), oracle[4])   # replay 0..4
+    np.testing.assert_array_equal(frame(5), oracle[5])   # sequential +1
+    # sequential advance never takes a checkpoint resume (5 composes)
+    assert composed == [5, 1], f"composed legs {composed}"
+
+
+def test_lane_checkpoint_hit_skips_chain_carry_rebuild(monkeypatch):
+    """Entering a CHAINED window at a checkpoint defers the entry-carry
+    chain rebuild entirely (lazy); the rebuild is paid only if a later
+    scrub lands below every checkpoint — and then it reuses cached chain
+    exits, so window_carry never reruns."""
+    import pytest
+
+    import jsplayer_tpu.codecs.lane_host as lh
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    avi, _ = make_sp_avi(nframes=48, keyevery=100)  # one keyframe
+    cont = transcode_to_lane(avi, window=24, K=2)
+    c = container_from_bytes(cont)
+    assert [w.restart for w in c.windows] == [True, False]
+    oracle = list(lh.iter_frames(c))
+    codec = lh.LaneHostCodec(c)
+    if not codec._use_native:
+        pytest.skip("native lane compose not built")
+
+    rebuilds = []
+    orig_carry = lh.window_carry
+
+    def counted_carry(w, X, Y, prev=None):
+        rebuilds.append(w)
+        return orig_carry(w, X, Y, prev)
+
+    monkeypatch.setattr(lh, "window_carry", counted_carry)
+
+    def frame(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    np.testing.assert_array_equal(frame(47), oracle[47])  # cold: 1 rebuild
+    assert len(rebuilds) == 1
+    np.testing.assert_array_equal(frame(5), oracle[5])    # hop to window 0
+    # re-enter window 1 at its checkpoint: NO carry rebuild (lazy entry)
+    np.testing.assert_array_equal(frame(43), oracle[43])
+    assert len(rebuilds) == 1, "checkpoint entry still rebuilt the chain"
+    # scrub below every checkpoint of window 1: lazy carry resolves from
+    # the CACHED chain exit — window_carry still never reruns
+    np.testing.assert_array_equal(frame(25), oracle[25])
+    assert len(rebuilds) == 1, "lazy carry resolution reran window_carry"
