@@ -63,7 +63,7 @@ def build_avi():
     return avi
 
 
-def measure(p, fps, nframes, rng, n):
+def measure(p, fps, targets):
     """→ list of (distance_past_keyframe, ms).
 
     Wall clock from the seek request to the TARGET FRAME DRAWN — the
@@ -71,8 +71,7 @@ def measure(p, fps, nframes, rng, n):
     keeps counting until the frame is actually presented; the in-Manager
     probe `last_seek_ms` intentionally skips those)."""
     out = []
-    for _ in range(n):
-        target = int(rng.integers(0, nframes))
+    for target in targets:
         t0 = time.monotonic()
         p.seek_time(target / fps + 0.001)
         for _ in range(200000):
@@ -125,9 +124,17 @@ def main():
                 break
         assert p.manager.last_frame_drawn >= 0
         rng = np.random.default_rng(7)
-        pairs = measure(p, p.manager.fps, T, rng, N)
+        targets = [int(t) for t in rng.integers(0, T, N)]
+        pairs = measure(p, p.manager.fps, targets)
         results[name] = stats(pairs)
         print(name, results[name], flush=True)
+        # REPEAT pass: the identical seek sequence again on the same
+        # player — quantifies what per-session caches buy (the lane
+        # codec's plane LRU / checkpoints; the AVI paths have no plane
+        # cache, so their repeat row doubles as a drift control)
+        pairs = measure(p, p.manager.fps, targets)
+        results[name + "_repeat"] = stats(pairs)
+        print(name + "_repeat", results[name + "_repeat"], flush=True)
 
     print(json.dumps(results))
 
