@@ -85,10 +85,21 @@ def cached_streams(key: str, build):
     import hashlib
     import pickle
 
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "jsplayer_tpu", "native", "spdec.cpp")
+    base = os.path.dirname(os.path.abspath(__file__))
+    # the streams are a function of the corpus GENERATORS and the encoder
+    # wrapper too, not just the C encoder — hash every source they
+    # depend on so an edit to any of them invalidates the cache
+    srcs = [os.path.join(base, "jsplayer_tpu", p) for p in (
+        os.path.join("native", "spdec.cpp"),
+        os.path.join("utils", "corpora.py"),
+        os.path.join("encode", "sp_enc.py"),
+        os.path.join("encode", "avi_mux.py"),
+    )]
     try:
-        tag = hashlib.sha1(open(src, "rb").read()).hexdigest()[:12]
+        h = hashlib.sha1()
+        for s in srcs:
+            h.update(open(s, "rb").read())
+        tag = h.hexdigest()[:12]
     except OSError:
         return build()
     cdir = "/tmp/jsptpu_bench_cache"

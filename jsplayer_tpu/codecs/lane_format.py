@@ -298,6 +298,20 @@ def _block_local_rects(rect_g: np.ndarray, nbx: int) -> np.ndarray:
     return np.clip(loc, 0, 16).astype(np.uint8)
 
 
+def block_full_rects(X: int, Y: int, nbx: int, nby: int) -> np.ndarray:
+    """Per-block full rects (absolute coords, clipped at the frame edge)
+    — the I-frame capture shape derive_window recognizes as a restart
+    window.  ONE definition shared with transcode's synthesized MSV1
+    keyframes so the restart test stays byte-identical by construction."""
+    NB = nbx * nby
+    r = np.empty((NB, 4), dtype=np.int64)
+    r[:, 0] = (np.arange(NB) % nbx) * 16
+    r[:, 1] = (np.arange(NB) // nbx) * 16
+    r[:, 2] = np.minimum(r[:, 0] + 16, X)
+    r[:, 3] = np.minimum(r[:, 1] + 16, Y)
+    return r
+
+
 def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
                   payload: np.ndarray, changed: np.ndarray,
                   signif: np.ndarray, X: int, Y: int, K: int,
@@ -332,13 +346,8 @@ def derive_window(bts: np.ndarray, mv: np.ndarray, rect: np.ndarray,
     # mode it is additionally extracted as a raw init plane (see
     # LaneWindow.init_plane); in raw mode it rides the unit machinery
     # like any other frame (3 B/px < the plane's 4 B/px).
-    full_rects = np.empty((NB, 4), dtype=np.int64)
-    full_rects[:, 0] = (np.arange(NB) % nbx) * 16
-    full_rects[:, 1] = (np.arange(NB) // nbx) * 16
-    full_rects[:, 2] = np.minimum(full_rects[:, 0] + 16, X)
-    full_rects[:, 3] = np.minimum(full_rects[:, 1] + 16, Y)
     restart = bool(T > 0 and changed[0] and (bts[0] == 1).all()
-                   and (rect[0] == full_rects).all())
+                   and (rect[0] == block_full_rects(X, Y, nbx, nby)).all())
     init_plane = None
     if restart and payload_mode == "rans":
         init_plane = pay[0].copy()

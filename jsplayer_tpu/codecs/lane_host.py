@@ -244,6 +244,16 @@ def window_carry(w: LaneWindow, X: int, Y: int,
     return cur  # the generator's scratch — exhausted, so never mutated again
 
 
+def clear_window_caches(w: LaneWindow) -> None:
+    """Drop a window's memoized decode arrays (inflated units + native
+    index concatenations) — pure memo, recomputed on re-entry.  On dense
+    1080p content the units alone are ~44 MB/window, so anything that
+    walks many windows must bound how many stay warm."""
+    for attr in ("_units_cache", "_native_arrays_cache"):
+        if hasattr(w, attr):
+            delattr(w, attr)
+
+
 def compose_window_host(w: LaneWindow, X: int, Y: int,
                         prev: Optional[np.ndarray] = None) -> np.ndarray:
     """Decode one window on the host → frames [T, Y, X] u32.
@@ -285,6 +295,9 @@ def iter_frames(cont: LaneContainer,
             if t0 <= bases[wi] + i < t1:
                 yield cur
         carry = cur
+        # batch walk is one-shot per window: drop its memoized decode
+        # arrays so a long container doesn't accumulate them all
+        clear_window_caches(w)
 
 
 class LaneHostCodec(VideoCodec):
@@ -312,6 +325,10 @@ class LaneHostCodec(VideoCodec):
     # one ~8 MB plane copy per 16 frames during the forward walk bounds
     # that replay to <stride paints (the dense-corpus seek max).
     CKPT_STRIDE = 16
+    # windows whose memoized decode arrays (inflated units, native index
+    # concatenations) stay resident — ~44 MB/window on dense 1080p, so a
+    # long interactive scrub must not keep every visited window warm
+    WARM_WINDOWS = 4
 
     def __init__(self, cont: LaneContainer):
         from .. import native as _native
@@ -347,6 +364,7 @@ class LaneHostCodec(VideoCodec):
         # completed window's plane is never mutated again); checkpoints
         # are copies (the open window's plane keeps mutating in place).
         self._carry_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._warm: OrderedDict[int, None] = OrderedDict()  # wi → caches live
 
     # -- chunk helpers ---------------------------------------------------------
 
@@ -366,6 +384,18 @@ class LaneHostCodec(VideoCodec):
         while (len(self._carry_cache) > 1
                and len(self._carry_cache) * plane.nbytes > budget):
             self._carry_cache.popitem(last=False)
+
+    def _mark_warm(self, wi: int) -> None:
+        """Window wi's decode memos are live; evict the least-recent
+        warm window's memos beyond the budget (never the open window)."""
+        self._warm[wi] = None
+        self._warm.move_to_end(wi)
+        while len(self._warm) > self.WARM_WINDOWS:
+            old = next((k for k in self._warm if k != self._wi), None)
+            if old is None:
+                break
+            del self._warm[old]
+            clear_window_caches(self.cont.windows[old])
 
     def _best_ckpt(self, wi: int, lt: int):
         """Latest cached plane of window wi at or before local frame lt
@@ -387,6 +417,7 @@ class LaneHostCodec(VideoCodec):
     def _open(self, wi: int, carry, ckpt: Optional[tuple] = None) -> None:
         w = self.cont.windows[wi]
         self._wi, self._lt = wi, -1
+        self._mark_warm(wi)
         # stable: both walks copy their carry-in.  May be the _LAZY
         # sentinel when opening at a checkpoint (resolved by _frame via
         # _carry_in only if a scrub later lands below every checkpoint).
@@ -484,6 +515,7 @@ class LaneHostCodec(VideoCodec):
             carry = window_carry(wk, self.cont.X, self.cont.Y,
                                  None if wk.restart else carry)
             self._cache_plane(k, wk.T - 1, carry)
+            self._mark_warm(k)
         return carry
 
     def _frame(self, wi: int, lt: int) -> np.ndarray:

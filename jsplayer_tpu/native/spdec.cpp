@@ -3313,7 +3313,11 @@ int lane_compose_range(uint32_t* plane, uint32_t* pool,
       int ax2 = bx * 16 + rc[b * 4 + 2], ay2 = by * 16 + rc[b * 4 + 3];
       if (ax2 > X) ax2 = X;
       if (ay2 > Y) ay2 = Y;
+      // hostile-but-parser-valid rects can give x1 > x2 (mutated
+      // containers); clamp so the motion branch's src stride never
+      // walks the scratch pointer out of bounds (numpy: empty slice)
       int w = ax2 - ax1;
+      if (w < 0) w = 0;
       if (bt[b] == 1) {
         for (int y = ay1; y < ay2; y++)
           if (w > 0)

@@ -23,6 +23,7 @@ same cooperative loop.
 
 from __future__ import annotations
 
+import math
 import time as _time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -159,6 +160,14 @@ class Player:
 
     def seek_time(self, t: float, done: Optional[Callable[[], None]] = None
                   ) -> None:
+        # hostile times (NaN/inf via the web /control JSON surface, which
+        # python json parses): the Manager clamps its own frame math, but
+        # start_pos feeds current_time() and the /state JSON — sanitize
+        # here so the surfaced position is always finite and in range
+        t = float(t)
+        if not math.isfinite(t):
+            t = 0.0
+        t = min(max(t, 0.0), self.manager.fraction_to_time(1.0))
         self.manager.loader.audio_track.stop()
 
         def seek_done() -> None:

@@ -325,7 +325,7 @@ def _derive_lane_unit(frames, unit_bounds, dec, is_msv, use_native,
                     # or gop-shard entry points — Player seek would decode
                     # from frame 0 (advisor r4, transcode.py)
                     bts[t] = 1
-                    rect[t] = _full_rects(X, Y, nbx, nby)
+                    rect[t] = lane_format.block_full_rects(X, Y, nbx, nby)
                     changed[t] = True
                 else:
                     res = dec.decompress_p(src, dst)
@@ -362,18 +362,6 @@ def _derive_lane_unit(frames, unit_bounds, dec, is_msv, use_native,
             bts, mv, rect, pixbuf, changed, sig, X, Y, K, n_lanes,
             payload_mode=payload))
     return out
-
-
-def _full_rects(X: int, Y: int, nbx: int, nby: int) -> np.ndarray:
-    """Per-block full rects (absolute coords, clipped at the frame edge)
-    — the I-frame capture shape derive_window recognizes as a restart."""
-    nb = nbx * nby
-    r = np.empty((nb, 4), dtype=np.int32)
-    r[:, 0] = (np.arange(nb) % nbx) * 16
-    r[:, 1] = (np.arange(nb) // nbx) * 16
-    r[:, 2] = np.minimum(r[:, 0] + 16, X)
-    r[:, 3] = np.minimum(r[:, 1] + 16, Y)
-    return r
 
 
 def _diff_commands(px: np.ndarray, prev: np.ndarray, X: int, Y: int,

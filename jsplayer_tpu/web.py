@@ -380,12 +380,19 @@ class PlayerServer:
                     return self._json({"error": "not found"}, 404)
                 if not (self._local_host() and self._local_origin()):
                     return self._json({"error": "forbidden"}, 403)
-                n = int(self.headers.get("Content-Length", 0))
                 try:
+                    # a malformed Content-Length is page-supplied input
+                    # too — it must 400, not escape to the 500 handler
+                    # (negative would read-to-EOF and hang keep-alive;
+                    # huge would allocate unboundedly)
+                    n = int(self.headers.get("Content-Length", 0))
+                    if not 0 <= n <= (1 << 20):
+                        raise ValueError("bad content-length")
                     req = json.loads(self.rfile.read(n) or b"{}")
                     token = (self.headers.get("X-Control-Token")
                              or req.get("token"))
-                    if token != outer.control_token:
+                    if not secrets.compare_digest(
+                            str(token or ""), outer.control_token):
                         # state-changing verbs need the per-session
                         # token the served page embeds
                         return self._json({"error": "bad token"}, 403)

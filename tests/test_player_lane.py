@@ -423,3 +423,67 @@ def test_lane_checkpoint_hit_skips_chain_carry_rebuild(monkeypatch):
     # the CACHED chain exit — window_carry still never reruns
     np.testing.assert_array_equal(frame(25), oracle[25])
     assert len(rebuilds) == 1, "lazy carry resolution reran window_carry"
+
+
+def test_lane_native_hostile_inverted_rect_matches_numpy():
+    """Parser-valid mutated containers can carry an INVERTED block rect
+    (x1 > x2 — byte validation only bounds each coord to <=16).  The
+    numpy walk paints an empty slice; the native compose must clamp the
+    width to zero instead of striding its motion-scratch pointer out of
+    bounds (fuzz-reachable UB, found by review)."""
+    import pytest
+
+    import jsplayer_tpu.codecs.lane_host as lh
+    from jsplayer_tpu import native as _nat
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    if not _nat.lane_compose_available():
+        pytest.skip("native lane compose not built")
+
+    avi, _ = make_sp_avi(nframes=6, keyevery=100)
+    cont = transcode_to_lane(avi, window=6, K=2)
+    c = container_from_bytes(cont)
+    w = c.windows[0]
+    t = next(i for i in range(1, w.T) if w.changed[i])
+    # block 0 becomes a motion block with an inverted rect + a real shift
+    w.btype[t, 0] = 2
+    w.rect[t, 0] = (12, 3, 4, 9)   # x1 > x2
+    w.mvk[t, 0] = (5, 7)
+    a, b = lh.LaneHostCodec(c), lh.LaneHostCodec(c)
+    b._use_native = False
+    assert a._use_native
+    for tt in range(w.T):
+        ch = lh.LaneHostCodec.frame_chunk(tt)
+        fa, fb = a._frame(*a._locate(ch)), b._frame(*b._locate(ch))
+        np.testing.assert_array_equal(fa, fb, err_msg=f"frame {tt}")
+
+
+def test_lane_codec_bounds_warm_window_memos():
+    """An interactive scrub across many windows must not keep every
+    visited window's inflated-unit memos resident (~44 MB/window on
+    dense 1080p): the codec retains at most WARM_WINDOWS windows' decode
+    arrays, evicting least-recently-opened (review-found unbounded
+    growth).  Frames stay bit-exact across eviction and re-entry."""
+    import jsplayer_tpu.codecs.lane_host as lh
+    from jsplayer_tpu.codecs.lane_format import container_from_bytes
+
+    avi, _ = make_sp_avi(nframes=32, keyevery=4)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    c = container_from_bytes(cont)
+    assert len(c.windows) == 8
+    oracle = list(lh.iter_frames(c))
+    # the one-shot batch walk above must leave nothing warm either
+    assert not any(hasattr(w, "_units_cache") for w in c.windows)
+    codec = lh.LaneHostCodec(c)
+
+    def frame(t):
+        out = np.empty(c.Y * c.X, np.uint32)
+        codec.decompress_i(lh.LaneHostCodec.frame_chunk(t), out)
+        return out.reshape(c.Y, c.X)
+
+    for t in (2, 6, 10, 14, 18, 22, 26, 30, 5, 29, 13):  # scrub all 8
+        np.testing.assert_array_equal(frame(t), oracle[t])
+        warm = sum(hasattr(w, "_units_cache")
+                   or hasattr(w, "_native_arrays_cache")
+                   for w in c.windows)
+        assert warm <= codec.WARM_WINDOWS, (t, warm)

@@ -367,6 +367,24 @@ def test_control_malformed_inputs_return_400(server):
                  b'{"cmd": "seek_time", "arg": 1e18}'):
         code, resp = post(body)
         assert code == 200 and resp["ok"], (body, code, resp)
+    # ...AND the surfaced position stays finite: python json accepts
+    # NaN/Infinity on input, but emitting them back makes /state invalid
+    # JSON for the browser (review-found: start_pos kept the raw value)
+    raw = _get(srv, "/state").decode()
+    assert "NaN" not in raw and "Infinity" not in raw, raw
+    json.loads(raw)
+    # a malformed/negative Content-Length is page-supplied input too:
+    # 400, not an escape into the 500 handler (urllib can't send these —
+    # raw socket)
+    import socket
+
+    for cl in (b"abc", b"-5", b"99999999999"):
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=10) as s:
+            s.sendall(b"POST /control HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+                      b"Content-Length: " + cl + b"\r\n\r\n")
+            status = s.recv(65536).decode().splitlines()[0]
+        assert " 400 " in status, (cl, status)
     # the server is still healthy
     code, resp = post(b'{"cmd": "pause"}')
     assert code == 200 and resp["ok"]
