@@ -101,6 +101,21 @@ class Mp3Parser:
         self.started = False
         self.sections: list[SoundSection] = []  # all emitted sections
 
+    def reset(self) -> None:
+        """Forget all positional state.  Required whenever the owning
+        loader clears ``self.input`` (seek/window eviction,
+        DataLoaderAVIIndexed.hx:656-673): pending frame tuples and
+        ``position`` are absolute offsets into the cleared buffer, and a
+        later finalize would read them out of range."""
+        self.position = 0
+        self.frames = []
+        self.long_frames = []
+        self.frames_processed = 0
+        self.long_frames_processed = 0
+        self.no_more_data = False
+        self.parsing_complete = False
+        self.started = False
+
     def no_more_sound(self) -> bool:
         # MP3Parser.NoMoreSound (MP3Parser.hx:58-61); sections are emitted
         # synchronously here so there is no pending-decode count

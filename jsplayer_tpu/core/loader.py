@@ -77,6 +77,7 @@ class DataLoader:
         self.frames = []
         self.buffer.clear()
         self.sound_buffer.clear()
+        self.mp3_parser.reset()  # its positions pointed into sound_buffer
         self.stop_loading = True
         self.audio_track.stop_and_clean()
         self._stream = None
@@ -97,8 +98,9 @@ class DataLoader:
         return DataLoader.get_frame(self, num)
 
     def get_frame_changes(self, num: int) -> Optional[bool]:
-        # DataLoader.GetFrameChanges (DataLoader.hx:109-112)
-        if num < len(self.frames) and self.frames[num] is not None:
+        # DataLoader.GetFrameChanges (DataLoader.hx:109-112); same num < 0
+        # guard as get_frame (a negative index would alias tail frames)
+        if 0 <= num < len(self.frames) and self.frames[num] is not None:
             return self.frames[num].significant_changes
         return None
 
@@ -260,7 +262,10 @@ class DataLoader:
             return False
         index.frames = entries
         index.base_offset = base_offset
-        n = self.indexes.index(index) if index in self.indexes else -1
+        # identity scan: Index is an eq=True dataclass, so `.index()` would
+        # compare field-by-field and could pick a different-but-equal segment
+        # (e.g. an audio index with coincidentally identical fields)
+        n = next((i for i, x in enumerate(self.indexes) if x is index), -1)
         if n >= 0:
             self.update_keyframes_info(n)
         return True
@@ -480,15 +485,24 @@ class DataLoaderAVIIndexed(DataLoader):
                 self._load_ix(i)
         self.is_index_loaded = True
 
-    def _load_ix(self, n: int) -> None:
+    def _load_ix(self, n: int) -> bool:
         # start_loading_ix (DataLoaderAVIIndexed.hx:376-387): range-read the
-        # ix## chunk and ingest
+        # ix## chunk and ingest.  → True only if the index was actually
+        # ingested — callers must not retry on False (truncated file,
+        # corrupt ix payload, or idx_offset mismatch), else they recurse on
+        # identical state re-issuing the same failing range read forever.
         x = self.indexes[n]
         raw = self.source.read_range(x.idx_offset,
                                      x.idx_offset + x.size_in_bytes - 1)
         if len(raw) < 8:
-            return
-        self._ingest_ix(raw[8:], x.idx_offset)  # skip chunk header
+            return False
+        try:
+            return self._ingest_ix(raw[8:], x.idx_offset)  # skip chunk header
+        except ValueError:
+            # corrupt ix payload: seek into this segment degrades to
+            # NOT_READY instead of killing playback (the demux path raises
+            # the documented ValueError; this synchronous path must not)
+            return False
 
     def _on_index_loaded(self) -> None:
         self.is_index_loaded = True
@@ -555,9 +569,15 @@ class DataLoaderAVIIndexed(DataLoader):
             kix = self.frames[i].ix
             i -= 1
         if self.frames[i] is None or self.frames[i].ix < 0:
-            if kix == 0:
+            if kix == 0 or self.indexes[kix - 1].frames is not None \
+                    or not self._load_ix(kix - 1):
+                # no earlier segment, nothing NEW to load (already-ingested
+                # segment didn't unblock the walk — hostile coverage gap),
+                # or the ix is unusable (truncated/corrupt): stay NOT_READY
+                # instead of recursing on identical state forever
                 return
-            self._load_ix(kix - 1)
+            # each recursion level ingests a previously-unloaded segment, so
+            # depth is bounded by the number of index segments
             return self._initiate_loading(num)
         nk = i
         # first unloaded frame between keyframe and num
@@ -565,6 +585,9 @@ class DataLoaderAVIIndexed(DataLoader):
                 and self.frames[i].data is not None:
             i += 1
         nu = min(i, num)
+
+        if self.frames[nu] is None or self.frames[nu].ix < 0:
+            return  # segment index failed to load above: can't place nu
 
         self._clear_memory(nk, num)
         self.first_frame_loaded = nk
@@ -640,6 +663,10 @@ class DataLoaderAVIIndexed(DataLoader):
             if f is not None and f.data is not None:
                 self.sum_size_loaded += len(f.data)
         self.sound_buffer.clear()
+        # the parser's pending frames/position reference the cleared buffer;
+        # finalizing them later would IndexError out of Manager.worker's
+        # parse_sound piggyback (seek-with-audio crash)
+        self.mp3_parser.reset()
         self.audio_track.clear()
 
     def loaded_frames_end(self) -> int:

@@ -84,8 +84,11 @@ def parse_avih(payload: bytes, file_size: int) -> VideoInfo:
     """Main AVI header → VideoInfo (got_avih, AVIParser.hx:42-62)."""
     (microsec, _maxbps, _padgran, _flags, totalframes, _initial, _nstreams,
      _suggbuf, width, height) = struct.unpack_from("<10i", payload, 0)
-    if microsec == 0:
-        microsec = 66666  # default 15 fps, AVIParser.hx:59
+    if microsec <= 0:
+        # ==0 default per AVIParser.hx:59; negative (hostile/corrupt signed
+        # field) would otherwise yield a negative fps that silently breaks
+        # every time↔frame mapping downstream
+        microsec = 66666  # default 15 fps
     _check_geometry(width, height, totalframes)
     return VideoInfo(
         width=width, height=height, bpp=32, fps=1_000_000 / microsec,
@@ -148,7 +151,16 @@ def parse_ix(payload: bytes) -> tuple[int, int, list[StdIndexEntry]]:
     """'ix##' chunk body (w/o 8-byte chunk header) → (ckid, base_offset,
     entries).  Mirrors DataLoader.parse_ix (DataLoader.hx:321-361) including
     the zero-offset carry-forward for sparse entries (:339-344)."""
+    if len(payload) < 24:
+        raise ValueError(f"truncated ix chunk ({len(payload)} bytes)")
     nentries = struct.unpack_from("<I", payload, 4)[0]
+    if nentries > (len(payload) - 24) // 8:
+        # advertised count exceeds the payload: raise the documented
+        # corrupt-container error instead of letting struct.error escape
+        # the synchronous _load_ix seek path
+        raise ValueError(
+            f"ix chunk claims {nentries} entries, payload holds "
+            f"{(len(payload) - 24) // 8}")
     ckid = struct.unpack_from("<I", payload, 8)[0]
     off_lo, off_hi = struct.unpack_from("<II", payload, 12)
     base_offset = off_lo | (off_hi << 32)

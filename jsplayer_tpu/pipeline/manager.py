@@ -271,10 +271,15 @@ class Manager:
         self._fill(nb)
 
     def _fill(self, nbuf: int) -> None:
-        # "already drawn" short-circuit (Manager.fill_bitmap_data:327)
+        # Track the source buffer BEFORE the "already drawn" short-circuit
+        # (Manager.fill_bitmap_data:327): the reference draws into a
+        # persistent shared bitmap so skipping is safe there, but get_rgba
+        # here converts lazily from _last_filled_buffer — after a seek away
+        # and back to the same frame (old buffer reused for other frames),
+        # a stale pointer would show the wrong image.
+        self._last_filled_buffer = nbuf
         if self.frame_of_interest == self.last_frame_drawn:
             return
-        self._last_filled_buffer = nbuf
         self.last_frame_drawn = self.frame_of_interest
 
     def get_rgba(self) -> Optional[np.ndarray]:
@@ -284,6 +289,12 @@ class Manager:
             return None
         src = self.buffers[self._last_filled_buffer]
         if self.convert_from_rgb15:
+            # NOTE (reference-parity quirk): 16bpp FLAT frames are stored
+            # with channels already <<3-expanded in (r,g,b) order
+            # (ScreenPressor.hx:136-140) yet the reference still applies
+            # this same <<3 at display (Manager.hx:369), double-expanding
+            # them; coded frames store raw 5-bit channels.  Kept bit-exact
+            # rather than silently diverging.
             return (0xFF000000 | (src << 3)).astype(np.uint32)
         return (0xFF000000 | ((src & 0xFF) << 16) | (src & 0xFF00)
                 | ((src >> 16) & 0xFF)).astype(np.uint32)
@@ -327,10 +338,16 @@ class Manager:
                 self.frame_of_interest = pos
                 return self.frame_of_interest / self.fps
             self.frame_of_interest = pos
+            if time.monotonic() - t0 > THINK_LIMIT:
+                # the reference checks the budget only inside the decode
+                # loop below; guard the outer loop too so an 'unknown'
+                # verdict that decoding cannot settle yields instead of
+                # spinning at 100% CPU
+                return None
             while self.next_frame_to_decode <= self.frame_of_interest:
                 before = self.next_frame_to_decode
                 for _ in range(10):
-                    self.worker()
+                    self.worker(external=False)
                 if time.monotonic() - t0 > THINK_LIMIT:
                     return None
                 if (self.next_frame_to_decode == before
@@ -362,8 +379,13 @@ class Manager:
             return oldest_index
         return -1
 
-    def worker(self) -> None:
-        # Manager.worker (Manager.hx:454-539)
+    def worker(self, external: bool = True) -> None:
+        # Manager.worker (Manager.hx:454-539).  `external` mirrors the
+        # reference's `e != null` timer-event check (Manager.hx:545-546):
+        # only an externally-driven worker step may start a seek burst —
+        # worker calls made FROM _force_work/skip_stills pass False, else
+        # worker→_force_work→worker recurses ~2 stack frames per decoded
+        # frame and a long-GOP seek RecursionErrors.
         if self.decoder is None:
             return
         if self.decoder.state() == DecoderState.IN_PROGRESS:
@@ -411,8 +433,16 @@ class Manager:
                     frm.significant_changes = self._frames_differ(
                         new_frame, prev_frame, frm)
                 self.next_frame_to_decode += 1
-            # ERROR: log-and-continue (handle_decode_status, Manager.hx:445-452)
+            # ERROR: log-and-continue (handle_decode_status, Manager.hx:445-452
+            # only traces — the reference retries the frame forever; we skip
+            # past it).  Settle significance conservatively: every frame
+            # behind next_frame_to_decode must have a verdict or
+            # skip_stills' find_possible_change loops on ('unknown', k)
+            # forever (k is already behind the decode cursor, so no amount
+            # of worker() calls can ever resolve it).
             elif state == DecoderState.ERROR:
+                if frm.significant_changes is None:
+                    frm.significant_changes = True
                 self.next_frame_to_decode += 1
         else:
             res = self.decoder.decompress_p(frm.data, new_frame)
@@ -424,15 +454,16 @@ class Manager:
                     self._update_bufs(free_idx, self.next_frame_to_decode, True)
             self.next_frame_to_decode += 1
 
-        if self.seek_cb is not None:
+        if external and self.seek_cb is not None:
             self._force_work(10)  # seek burst (Manager.hx:537-547)
 
     def _resume_loading(self) -> None:
         self.loading_pause = False
 
     def _force_work(self, n: int) -> None:
+        # flat loop, no re-entry (force_work, Manager.hx:549-556)
         while n > 0 and self.seek_cb is not None:
-            self.worker()
+            self.worker(external=False)
             n -= 1
             if not self._worker_can_progress():
                 break

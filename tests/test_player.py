@@ -433,3 +433,117 @@ def test_hostile_seek_times_clamp():
     assert p.manager.last_frame_drawn == last
     # loader-level guard independent of the manager clamp
     assert p.manager.loader.get_frame(-3).status.name == "NOT_READY"
+
+
+def test_long_gop_seek_no_recursion_error():
+    """Review r5: worker() ended with _force_work(10) whose worker() calls
+    re-entered _force_work — pure linear recursion (~2 stack frames per
+    decoded frame), so a seek spanning ~500+ P-frames past its keyframe
+    blew the default recursion limit.  The reference guards the burst with
+    its `e != null` timer-event check (Manager.hx:545-546); `external`
+    mirrors that."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(9, 9, 9), dtype=np.uint32).reshape(-1)
+    streams = [enc.encode_i(f)] + [enc.encode_p(f) for _ in range(600)]
+    keys = [i == 0 for i in range(len(streams))]
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", fps=30.0, keyflags=keys)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    fps = p.manager.fps
+    target = 590
+    p.seek_time(target / fps + 0.001)  # raised RecursionError here
+    for _ in range(400):
+        p.tick()
+        if p.manager.last_frame_drawn == target:
+            break
+    assert p.manager.last_frame_drawn == target
+    assert p.manager.seek_cb is None  # seek completed
+
+
+def test_error_keyframe_settles_significance():
+    """Review r5: decompress_i ERROR advanced next_frame_to_decode past the
+    frame but left significant_changes None — find_possible_change then
+    returned ('unknown', k) with k already behind the decode cursor, and
+    skip_stills' outer loop spun on it forever.  An undecodable keyframe now
+    settles as a significant change (conservative: autoskip stops there)."""
+    enc = ScreenPressorEncoder(4, X, Y)
+    f = np.full((Y, X), pack_rgb(5, 5, 5), dtype=np.uint32).reshape(-1)
+    f2 = f.copy()
+    f2[: 8 * X] = pack_rgb(200, 30, 30)  # frames after the bad key change
+    streams = [enc.encode_i(f), enc.encode_p(f), enc.encode_p(f),
+               enc.encode_p(f),
+               b"\x07garbage-keyframe",  # head&0xF==7: unknown frame type
+               enc.encode_p(f2), enc.encode_p(f2)]
+    keys = [True, False, False, False, True, False, False]
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", fps=10.0, keyflags=keys)
+    # indexed: idx1 keyflags mark frame 4 as a KEY frame (the seq loader
+    # would sniff the garbage head as non-key and route it to decompress_p)
+    p = Player(PlayerConfig(indexed=True))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    m = p.manager
+    for _ in range(200):
+        m.worker()
+        if m.next_frame_to_decode > 4:
+            break
+    assert m.next_frame_to_decode > 4
+    frm = m.loader.frames[4]
+    assert frm.significant_changes is True  # settled, not None
+    # skip_stills terminates promptly with the change position
+    m.frame_of_interest = 0
+    t = m.skip_stills(first_call=True)
+    assert t is not None and abs(t - 4 / m.fps) < 1e-9
+
+
+def test_refill_same_frame_tracks_buffer():
+    """Review r5: _fill's "already drawn" short-circuit skipped updating
+    _last_filled_buffer, so re-presenting the SAME frame number after its
+    original buffer had been trashed and reused showed the reused buffer's
+    pixels.  The reference's short-circuit is safe only because it draws
+    into a persistent shared bitmap (Manager.hx:325-390)."""
+    # 40 distinct noise frames, keys at 0 and 20
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(77)
+    frames_px, streams = [], []
+    for t in range(40):
+        f = rng.integers(0, 1 << 24, (Y, X), dtype=np.uint32).reshape(-1)
+        streams.append(enc.encode_i(f) if t % 20 == 0 else enc.encode_p(f))
+        frames_px.append(f)
+    keys = [i % 20 == 0 for i in range(40)]
+    avi = mux_avi(streams, X, Y, 24, codec="SPV4", fps=10.0, keyflags=keys)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)  # frame 0 drawn; last_frame_drawn stays 0
+    m = p.manager
+    fps = m.fps
+    hit_reuse = False
+    for T in (33, 34, 35, 36):
+        stale = m._last_filled_buffer
+        # decode ahead toward frame T WITHOUT presenting it (stop before T
+        # decodes so delayed_fill never fires): all ring buffers get reused
+        # for frames ≥ 20 while last_frame_drawn remains 0
+        if m.get_decompressed_frame(T / fps + 0.001, False) != \
+                FrameResult.DECOMPRESSED:
+            for _ in range(600):
+                if m.next_frame_to_decode >= T:
+                    break
+                m.worker(external=False)
+        # re-present frame 0: redecodes from key 0 into SOME buffer, then
+        # the fill hits the "already drawn" short-circuit (foi == lfd == 0)
+        m.delayed_fill = None
+        m.get_decompressed_frame(0.001, False)
+        for _ in range(100):
+            if any(not b.trash and b.first <= 0 <= b.last for b in m.bufs):
+                break
+            m.worker(external=False)
+        assert m.get_decompressed_frame(0.001, False) == \
+            FrameResult.DECOMPRESSED
+        nb = next(i for i, b in enumerate(m.bufs)
+                  if not b.trash and b.first <= 0 <= b.last)
+        if nb != stale:
+            hit_reuse = True  # the cycle that exposes a stale pointer
+        np.testing.assert_array_equal(
+            m.buffers[m._last_filled_buffer], frames_px[0],
+            err_msg=f"stale buffer shown after reuse (T={T})")
+    assert hit_reuse  # at least one cycle redecoded into a different slot

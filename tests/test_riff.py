@@ -250,3 +250,40 @@ def test_parse_ix_64bit_base_offset():
     assert got_base == base
     assert [(e.off, e.size, e.key) for e in got] == [
         (1000, 500, True), (2000, 300, False)]
+
+
+def test_parse_ix_truncated_raises_valueerror():
+    """Review r5: parse_ix didn't validate nentries against the payload, so
+    struct.error escaped the synchronous _load_ix seek path (the demuxer
+    path wraps it; the seek path documented failure mode is ValueError)."""
+    import struct
+
+    import pytest
+
+    from jsplayer_tpu.core.riff import parse_ix
+
+    with pytest.raises(ValueError):
+        parse_ix(b"\x00" * 10)  # shorter than the 24-byte header
+    payload = bytearray(24 + 8)  # room for ONE entry
+    struct.pack_into("<I", payload, 4, 100)  # claims a hundred
+    with pytest.raises(ValueError):
+        parse_ix(bytes(payload))
+    # a consistent payload still parses
+    struct.pack_into("<I", payload, 4, 1)
+    struct.pack_into("<II", payload, 24, 108, 40)
+    ckid, base, ents = parse_ix(bytes(payload))
+    assert len(ents) == 1 and ents[0].off == 100 and ents[0].key
+
+
+def test_negative_microsec_per_frame_defaults():
+    """Review r5: avih is unpacked signed; a corrupt negative
+    dwMicroSecPerFrame produced a negative fps that silently broke every
+    time↔frame mapping.  It now takes the ==0 default (AVIParser.hx:59)."""
+    import struct
+
+    from jsplayer_tpu.core.riff import parse_avih
+
+    payload = struct.pack("<14I", 0xFFFFFFFF, 0, 0, 0x10, 10, 0, 1, 0,
+                          32, 32, 0, 0, 0, 0)
+    vi = parse_avih(payload, file_size=1000)
+    assert vi.fps > 0 and abs(vi.fps - 15.0) < 0.1

@@ -129,3 +129,152 @@ def test_logging_spans_and_counters():
     lines = log.flush()
     assert len(lines) == 2 and "stage-a" in lines[0]
     assert log.events == []
+
+
+def big_sp_avi_with_sound(nframes=140, keyevery=5, mp3_frames=60):
+    """big_sp_avi plus an MP3 '01wb' chunk after frame 0."""
+    from jsplayer_tpu.encode.mp3_synth import make_frames
+
+    enc = ScreenPressorEncoder(4, X, Y)
+    rng = np.random.default_rng(11)
+    streams = []
+    f = np.full((Y, X), pack_rgb(1, 1, 1), dtype=np.uint32)
+    for t in range(nframes):
+        f = f.copy()
+        f[4:28, 4:28] = rng.integers(0, 1 << 24, (24, 24), dtype=np.uint32)
+        flat = f.reshape(-1)
+        streams.append(enc.encode_i(flat) if t % keyevery == 0
+                       else enc.encode_p(flat))
+    keys = [i % keyevery == 0 for i in range(nframes)]
+    mp3, _, _ = make_frames(mp3_frames)
+    return mux_avi(streams, X, Y, 24, codec="SPV4", keyflags=keys,
+                   sound_chunks=[(0, mp3)])
+
+
+def test_seek_eviction_resets_mp3_parser():
+    """Review r5: _clear_memory cleared sound_buffer while Mp3Parser still
+    held positional references into it (pending frames + scan position);
+    the next finalize read the emptied buffer and raised IndexError out of
+    Manager.worker's parse_sound piggyback.  Eviction now resets the
+    parser's positional state alongside the buffer.
+
+    The window is a MID-STREAM seek: the parser must hold pending frames
+    (a parse ran while data was still arriving) when _initiate_loading
+    evicts, and the finalize must come after — so pump by hand instead of
+    tick() (whose worker would finalize the audio first)."""
+    avi = big_sp_avi_with_sound()
+    p = Player(PlayerConfig(indexed=True))
+    p.load(MemorySource(avi))
+    loader = p.manager.loader
+    mp = loader.mp3_parser
+    for _ in range(300):
+        if loader.is_index_loaded and loader.sound_buffer.bytes_available(0) > 2000:
+            break
+        loader.pump()
+    assert loader.is_index_loaded
+    # leave PENDING positional refs: a small budget returns mid-parse
+    # before any finalize can drain them
+    mp.parse(budget_bytes=420)
+    assert mp.frames and not mp.parsing_complete
+
+    # seek ≥100 frames ahead: get_frame's near-window fast path doesn't
+    # apply, so _initiate_loading runs _clear_memory with the refs pending
+    fps = p.manager.fps
+    p.seek_time(130 / fps + 0.001)
+    assert loader.reading_start_position > 0  # the eviction path really ran
+
+    # finalizing the audio stream must not read stale positions
+    mp.on_data_end()
+    loader.parse_sound()  # raised IndexError before the fix
+    assert mp.frames == []
+
+    # and playback still reaches the seek target
+    for _ in range(2000):
+        p.tick()
+        if p.manager.last_frame_drawn == 130:
+            break
+    assert p.manager.last_frame_drawn == 130
+
+
+def test_corrupt_segment_ix_no_infinite_recursion():
+    """Review r5: when _load_ix failed silently (truncated range read or
+    corrupt ix payload), _initiate_loading recursed on identical state
+    re-issuing the same failing read until RecursionError.  It now retries
+    only when a previously-unloaded segment was actually ingested."""
+    from jsplayer_tpu.core.loader import DataLoaderAVIIndexed
+    from jsplayer_tpu.core.types import CompressedFrame, Index
+
+    class EmptySource:
+        def read_range(self, start, end=None):
+            return b""  # truncated file: every seek read comes back empty
+
+    ld = DataLoaderAVIIndexed()
+    ld.source = EmptySource()
+    ld.is_index_loaded = True
+    ld.frames = [None] * 20
+    seg0 = Index(first_frame=0, last_frame=9, idx_offset=1000,
+                 size_in_bytes=64, frames=None)  # never loads (truncated)
+    seg1 = Index(first_frame=10, last_frame=19, idx_offset=2000,
+                 size_in_bytes=64, frames=[])
+    ld.indexes = [seg0, seg1]
+    for i in range(10, 20):
+        # segment 1 resident but keyless: the keyframe walk descends into
+        # segment 0's unloaded territory
+        ld.frames[i] = CompressedFrame(key=False, data=None, ix=1)
+
+    ld._initiate_loading(15)  # RecursionError before the fix
+    assert ld.requested_frame_num == 15
+    # degraded gracefully: target still pending, no stream opened
+    assert ld._stream is None
+
+
+def test_get_frame_changes_negative_index():
+    """Review r5: get_frame_changes lacked get_frame's num<0 guard, so -1
+    aliased the LAST frame's significance verdict."""
+    from jsplayer_tpu.core.loader import DataLoader
+    from jsplayer_tpu.core.types import CompressedFrame
+
+    ld = DataLoader()
+    ld.frames = [CompressedFrame(key=True, data=b"x", ix=-1)]
+    ld.frames[0].significant_changes = True
+    assert ld.get_frame_changes(0) is True
+    assert ld.get_frame_changes(-1) is None
+    assert ld.get_frame_changes(99) is None
+
+
+def test_ingest_ix_identity_not_equality():
+    """Review r5: _ingest_ix recovered the segment number with value
+    equality ('in' + '.index'), so ingesting an AUDIO ix whose fields
+    mirror an already-loaded video segment ran update_keyframes_info
+    against the video segment.  Identity comparison skips it."""
+    import struct
+
+    from jsplayer_tpu.core.loader import DataLoader
+    from jsplayer_tpu.core.riff import parse_ix
+    from jsplayer_tpu.core.types import Index
+
+    def ix_payload(ckid_tag: bytes, n: int) -> bytes:
+        b = bytearray(24 + 8 * n)
+        struct.pack_into("<I", b, 4, n)
+        struct.pack_into("<I", b, 8,
+                         int.from_bytes(ckid_tag, "little"))
+        struct.pack_into("<II", b, 12, 64, 0)  # base offset
+        for i in range(n):
+            struct.pack_into("<II", b, 24 + 8 * i, 100 + 50 * i, 40)
+        return bytes(b)
+
+    audio_payload = ix_payload(b"01wb", 4)
+    _, base, ents = parse_ix(audio_payload)
+    ld = DataLoader()
+    ld.frames = [None] * 8
+    # video segment already loaded with IDENTICAL field values
+    vid = Index(first_frame=0, last_frame=3, base_offset=base,
+                idx_offset=800, size_in_bytes=0, frames=ents)
+    aud = Index(first_frame=0, last_frame=3, base_offset=0,
+                idx_offset=800, size_in_bytes=0, frames=None)
+    ld.indexes = [vid]
+    ld.audio_indexes = [aud]
+    assert ld._ingest_ix(audio_payload, 800)
+    assert aud.frames is not None  # the audio segment was the one mutated
+    # the video keyframe store must be untouched by an audio ingest
+    assert all(f is None for f in ld.frames)
