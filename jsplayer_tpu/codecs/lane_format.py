@@ -944,9 +944,33 @@ def _window_from_bytes(buf: memoryview, K: int, n_lanes: int, NB: int,
     if has_init:
         init_plane = np.frombuffer(take(X * Y * 4), dtype="<u4").astype(
             np.uint32).reshape(Y, X)
+    # the restart flag is a decode-semantics statement ("carry-independent:
+    # frame 0 fully paints"), and the host honors it (zero entry carry,
+    # lane_host.window_entry_carry) while the device compose always chains —
+    # for genuine containers the two are indistinguishable BECAUSE the flag
+    # matches the content.  A flag that lies (fuzz-found, seed 904619)
+    # diverges the two paths, so re-derive the predicate from the parsed
+    # commands and reject a mismatch (same test as derive_window's, on the
+    # wire's block-local rects).
+    claimed_restart = bool(flags & _FLAG_RESTART)
+    if has_init:
+        # rans-mode restart: frame 0 was extracted into the init plane and
+        # rides as an all-copy changed frame (derive_window's t==0 skip)
+        content_restart = bool(T > 0 and changed[0] and not n_active_t[0])
+    else:
+        nbx = (X + 15) // 16
+        nby = (Y + 15) // 16
+        full_loc = _block_local_rects(block_full_rects(X, Y, nbx, nby), nbx)
+        content_restart = bool(T > 0 and changed[0]
+                               and (btype[0] == 1).all()
+                               and (rect[0] == full_loc).all())
+    if claimed_restart != content_restart:
+        raise ValueError("lane window: restart flag contradicts content")
+    if has_init and not claimed_restart:
+        raise ValueError("lane window: init plane on a non-restart window")
     return LaneWindow(T=T, changed=changed, signif=signif, mvk=mvk,
                       btype=btype, rect=rect, unit_rows=unit_rows,
                       unit_idx=unit_idx, n_units=U, freq=freq,
                       states=states, refills=refills,
                       init_plane=init_plane, payload=payload,
-                      restart=bool(flags & _FLAG_RESTART))
+                      restart=claimed_restart)

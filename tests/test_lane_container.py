@@ -1231,3 +1231,35 @@ def test_lane_host_codec_native_matches_fallback():
         fa = a._frame(*a._locate(LaneHostCodec.frame_chunk(int(t))))
         fb = b._frame(*b._locate(LaneHostCodec.frame_chunk(int(t))))
         np.testing.assert_array_equal(fa, fb, err_msg=f"seek {t}")
+
+
+def test_restart_flag_must_match_content():
+    """Fuzz-found (seed 904619): a single bit flip setting a chained
+    window's restart flag diverged host and device decode — the host
+    honors restart with a zero entry carry (lane_host.window_entry_carry)
+    while the device compose always chains; for genuine containers the
+    two are indistinguishable only BECAUSE the flag matches the content.
+    The parser now re-derives the predicate and rejects a lying flag."""
+    X, Y, T = 48, 32, 12
+    avi, _ = make_avi(3, X, Y, T, key_every=5)
+    cont = transcode_to_lane(avi, window=4, K=2)
+    c = lane_format.container_from_bytes(bytes(cont))
+    flags = [w.restart for w in c.windows]
+    assert True in flags and False in flags  # need both kinds below
+
+    for wi in range(len(c.windows)):
+        # locate window wi's flag byte: serialize with the field flipped
+        # and diff — exactly one byte (the flags byte) must change
+        good = lane_format.container_to_bytes(c, compress=False)
+        c.windows[wi].restart = not flags[wi]
+        bad = lane_format.container_to_bytes(c, compress=False)
+        c.windows[wi].restart = flags[wi]
+        diff = [i for i in range(len(good)) if good[i] != bad[i]]
+        assert len(diff) == 1
+        mutated = bytearray(good)
+        mutated[diff[0]] = bad[diff[0]]
+        with pytest.raises(ValueError, match="restart flag"):
+            lane_format.container_from_bytes(bytes(mutated))
+        # the untouched serialization still round-trips
+        rt = lane_format.container_from_bytes(good)
+        assert [w.restart for w in rt.windows] == flags
