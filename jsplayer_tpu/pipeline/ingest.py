@@ -1010,15 +1010,25 @@ class VideoIngestPipeline:
                         view = dec.latest_view()
                     payload[b, t] = np.asarray(view).reshape(Y, X)
                 else:
-                    cap = {}
-                    dec.capture = cap
-                    dst = np.zeros(X * Y, dtype=np.uint32)
-                    if dec.is_key_frame(src):
-                        dec.decompress_i(src, dst)
-                        sig[b, t] = True
-                    else:
-                        res = dec.decompress_p(src, dst)
-                        sig[b, t] = bool(res.significant_changes)
+                    # guarded like the native path: the oracle decoders
+                    # raise ValueError/AssertionError/IndexError on corrupt
+                    # streams and one bad stream must not fail the batch
+                    def step():
+                        cap = {}
+                        dec.capture = cap
+                        dst = np.zeros(X * Y, dtype=np.uint32)
+                        if dec.is_key_frame(src):
+                            dec.decompress_i(src, dst)
+                            s = True
+                        else:
+                            res = dec.decompress_p(src, dst)
+                            s = bool(res.significant_changes)
+                        return s, cap
+
+                    got = self._guard(b, step)
+                    if got is None:  # quarantined: frozen, changed stays False
+                        continue
+                    sig[b, t], cap = got
                     data = dec.previous_frame()
                     if data is not None:
                         payload[b, t] = data.reshape(Y, X)
@@ -1100,16 +1110,24 @@ class VideoIngestPipeline:
                         view = dec.latest_view()
                     payload[b, t] = np.asarray(view).reshape(Y, X)
                 else:
-                    cap = {}
-                    dec.capture = cap
-                    dst = np.zeros(X * Y, dtype=np.uint32)
-                    isk = dec.is_key_frame(src)
-                    if isk:
-                        dec.decompress_i(src, dst)
-                        sig[b, t] = True
-                    else:
-                        res = dec.decompress_p(src, dst)
-                        sig[b, t] = bool(res.significant_changes)
+                    isk = dec.is_key_frame(src)  # safe byte peek
+
+                    def step():
+                        cap = {}
+                        dec.capture = cap
+                        dst = np.zeros(X * Y, dtype=np.uint32)
+                        if isk:
+                            dec.decompress_i(src, dst)
+                            s = True
+                        else:
+                            res = dec.decompress_p(src, dst)
+                            s = bool(res.significant_changes)
+                        return s, cap
+
+                    got = self._guard(b, step)
+                    if got is None:  # quarantined: changed stays False
+                        continue
+                    sig[b, t], cap = got
                     data = dec.previous_frame()
                     if data is not None:
                         payload[b, t] = data.reshape(Y, X)
@@ -1190,7 +1208,14 @@ class VideoIngestPipeline:
             dec = decs[b]
             for t, src in enumerate(chunk[b]):
                 if t == 0 and skip0:
-                    view, s0, _ = dec.decompress(src, True, copy=False)
+                    # guarded like every other decode step: a malformed
+                    # keyframe must quarantine slot b, not escape the thread
+                    # pool and fail the whole batch (SURVEY.md §5.3)
+                    got = self._guard(
+                        b, lambda: dec.decompress(src, True, copy=False))
+                    if got is None:  # quarantined: init filled from carry
+                        continue
+                    view, s0, _ = got
                     if view is None:
                         view = dec.latest_view()
                     buf["init"][b] = np.asarray(view).reshape(Y, X)
@@ -1218,6 +1243,16 @@ class VideoIngestPipeline:
                 list(ex.map(host_decode_stream, range(B)))
         else:
             host_decode_stream(0)
+        if skip0 and self.quarantined:
+            # frozen streams: the pooled init row may hold a previous
+            # window's pixels — overwrite it with the stream's carry (the
+            # last good frame) so the emitted frame honors the freeze
+            prev = (np.asarray(self._carry)
+                    if getattr(self, "_carry", None) is not None
+                    else np.zeros((B, Y, X), dtype=np.uint32))
+            for b in self.quarantined:
+                if b < B:
+                    buf["init"][b] = prev[b]
         m_max = max(1, int(m_used_arr.max()))
         m_pad = 1 << (m_max - 1).bit_length()
         # sticky bucket: growing windows would otherwise recompile the scan
@@ -1303,15 +1338,22 @@ class VideoIngestPipeline:
                 rect = np.zeros((T, nb, 4), dtype=np.int32)
                 payload = np.zeros((T, Y, X), dtype=np.uint32)
                 for t, src in enumerate(frames):
-                    cap = {}
-                    dec.capture = cap
-                    dst = np.zeros(X * Y, dtype=np.uint32)
-                    if dec.is_key_frame(src):
-                        dec.decompress_i(src, dst)
-                        sig[b, t] = True
-                    else:
-                        res = dec.decompress_p(src, dst)
-                        sig[b, t] = bool(res.significant_changes)
+                    def step():
+                        cap = {}
+                        dec.capture = cap
+                        dst = np.zeros(X * Y, dtype=np.uint32)
+                        if dec.is_key_frame(src):
+                            dec.decompress_i(src, dst)
+                            s = True
+                        else:
+                            res = dec.decompress_p(src, dst)
+                            s = bool(res.significant_changes)
+                        return s, cap
+
+                    got = self._guard(b, step)
+                    if got is None:  # quarantined: changed stays False
+                        continue
+                    sig[b, t], cap = got
                     payload[t] = dec.previous_frame().reshape(Y, X)
                     bts[t], mv[t], rect[t] = (cap["bts"], cap["mv"],
                                               cap["rect"])
@@ -1744,8 +1786,13 @@ class VideoIngestPipeline:
                  else parse_commands)
         for b, frames in enumerate(chunk):
             for t, src in enumerate(frames):
-                bt[b, t], sel[b, t], col[b, t], chg[b, t] = parse(
-                    src, X, Y, pal=pal)
+                # guarded: a malformed MSV1 stream quarantines its slot
+                # (frozen at the last good frame) instead of failing the
+                # batch — same policy as the SP paths (SURVEY.md §5.3)
+                got = self._guard(b, lambda: parse(src, X, Y, pal=pal))
+                if got is None:
+                    continue
+                bt[b, t], sel[b, t], col[b, t], chg[b, t] = got
         init = self._carry_init(B)
         valid = jnp.array([start > 0] * B)
         sel = msv1_paint.sel_to_plane(sel, Y, X)  # device wants plane order

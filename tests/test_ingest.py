@@ -203,6 +203,141 @@ def test_ingest_quarantines_bad_stream(path):
     np.testing.assert_array_equal(outs[len(golds_ok) - 1][1], last)
 
 
+def test_ingest_sparse_quarantines_keyframe_failure():
+    """A decode failure on a WINDOW-LEADING keyframe of the kmv_sparse
+    path (the skip0 dense-init decode, which runs on the host thread pool)
+    quarantines its slot instead of escaping the pool and failing the
+    batch; the frozen stream's init row comes from its carry, not stale
+    pooled pixels (SURVEY §5.3 freeze-at-last-good-frame)."""
+    (avi_ok, golds_ok), (avi_b, _g) = sp_avi(1), sp_avi(2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi_ok), MemorySource(avi_b)],
+        IngestConfig(window=5, sp_device_path="kmv_sparse"))
+    decs = pipe._sp_decoders()
+    bad = decs[1]
+    kcount = [0]
+
+    class Boom:
+        def __getattr__(self, name):
+            orig = getattr(bad, name)
+            if name == "decompress":
+                def wrap(*a, **k):
+                    kcount[0] += 1
+                    if kcount[0] >= 2:  # the window-5 leading keyframe
+                        raise ValueError("injected keyframe failure")
+                    return orig(*a, **k)
+                return wrap
+            return orig
+
+    pipe._spdecs = [decs[0], Boom()]
+    outs = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            outs[batch["start_frame"] + t] = fr[:, t]
+    assert pipe.quarantined == {1}, pipe.quarantine_errors
+    for t in range(len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][0].reshape(-1), golds_ok[t],
+            err_msg=f"healthy stream frame {t}")
+    # the frozen stream repeats its last pre-failure frame (t=4) through
+    # every later window, including window-leading keyframe slots
+    for t in range(5, len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][1], outs[4][1], err_msg=f"frozen stream frame {t}")
+
+
+@pytest.mark.parametrize("path", ["kmv", "kmv_sparse", "bc"])
+def test_ingest_quarantines_bad_stream_pure_fallback(path, monkeypatch):
+    """The same freeze contract WITHOUT the native library: the pure-Python
+    oracle host stages raise ValueError/AssertionError/IndexError on corrupt
+    streams and must quarantine the slot, not fail the whole batch (the
+    exception breadth _guard's docstring promises)."""
+    from jsplayer_tpu import native as _native
+
+    monkeypatch.setattr(_native, "available", lambda: False)
+    (avi_ok, golds_ok), (avi_b, _g) = sp_avi(1), sp_avi(2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi_ok), MemorySource(avi_b)],
+        IngestConfig(window=4, sp_device_path=path))
+    decs = pipe._sp_decoders()
+    bad = decs[1]
+    count = [0]
+
+    class Boom:
+        # attribute WRITES (dec.capture = {...}) must reach the wrapped
+        # oracle, not land on the wrapper
+        def __setattr__(self, name, value):
+            setattr(bad, name, value)
+
+        def __getattr__(self, name):
+            orig = getattr(bad, name)
+            if name.startswith("decompress"):
+                def wrap(*a, **k):
+                    count[0] += 1
+                    if count[0] >= 6:
+                        raise ValueError("injected decode failure")
+                    return orig(*a, **k)
+                return wrap
+            return orig
+
+    pipe._spdecs = [decs[0], Boom()]
+    outs = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            outs[batch["start_frame"] + t] = fr[:, t]
+    assert pipe.quarantined == {1}, pipe.quarantine_errors
+    for t in range(len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][0].reshape(-1), golds_ok[t],
+            err_msg=f"healthy stream frame {t}; "
+                    f"qerrs={pipe.quarantine_errors}")
+    # stream 1 froze at frame 4 (its 6th decompress call, frame 5, failed)
+    for t in range(5, len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][1], outs[4][1], err_msg=f"frozen stream frame {t}")
+
+
+def test_ingest_msv1_quarantines_bad_stream():
+    """MSV1 batches quarantine too: a parse failure freezes its slot and
+    the other stream decodes to the end (the SP paths' policy, applied to
+    the second codec family)."""
+    (avi_ok, golds_ok), (avi_b, _g) = msv1_avi(1), msv1_avi(2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi_ok), MemorySource(avi_b)],
+        IngestConfig(window=4))
+
+    calls = [0]
+    orig_guard = pipe._guard
+
+    def poisoned_guard(b, fn, *a, **k):
+        if b == 1:
+            calls[0] += 1
+            if calls[0] >= 6:
+                def raiser():
+                    raise ValueError("injected parse failure")
+
+                return orig_guard(b, raiser, default=k.get("default"))
+        return orig_guard(b, fn, *a, **k)
+
+    pipe._guard = poisoned_guard
+    outs = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            outs[batch["start_frame"] + t] = fr[:, t]
+    assert pipe.quarantined == {1}, pipe.quarantine_errors
+    for t in range(len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][0].reshape(-1), golds_ok[t],
+            err_msg=f"healthy stream frame {t}")
+    # the 6th guarded call (frame 5) failed: frozen at frame 4
+    for t in range(5, len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][1], outs[4][1], err_msg=f"frozen stream frame {t}")
+
+
 def test_ingest_exposes_audio_tracks():
     """A/V streams: ingest surfaces per-stream MP3 audio sections with PTS
     so consumers can align audio to the decoded frame axis."""
