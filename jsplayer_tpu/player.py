@@ -250,23 +250,29 @@ class Player:
             return res
 
         if not self.playing:
-            return FrameResult.DECOMPRESSED
+            # audio-gated auto-resume (Main.hx:1082-1091): the worker steps
+            # above keep loading audio while paused; once the watermark
+            # passes the paused position, playback resumes.  This must run
+            # BEFORE the paused early-return or a gated pause is permanent.
+            if self._auto_paused and self.start_pos <= m.loaded_audio_time():
+                self._auto_paused = False
+                self.play()
+            if not self.playing:
+                return FrameResult.DECOMPRESSED
 
         t = self.current_time()
         if t >= m.total_time():
             t = m.total_time()
             self.pause()
+            self._auto_paused = False  # end of stream, not audio gating
         res = m.get_decompressed_frame(t, playing=True)
         if res == FrameResult.DECOMPRESSED and self.on_frame is not None:
             self.on_frame(m)
 
         # auto-pause when playback passes loaded audio (Main.hx:1082-1091)
-        if t > m.loaded_audio_time():
+        if self.playing and t > m.loaded_audio_time():
             self._auto_paused = True
             self.pause()
-        elif self._auto_paused and t <= m.loaded_audio_time():
-            self._auto_paused = False
-            self.play()
 
         # autoskip: jump over stills while playing (auto_skip, Main.hx:1083-1091)
         if (self.config.autoskip and self.playing

@@ -218,6 +218,39 @@ def test_audio_gating_pause():
     fake_t[0] = p.manager.total_time() + 10
     p.tick()
     assert not p.playing
+    # end-of-stream pause is NOT an audio-gating pause: the player must
+    # stay paused on later ticks, not flap via the auto-resume path
+    assert not p._auto_paused
+    p.tick()
+    assert not p.playing
+
+
+def test_audio_gating_autoresume():
+    """An audio-gated pause resumes automatically once the audio watermark
+    passes the paused position (the reference keeps ticking while gated,
+    Main.hx:1082-1091) — the resume must happen even though tick() starts
+    from the paused state."""
+    avi, _fp = make_msv1_avi(nframes=12, with_sound=True)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    m = p.manager
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    watermark = [1.0 / m.fps]  # audio loaded only up to one frame
+    m.loaded_audio_time = lambda: watermark[0]
+    p.play()
+    fake_t[0] = 3.0 / m.fps  # inside the video, past the audio watermark
+    assert fake_t[0] < m.total_time()
+    p.tick()
+    assert not p.playing and p._auto_paused
+    # still gated: audio hasn't caught up yet
+    p.tick()
+    assert not p.playing and p._auto_paused
+    # audio catches up → the next tick resumes playback by itself
+    watermark[0] = m.total_time()
+    p.tick()
+    assert p.playing and not p._auto_paused
 
 
 def test_opendml_indexed_load():
