@@ -211,7 +211,10 @@ def prepare_kmv(bts, mv, rect, payload, K: int = 4):
 
     T, NB = bts.shape
     Y, X = payload.shape[-2:]
-    nby, nbx = Y // 16, X // 16
+    # ceil-divided like the capture's block grid (ScreenPressor.hx:361:
+    # edge blocks exist whenever 16 doesn't divide the frame) — floor
+    # division misindexed every command at/below the partial edge band
+    nby, nbx = (Y + 15) // 16, (X + 15) // 16
     assert K <= 8, "k-slot field is 3 bits"
     mvk, group, demoted = derive_kmv_commands(bts, mv, rect, K)
     yy, xx = _np.mgrid[0:Y, 0:X]

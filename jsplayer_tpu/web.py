@@ -389,6 +389,10 @@ class PlayerServer:
                     if not 0 <= n <= (1 << 20):
                         raise ValueError("bad content-length")
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        # valid JSON that isn't an object ("6", "[1]",
+                        # "null") would AttributeError on .get → 500
+                        raise ValueError("body must be a JSON object")
                     token = (self.headers.get("X-Control-Token")
                              or req.get("token"))
                     if not secrets.compare_digest(

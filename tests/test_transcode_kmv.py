@@ -102,6 +102,39 @@ def test_kmv_device_path_bit_exact():
                                       err_msg=f"frame {t}")
 
 
+@pytest.mark.parametrize("dims", [(40, 24), (33, 17), (48, 18)])
+def test_kmv_edge_block_geometry_bit_exact(dims):
+    """Non-multiple-of-16 geometries: the capture's block grid is
+    ceil-divided (partial edge blocks, ScreenPressor.hx:361), and
+    prepare_kmv must index it the same way — floor division silently
+    mis-composed every pixel at/below the partial edge band (the whole
+    bottom band read the wrong block's commands)."""
+    Xd, Yd = dims
+    enc = ScreenPressorEncoder(4, Xd, Yd)
+    rng = np.random.default_rng(11)
+    f = np.full((Yd, Xd), pack_rgb(9, 9, 9), dtype=np.uint32).reshape(-1)
+    streams, golds = [enc.encode_i(f)], [f]
+    for t in range(5):
+        nf = f.copy().reshape(Yd, Xd)
+        if t % 2 == 0:
+            nf[2:, :] = nf[:-2, :].copy()  # scroll: motion into edge blocks
+        else:  # paint touching the right/bottom partial blocks
+            nf[Yd - 6 : Yd - 2, Xd - 10 : Xd] = pack_rgb(
+                *rng.integers(0, 256, 3))
+        f = nf.reshape(-1)
+        streams.append(enc.encode_p(f))
+        golds.append(f)
+    cmds = stack_sp_commands([streams], Xd, Yd)
+    pc, mvk = prepare_kmv(cmds["bts"][0, 0], cmds["mv"][0, 0],
+                          cmds["rect"][0, 0], cmds["payload"][0, 0])
+    frames = np.asarray(decode_sequence_kmv(
+        jnp.zeros((Yd, Xd), jnp.uint32), jnp.array(pc),
+        jnp.array(mvk), jnp.array(cmds["changed"][0, 0])))
+    for t, g in enumerate(golds):
+        np.testing.assert_array_equal(frames[t].reshape(-1), g,
+                                      err_msg=f"{Xd}x{Yd} frame {t}")
+
+
 def test_kmv_overflow_demotes_to_payload():
     """More distinct vectors than K slots: overflow blocks must decode via
     payload, still bit-exact."""

@@ -353,6 +353,10 @@ def test_control_malformed_inputs_return_400(server):
         b'{"cmd": "seek"}',                      # arg None -> TypeError
         b'{"cmd": "seek", "arg": {"x": 1}}',     # dict -> TypeError
         b'{"cmd": "resize", "arg": 3}',          # not a pair -> TypeError
+        b"6",                                    # valid JSON, not an object
+        b"[1, 2]",                               # (fuzz seed 904710: .get
+        b"null",                                 #  on int escaped to 500)
+        b'"play"',
     ]
     for body in bad:
         code, resp = post(body)
