@@ -348,9 +348,100 @@ def run_web(seed: int, scale: float) -> int:
     return trials
 
 
+def run_ingest(seed: int, scale: float) -> int:
+    """Quarantine-contract fuzz through the FULL batch pipeline
+    (SURVEY §5.3): one stream of a 2-stream batch carries bit-flipped /
+    truncated frame payloads; iterating the pipeline must NEVER raise
+    (plain corruption decodes to wrong pixels by design — structural
+    errors quarantine the slot), and the healthy stream must stay
+    bit-exact to its golds through the shared window machinery (pooled
+    buffers, elision, carries).  Covers the fix class this round's third
+    review found: unguarded host stages let one bad stream fail the
+    whole batch."""
+    import test_ffmpeg_crossval as xval
+
+    from jsplayer_tpu.core.source import MemorySource
+    from jsplayer_tpu.encode.avi_mux import mux_avi
+    from jsplayer_tpu.encode.sp_enc import ScreenPressorEncoder
+    from jsplayer_tpu.pipeline.ingest import IngestConfig, VideoIngestPipeline
+
+    X, Y, T = 48, 32, 9
+    rng = np.random.default_rng(seed + 5)
+    keys = [i == 0 for i in range(T)]
+
+    def make(seed2):
+        frames = xval.blocky_frames(np.random.default_rng(seed2), X, Y, T,
+                                    bpp=24, scroll=1)
+        enc = ScreenPressorEncoder(4, X, Y)
+        pkts = [enc.encode_i(frames[0].reshape(-1).copy())]
+        for f in frames[1:]:
+            pkts.append(enc.encode_p(f.reshape(-1).copy()))
+        return pkts, frames
+
+    pkts_ok, golds = make(seed + 10)
+    avi_ok = mux_avi(pkts_ok, X, Y, 24, codec="SPV4", keyflags=keys)
+    pkts_bad, _ = make(seed + 11)
+    paths = ["kmv", "bc", "kmv_sparse"]
+    trials = max(1, int(45 * scale))
+    for trial in range(trials):
+        m = [bytearray(p) for p in pkts_bad]
+        for _ in range(int(rng.integers(1, 5))):
+            ti = int(rng.integers(0, len(m)))
+            if not len(m[ti]):
+                continue
+            if rng.integers(0, 4) == 0:
+                m[ti] = m[ti][: int(rng.integers(0, len(m[ti])))]
+            else:
+                m[ti][int(rng.integers(0, len(m[ti])))] ^= \
+                    int(rng.integers(1, 256))
+        avi_bad = mux_avi([bytes(p) for p in m], X, Y, 24, codec="SPV4",
+                          keyflags=keys)
+        path = paths[trial % len(paths)]
+        elide = path == "kmv" and trial % 2 == 0
+        pipe = VideoIngestPipeline(
+            [MemorySource(avi_ok), MemorySource(avi_bad)],
+            IngestConfig(window=4, sp_device_path=path,
+                         still_elision=elide))
+        # every third trial runs the PURE-PYTHON host stages (the other
+        # half of the guarded-decode fix class) — flipped after pipeline
+        # construction so the oracle fallback decoders get built
+        from jsplayer_tpu import native as _nat
+
+        nat_off = trial % 3 == 1
+        orig_avail = _nat.available
+        if nat_off:
+            _nat.available = lambda: False
+        outs = {}
+        try:
+            for batch in pipe:  # must never raise, whatever the mutation
+                fr = np.asarray(batch["frames_u32"])
+                om = batch.get("outmap")
+                if om is not None:  # elided layout: flat stack + outmap
+                    for t in range(om.shape[1]):
+                        row = [fr[om[b, t]] if om[b, t] >= 0 else None
+                               for b in range(2)]
+                        outs[batch["start_frame"] + t] = row
+                else:
+                    for t in range(fr.shape[1]):
+                        outs[batch["start_frame"] + t] = [fr[0, t], fr[1, t]]
+        finally:
+            _nat.available = orig_avail
+        last = None
+        for t in range(T):
+            got = outs[t][0]
+            if got is None:  # elided still: frame unchanged from previous
+                got = last
+            last = got
+            assert got is not None and np.array_equal(
+                got.reshape(-1), golds[t].reshape(-1)), \
+                f"healthy stream diverged: path {path} trial {trial} frame {t}"
+    return trials
+
+
 DIMS = {"sp_diff": run_sp_diff, "lane_mut": run_lane_mut,
         "lane_native": run_lane_native, "lane_dev": run_lane_dev,
-        "mp3": run_mp3, "trunc": run_trunc, "web": run_web}
+        "mp3": run_mp3, "trunc": run_trunc, "web": run_web,
+        "ingest": run_ingest}
 
 
 def main() -> int:
