@@ -86,6 +86,24 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
+def _oracle_decode_step(dec, src: bytes, isk: bool, X: int, Y: int):
+    """One pure-Python host-stage decode step (shared by the dense, sparse,
+    and bc fallback paths so their guard/capture contract can't drift):
+    run the oracle with command capture → (significant, capture dict).
+    Raises like the oracle does on corrupt streams — call through
+    VideoIngestPipeline._guard."""
+    cap: dict = {}
+    dec.capture = cap
+    dst = np.zeros(X * Y, dtype=np.uint32)
+    if isk:
+        dec.decompress_i(src, dst)
+        s = True
+    else:
+        res = dec.decompress_p(src, dst)
+        s = bool(res.significant_changes)
+    return s, cap
+
+
 def _window_barrier(*arrays):
     """Synchronize a window's outputs before its pooled host buffers are
     rewritten.  Needed on the CPU backend only: the CPU PJRT client stages
@@ -1013,19 +1031,8 @@ class VideoIngestPipeline:
                     # guarded like the native path: the oracle decoders
                     # raise ValueError/AssertionError/IndexError on corrupt
                     # streams and one bad stream must not fail the batch
-                    def step():
-                        cap = {}
-                        dec.capture = cap
-                        dst = np.zeros(X * Y, dtype=np.uint32)
-                        if dec.is_key_frame(src):
-                            dec.decompress_i(src, dst)
-                            s = True
-                        else:
-                            res = dec.decompress_p(src, dst)
-                            s = bool(res.significant_changes)
-                        return s, cap
-
-                    got = self._guard(b, step)
+                    got = self._guard(b, lambda: _oracle_decode_step(
+                        dec, src, dec.is_key_frame(src), X, Y))
                     if got is None:  # quarantined: frozen, changed stays False
                         continue
                     sig[b, t], cap = got
@@ -1042,6 +1049,13 @@ class VideoIngestPipeline:
             # anyway); the device only reconstructs pixels
             pcs, mvks = [], []
             for b in range(B):
+                if b in self.quarantined:
+                    # frozen slot: its pooled command rows are stale and
+                    # changed[b] is all-False — skip the per-pixel prep
+                    pcs.append(np.zeros((T, Y, X), dtype=np.uint32))
+                    mvks.append(np.zeros((T, self.cfg.kmv_k, 2),
+                                         dtype=np.int32))
+                    continue
                 pc_b, mvk_b = sp_recon.prepare_kmv(
                     bts[b], mv[b], rect[b], payload[b], K=self.cfg.kmv_k)
                 pcs.append(pc_b)
@@ -1111,20 +1125,8 @@ class VideoIngestPipeline:
                     payload[b, t] = np.asarray(view).reshape(Y, X)
                 else:
                     isk = dec.is_key_frame(src)  # safe byte peek
-
-                    def step():
-                        cap = {}
-                        dec.capture = cap
-                        dst = np.zeros(X * Y, dtype=np.uint32)
-                        if isk:
-                            dec.decompress_i(src, dst)
-                            s = True
-                        else:
-                            res = dec.decompress_p(src, dst)
-                            s = bool(res.significant_changes)
-                        return s, cap
-
-                    got = self._guard(b, step)
+                    got = self._guard(b, lambda: _oracle_decode_step(
+                        dec, src, isk, X, Y))
                     if got is None:  # quarantined: changed stays False
                         continue
                     sig[b, t], cap = got
@@ -1142,10 +1144,21 @@ class VideoIngestPipeline:
         # scan init (its tiles would be the whole frame anyway)
         skip0 = bool(is_key0.all())
         t0 = 1 if skip0 else 0
-        preps = [sp_recon.prepare_kmv_sparse(
-            bts[b, t0:], mv[b, t0:], rect[b, t0:],
-            (payload[b, t0:] & np.uint32(0x00FFFFFF)), K=K)
-            for b in range(B)]
+        def prep(b):
+            if b in self.quarantined:
+                # frozen slot: stale pooled commands would cost full prep
+                # and could inflate the sticky m_pad bucket — emit the
+                # minimal all-copy prep instead (changed[b] is all-False)
+                Tq = T - t0
+                return (np.zeros((Tq, nb), np.uint8),
+                        np.zeros((Tq, K, 2), np.int32),
+                        np.zeros((Tq, 1, 16, 16), np.uint32),
+                        np.zeros((Tq, 1, 2), np.int32))
+            return sp_recon.prepare_kmv_sparse(
+                bts[b, t0:], mv[b, t0:], rect[b, t0:],
+                (payload[b, t0:] & np.uint32(0x00FFFFFF)), K=K)
+
+        preps = [prep(b) for b in range(B)]
         m_max = max(1, max(p[2].shape[1] for p in preps))
         m_pad = 1 << (m_max - 1).bit_length()
         def padM(tiles, tyx):
@@ -1244,14 +1257,19 @@ class VideoIngestPipeline:
         else:
             host_decode_stream(0)
         if skip0 and self.quarantined:
-            # frozen streams: the pooled init row may hold a previous
-            # window's pixels — overwrite it with the stream's carry (the
-            # last good frame) so the emitted frame honors the freeze
+            # frozen streams whose window-leading KEYFRAME failed (or that
+            # were quarantined before this window): the pooled init row may
+            # hold a previous window's pixels — overwrite it with the
+            # stream's carry (the last good frame) so the emitted frame
+            # honors the freeze.  A slot quarantined MID-window keeps its
+            # successfully decoded keyframe (changed[b, 0] is True): its
+            # pre-failure commands composed against that keyframe, and
+            # overwriting it would corrupt every frame of the window.
             prev = (np.asarray(self._carry)
                     if getattr(self, "_carry", None) is not None
                     else np.zeros((B, Y, X), dtype=np.uint32))
             for b in self.quarantined:
-                if b < B:
+                if b < B and not changed[b, 0]:
                     buf["init"][b] = prev[b]
         m_max = max(1, int(m_used_arr.max()))
         m_pad = 1 << (m_max - 1).bit_length()
@@ -1338,23 +1356,18 @@ class VideoIngestPipeline:
                 rect = np.zeros((T, nb, 4), dtype=np.int32)
                 payload = np.zeros((T, Y, X), dtype=np.uint32)
                 for t, src in enumerate(frames):
-                    def step():
-                        cap = {}
-                        dec.capture = cap
-                        dst = np.zeros(X * Y, dtype=np.uint32)
-                        if dec.is_key_frame(src):
-                            dec.decompress_i(src, dst)
-                            s = True
-                        else:
-                            res = dec.decompress_p(src, dst)
-                            s = bool(res.significant_changes)
-                        return s, cap
-
-                    got = self._guard(b, step)
+                    got = self._guard(b, lambda: _oracle_decode_step(
+                        dec, src, dec.is_key_frame(src), X, Y))
                     if got is None:  # quarantined: changed stays False
                         continue
                     sig[b, t], cap = got
-                    payload[t] = dec.previous_frame().reshape(Y, X)
+                    # None until the stream's first real frame (e.g. a
+                    # leading no-change P-frame): leave the pooled plane
+                    # row alone — changed gating never reads it
+                    # (fuzz seed 904715: .reshape on None killed the batch)
+                    data = dec.previous_frame()
+                    if data is not None:
+                        payload[t] = data.reshape(Y, X)
                     bts[t], mv[t], rect[t] = (cap["bts"], cap["mv"],
                                               cap["rect"])
                     changed[b, t] = cap["changed"]

@@ -93,8 +93,21 @@ class Player:
             loader = DataLoaderAVIIndexed(storage_limit=limit)
         else:
             loader = DataLoaderAVISeq()
+        if self.manager is not None:
+            # loading over a live player: release the old stream first
+            # (Main.js_load → Manager.StopAndClean, Manager.hx:81-95)
+            self.manager.stop_and_clean()
         self.manager = Manager(loader, num_buffers=self.config.num_buffers)
         self._pcm_cache = None  # re-decoded lazily per loaded stream
+        # fresh playback state: loading over a live player (spload) must
+        # not inherit the old stream's clock, gating flag, or first-frame
+        # latch (Main.js_load stops playback before re-opening)
+        self.playing = False
+        self.first_shown = False
+        self.start_pos = 0.0
+        self.start_time = 0.0
+        self._auto_paused = False
+        self._pending_skip = False
         self.manager.open(source, self._on_open)
         if self.video_info is None:
             raise ValueError(
@@ -134,10 +147,13 @@ class Player:
         self._auto_paused = False
 
     def pause(self) -> None:
-        """≙ sppause."""
+        """≙ sppause.  Any pause — user or internal — clears the
+        audio-gating flag: an explicit pause must not be overridden by the
+        auto-resume path, and the gated path re-sets the flag itself."""
         if self.playing and self.manager is not None:
             self.start_pos = self.current_time()
         self.playing = False
+        self._auto_paused = False
 
     def position(self) -> float:
         """≙ spposition: playback position as a fraction [0..1]."""
@@ -263,16 +279,16 @@ class Player:
         t = self.current_time()
         if t >= m.total_time():
             t = m.total_time()
-            self.pause()
-            self._auto_paused = False  # end of stream, not audio gating
+            self.pause()  # end of stream (pause() clears the gating flag)
         res = m.get_decompressed_frame(t, playing=True)
         if res == FrameResult.DECOMPRESSED and self.on_frame is not None:
             self.on_frame(m)
 
-        # auto-pause when playback passes loaded audio (Main.hx:1082-1091)
+        # auto-pause when playback passes loaded audio (Main.hx:1082-1091);
+        # the flag is set AFTER pause() since pause() clears it
         if self.playing and t > m.loaded_audio_time():
-            self._auto_paused = True
             self.pause()
+            self._auto_paused = True
 
         # autoskip: jump over stills while playing (auto_skip, Main.hx:1083-1091)
         if (self.config.autoskip and self.playing

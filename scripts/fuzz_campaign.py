@@ -12,9 +12,14 @@ Dimensions (each also has a CI-sized pin in tests/):
   sp_diff      SP bit-flip mutation, native vs oracle bit-exact
                (tests/test_sp_differential.py discipline)
   lane_mut     lane-container mutation: parse-or-ValueError + host decode
+  lane_native  C lane compose vs numpy generator on hostile-valid mutants
   lane_dev     host vs device agreement on comparable lane mutants
   mp3          MP3 demux garbage/flip/truncate/resync robustness
   trunc        SP packet + lane wire + AVI truncation
+  web          malformed-HTTP fuzz of the browser chrome (/control etc.)
+  ingest       quarantine contract through the full batch pipeline (one
+               mutated stream must never fail the batch or perturb the
+               healthy stream; kmv/bc/kmv_sparse x native/pure)
 
 Scale 1.0 ≈ 15-25 min on the 1-core host.  Exits nonzero on any finding.
 """

@@ -209,6 +209,10 @@ def test_ingest_sparse_quarantines_keyframe_failure():
     quarantines its slot instead of escaping the pool and failing the
     batch; the frozen stream's init row comes from its carry, not stale
     pooled pixels (SURVEY §5.3 freeze-at-last-good-frame)."""
+    from jsplayer_tpu import native
+
+    if not native.available():  # the skip0 'decompress' hook is native-only
+        pytest.skip("native unavailable")
     (avi_ok, golds_ok), (avi_b, _g) = sp_avi(1), sp_avi(2)
     pipe = VideoIngestPipeline(
         [MemorySource(avi_ok), MemorySource(avi_b)],
@@ -245,6 +249,62 @@ def test_ingest_sparse_quarantines_keyframe_failure():
     for t in range(5, len(golds_ok)):
         np.testing.assert_array_equal(
             outs[t][1], outs[4][1], err_msg=f"frozen stream frame {t}")
+
+
+def test_ingest_sparse_midwindow_quarantine_keeps_keyframe():
+    """A slot quarantined MID-window (after its window-leading keyframe
+    decoded successfully) must keep that keyframe as the scan init: the
+    pre-failure frames composed against it, and overwriting it with the
+    previous window's carry would corrupt every frame of the window
+    (review finding on the skip0 freeze fix)."""
+    from jsplayer_tpu import native
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    (avi_ok, golds_ok), (avi_b, golds_b) = sp_avi(1), sp_avi(2)
+    pipe = VideoIngestPipeline(
+        [MemorySource(avi_ok), MemorySource(avi_b)],
+        IngestConfig(window=5, sp_device_path="kmv_sparse"))
+    decs = pipe._sp_decoders()
+    bad = decs[1]
+    pcount = [0]
+
+    class Boom:
+        def __setattr__(self, name, value):
+            setattr(bad, name, value)
+
+        def __getattr__(self, name):
+            orig = getattr(bad, name)
+            if name == "decompress_kmv_sparse":
+                def wrap(*a, **k):
+                    pcount[0] += 1
+                    if pcount[0] >= 6:  # t=7: two P-frames after keyframe 5
+                        raise ValueError("injected mid-window failure")
+                    return orig(*a, **k)
+                return wrap
+            return orig
+
+    pipe._spdecs = [decs[0], Boom()]
+    outs = {}
+    for batch in pipe:
+        fr = np.asarray(batch["frames_u32"])
+        for t in range(fr.shape[1]):
+            outs[batch["start_frame"] + t] = fr[:, t]
+    assert pipe.quarantined == {1}, pipe.quarantine_errors
+    for t in range(len(golds_ok)):
+        np.testing.assert_array_equal(
+            outs[t][0].reshape(-1), golds_ok[t],
+            err_msg=f"healthy stream frame {t}")
+    # pre-failure frames of the bad stream are exact: the window-5
+    # keyframe (t=5) and the P-frame composed on it (t=6)
+    for t in (5, 6):
+        np.testing.assert_array_equal(
+            outs[t][1].reshape(-1), golds_b[t],
+            err_msg=f"pre-failure frame {t} corrupted")
+    # from the failed frame on, the stream freezes at t=6
+    for t in range(7, len(golds_b)):
+        np.testing.assert_array_equal(
+            outs[t][1], outs[6][1], err_msg=f"frozen stream frame {t}")
 
 
 @pytest.mark.parametrize("path", ["kmv", "kmv_sparse", "bc"])

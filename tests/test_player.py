@@ -253,6 +253,51 @@ def test_audio_gating_autoresume():
     assert p.playing and not p._auto_paused
 
 
+def test_explicit_pause_not_overridden_by_autoresume():
+    """A user pause AFTER an audio-gated pause must stick: pause() clears
+    the gating flag, so the auto-resume path never restarts playback the
+    user explicitly stopped (review finding on the auto-resume fix)."""
+    avi, _fp = make_msv1_avi(nframes=12, with_sound=True)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi))
+    assert drive_until_shown(p)
+    m = p.manager
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    watermark = [1.0 / m.fps]
+    m.loaded_audio_time = lambda: watermark[0]
+    p.play()
+    fake_t[0] = 3.0 / m.fps
+    p.tick()
+    assert not p.playing and p._auto_paused  # audio-gated
+    p.pause()  # the user explicitly pauses while gated
+    assert not p._auto_paused
+    watermark[0] = m.total_time()  # audio fully loads
+    p.tick()
+    assert not p.playing  # still paused: no auto-resume after user pause
+
+
+def test_load_over_live_player_resets_playback_state():
+    """spload over a playing/gated player starts the new stream fresh:
+    no inherited clock, gating flag, or first-frame latch (Main.js_load
+    stops playback before re-opening)."""
+    avi_a, _ = make_msv1_avi(nframes=12, with_sound=True)
+    avi_b, _ = make_msv1_avi(nframes=8)
+    p = Player(PlayerConfig(indexed=False))
+    p.load(MemorySource(avi_a))
+    assert drive_until_shown(p)
+    fake_t = [0.0]
+    p._clock = lambda: fake_t[0]
+    p.play()
+    p._auto_paused = True  # simulate a gated pause state
+    p.playing = False
+    p.start_pos = 0.37
+    p.load(MemorySource(avi_b))
+    assert not p.playing and not p._auto_paused
+    assert p.start_pos == 0.0 and not p.first_shown
+    assert drive_until_shown(p)  # the new stream plays from frame 0
+
+
 def test_opendml_indexed_load():
     """Indexed loader over an OpenDML file with ix00 segments."""
     avi, frames_px = make_sp_avi(nframes=12, keyevery=4)
