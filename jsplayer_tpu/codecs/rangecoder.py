@@ -45,6 +45,14 @@ class RangeDecoder:
 
     def _decode(self, cum_freq: int, freq: int) -> None:
         # RangeCoder.hx:36-43 (range already divided by total in _get_freq)
+        if freq == 0:
+            # corrupt stream: a code value past every table entry exits the
+            # symbol scans with freq 0 (decode_val_uni's bucket scan can
+            # run to x==16, skipping the second loop entirely); range*0
+            # would spin the renormalization below forever.  Clamp like
+            # the native twin (spdec.cpp RangeDecoder::decode) so both
+            # sides keep decoding — garbage pixels, never a hang.
+            freq = 1
         self.code -= cum_freq * self.range
         self.range *= freq
         while self.range < TOP:

@@ -392,3 +392,40 @@ def test_walked_blocks_stay_touched():
     assert min(len(ours), len(orc)) >= 5
     for t in range(min(len(ours), len(orc))):
         np.testing.assert_array_equal(ours[t], orc[t], err_msg=str(t))
+
+
+def test_rc_zero_freq_stream_terminates():
+    """A corrupt v2 stream whose code value runs decode_val_uni's bucket
+    scan to x==16 used to reach RangeDecoder._decode with freq == 0 —
+    range became 0 and the renormalization loop never terminated (the
+    oracle hung FOREVER; fuzz seed 904718, v2 16bpp 96x64 trial 280).
+    The clamp mirrors the native twin (spdec.cpp RangeDecoder::decode):
+    decode garbage, raise a structural error, anything but a hang."""
+    import base64
+    import signal
+    import zlib
+
+    pkt = zlib.decompress(base64.b85decode(
+        b"c-jGL0F?g{022}e)9)(C(dUas!~0)~H?e=J{YrEQQjCSk)g`9l0}w<j9N-FGzG2To"
+        b"sXKSg{5t;!^{*(xUP|%8k#mQ@B4#B3^dz7-Ov?|jl2&!8#4#Sj;_LS^3SK0{(#o0F"
+        b"O?j_yvK;^b007aHGNb"))
+
+    class Hang(Exception):
+        pass
+
+    def on_alarm(*a):
+        raise Hang("oracle RC decode did not terminate")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(60)
+    try:
+        dec = ScreenPressor(96, 64, 16)
+        dec.preinit(0)
+        dst = np.zeros(96 * 64, dtype=np.uint32)
+        try:
+            dec.decompress_i(pkt, dst)
+        except (ValueError, IndexError, AssertionError):
+            pass  # structural rejection is fine; only a hang is a bug
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
